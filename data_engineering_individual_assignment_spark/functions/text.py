@@ -1,0 +1,95 @@
+"""Text-analysis column functions for the LLM-data-pipeline extensions
+(SURVEY §2.11): tokenization, language ID heuristic, quality scoring,
+fingerprinting, shingling.
+
+All pure Column expressions (no Python UDFs) so they run inside
+whole-stage codegen and scale linearly: at 100 TB these are a single
+map-only pass over the documents table, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal English stopword list for the n-gram/stopword language heuristic.
+# Order matters nowhere; kept short so the oracle SQL can inline it.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased text -> array<string>.
+    Trim first so no empty leading/trailing tokens appear (keeps Spark and
+    DuckDB/regexp_split_to_array semantics aligned)."""
+    return F.split(F.trim(F.lower(_col(c))), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    """Number of whitespace tokens (int)."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """A BPE-ish token estimate: count word pieces + digits + punctuation
+    runs.  Heuristic used for LLM-cost accounting; deterministic regex."""
+    pieces = F.regexp_count(_col(c), r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")
+    return pieces.cast("int")
+
+
+def stopword_count(c: Column | str) -> Column:
+    """How many tokens are English stopwords (exact token match)."""
+    toks = tokens(c)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    n = token_count(c)
+    return F.when(n > 0, stopword_count(c) / n).otherwise(F.lit(0.0))
+
+
+def is_english_guess(c: Column | str, min_ratio: float = 0.08) -> Column:
+    """Language-ID heuristic: English iff stopword ratio >= min_ratio."""
+    return (stopword_ratio(c) >= F.lit(min_ratio)).cast("int")
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    total = F.length(_col(c))
+    punct = F.length(_col(c)) - F.length(F.regexp_replace(_col(c), r"[^\w\s]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards reasonable length,
+    low punctuation density, and presence of stopwords (proxy for
+    natural language).  Deterministic, SQL-expressible."""
+    length_term = F.least(F.length(_col(c)) / F.lit(500.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    return (length_term + punct_term + stop_term) / 3
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lower-cased
+    text.  md5 is bit-identical across engines (DuckDB has md5() too), so
+    this doubles as the exact-dedup key."""
+    normalized = F.regexp_replace(F.trim(F.lower(_col(c))), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Word k-shingles -> array<string> of space-joined k-grams, distinct.
+    Used by MinHash / Jaccard near-dup."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array())

@@ -1,0 +1,112 @@
+"""OLS regression operators (SURVEY §2.10 U1/U2, §2.4 A5/A6).
+
+The reference fits views->comments in an AWS Lambda with hand-rolled
+Python loops (``lambda_function_final.py:22-99``).  Here:
+
+- ``ols_fit``: closed-form simple OLS as ONE aggregation —
+  b1 = covar_pop(x,y)/var_pop(x), b0 = ȳ − b1·x̄.  No collect; returns a
+  1-row DataFrame.
+- ``predict``: ŷ = b0 + b1·x as a column expression against the
+  broadcast 1-row coefficient frame (reference C9, ``LF:78-84``).
+- ``rmse``: √(mean((ŷ−y)²)) (reference A6, ``LF:32-38``).
+- ``evaluate``: the reference's evaluate_algorithm (fit on train,
+  RMSE on test) with either the seeded Bernoulli split (randomSplit,
+  like the reference's random.seed(1) sampling) or a deterministic
+  modulo split for oracle-exact reproduction.
+- ``fit_per_group``: per-group OLS via the same closed form — grouped
+  aggregation, NOT a Python loop (SURVEY U4); scales to any number of
+  groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ols_fit(df: DataFrame, x: str, y: str) -> DataFrame:
+    """1-row DataFrame (b0, b1, n) — closed-form simple OLS."""
+    b1 = F.covar_pop(x, y) / F.var_pop(x)
+    return df.agg(
+        (F.avg(y) - b1 * F.avg(x)).alias("b0"),
+        b1.alias("b1"),
+        F.count("*").alias("n"),
+    )
+
+
+def predict(df: DataFrame, coefs: DataFrame, x: str, out: str = "yhat") -> DataFrame:
+    """Append ŷ = b0 + b1·x; coefs is the 1-row frame from ols_fit
+    (broadcast — never collected to the driver)."""
+    return df.crossJoin(F.broadcast(coefs.select("b0", "b1"))).withColumn(
+        out, F.col("b0") + F.col("b1") * F.col(x)
+    )
+
+
+def rmse(df: DataFrame, yhat: str, y: str) -> DataFrame:
+    return df.agg(
+        F.sqrt(F.avg(F.pow(F.col(yhat) - F.col(y), 2))).alias("rmse"),
+        F.count("*").alias("n"),
+    )
+
+
+def evaluate(
+    df: DataFrame,
+    x: str,
+    y: str,
+    train_fraction: float = 0.6,
+    seed: int = 1,
+    deterministic_key: str | None = None,
+) -> DataFrame:
+    """Fit on a train split, report RMSE on the rest (1-row DataFrame:
+    b0, b1, rmse, n_train, n_test).
+
+    With ``deterministic_key`` the split is (key % 10) < 10·fraction —
+    exactly reproducible in any engine.  Otherwise Spark's seeded
+    Bernoulli randomSplit is used (like the reference's random sampling:
+    fraction is approximate, seed makes it repeatable within Spark).
+    """
+    if deterministic_key is not None:
+        df = df.withColumn(
+            "__is_train",
+            (F.col(deterministic_key) % 10) < int(train_fraction * 10),
+        )
+        train = df.filter("__is_train").drop("__is_train")
+        test = df.filter(~F.col("__is_train")).drop("__is_train")
+    else:
+        train, test = df.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+
+    coefs = ols_fit(train, x, y).withColumnRenamed("n", "n_train")
+    scored = test.crossJoin(F.broadcast(coefs)).withColumn(
+        "yhat", F.col("b0") + F.col("b1") * F.col(x)
+    )
+    return scored.agg(
+        F.first("b0").alias("b0"),
+        F.first("b1").alias("b1"),
+        F.sqrt(F.avg(F.pow(F.col("yhat") - F.col(y), 2))).alias("rmse"),
+        F.first("n_train").alias("n_train"),
+        F.count("*").alias("n_test"),
+    )
+
+
+def fit_per_group(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
+    """Per-group simple OLS (SURVEY U4) as a grouped aggregation: returns
+    (group, b0, b1, n).  Groups with zero x-variance yield null b1."""
+    b1 = F.covar_pop(x, y) / F.var_pop(x)
+    return df.groupBy(group).agg(
+        (F.avg(y) - b1 * F.avg(x)).alias("b0"),
+        b1.alias("b1"),
+        F.count("*").alias("n"),
+    )
+
+
+def ml_linear_regression(df: DataFrame, x: str, y: str):
+    """pyspark.ml variant (SURVEY U2): returns the fitted model.  Gated
+    behind import so environments without MLlib native deps still load
+    this module."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    assembled = VectorAssembler(inputCols=[x], outputCol="features").transform(
+        df.select(F.col(x).cast("double"), F.col(y).cast("double").alias("label"))
+    )
+    return LinearRegression(featuresCol="features", labelCol="label").fit(assembled)

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (SURVEY §2.11).
+
+- ``brute_force_topk``: exact cosine top-k.  The query set is broadcast
+  (it's small by construction); the corpus is scanned once; per-query
+  ranking is a window over (query, corpus) pairs.  At 100 TB of corpus
+  this is the correct *exact* plan: one scan, no corpus shuffle — the
+  join is broadcast, and TakeOrdered-style pruning happens in the rank
+  filter.
+- ``ivf_topk``: IVF-style approximate search.  Vectors are assigned to
+  their nearest centroid once (map pass over a broadcast centroid set);
+  queries probe only ``nprobe`` cells.  Centroids here are a
+  deterministic sample of the corpus (k-means is a drop-in replacement;
+  determinism is required by the test harness).
+
+Vector math is JVM-side higher-order functions (functions/vectors.py) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rnk, cos_sim) with rnk 1..k; ties on
+    similarity break on neighbor_id ascending (deterministic).
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine).
+    Broadcast the centroids; one scan of the corpus; deterministic
+    tie-break on centroid id."""
+    cents = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = corpus.join(F.broadcast(cents)).withColumn(
+        "cent_sim", cosine(vec_col, "cent_vec")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest cells per
+    query.  Centroids = the ``num_cells`` lowest-id corpus vectors
+    (deterministic stand-in for a k-means fit).
+
+    Recall < 1 by design; pair with ``brute_force_topk`` to measure it.
+    """
+    centroids = corpus.orderBy(id_col).limit(num_cells)
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+
+    cents = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("probe_sim").desc(), F.col("cell_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("probe_sim", cosine("q_vec", "cent_vec"))
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "cell_id")
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim", cosine("q_vec", vec_col))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "rnk",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,479 @@
+"""LLM-data-pipeline extension queries (SURVEY §2.11) + the composed
+operators (as-of join, sessionization, event-time windows).
+
+Oracle notes: near-dup verification is exact Jaccard, so the DuckDB
+oracle is a literal all-pairs Jaccard — LSH only prunes candidates and
+its recall at the 0.7 threshold is 1-(1-0.7)^12 ≈ 1-3e-7 (see
+operators/dedup.py).  SimHash and IVF are engine-specific (xxhash64 /
+approximate recall) and are registered without oracle => the driver
+records the weaker rows-only check, as the contract allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.vectors import cosine
+from ..operators import dedup, joins, similarity
+from ..sources.readers import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    sql=r"""
+    SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY survivor_id
+    """,
+    doc="exact dedup on the md5 fingerprint of whitespace-normalized "
+    "lower-cased text; survivor = min doc_id (idempotent). Shuffles a "
+    "16-byte digest + id per row — scale-safe at 100 TB.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").orderBy("survivor_id")
+
+
+@register(
+    "near_dup_pairs",
+    sql=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+    doc="EXACT near-duplicate pairs (3-shingle Jaccard >= 0.7) via "
+    "prefix-filtered set-similarity join (Vernica et al. 2010): global "
+    "rare-first shingle ordering, prefix+length filters, verify "
+    "candidates only. Matches the brute-force all-pairs oracle with "
+    "near-linear work — the 100 TB-safe exact path.",
+)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_join(
+        d, "text", "doc_id", threshold=0.7, k=3
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "near_dup_minhash",
+    sql=None,  # banded LSH recall < 1 by design: rows-only check
+    doc="APPROXIMATE near-dup pairs: MinHash signatures (24 hashes via "
+    "xxhash64 over shingles, JVM-side), 6 bands × 4 rows banding, bucket "
+    "equi-join, exact Jaccard verify of candidates. Recall ~0.96 at "
+    "j=0.8, ~1.0 at j=0.9; the constant-work scale path when the exact "
+    "prefix-join's candidate set grows too large.",
+)
+def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_minhash(
+        d, "text", "doc_id", threshold=0.7, num_bands=6, rows_per_band=4, k=3
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "simhash_clusters",
+    sql=None,  # xxhash64 is Spark-specific: rows-only check by contract
+    doc="SimHash near-dup candidates: 64-bit token-hash sign aggregate, "
+    "4×16-bit band join, hamming <= 3 verification via bit_count(xor). "
+    "No SQL oracle (hash function is engine-specific); covered by unit "
+    "tests with planted near-dups.",
+)
+def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+@register(
+    "ann_brute_force",
+    sql="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+                 AS cos_sim
+        FROM embeddings c JOIN q ON c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk,
+           round(cos_sim, 6) AS cos_sim
+    FROM scored
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="exact cosine top-5 for the 10 lowest-id query vectors: broadcast "
+    "query set, single corpus scan, per-query window rank. The exact-ANN "
+    "baseline; ann_ivf is the approximate scale path.",
+)
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "ann_ivf",
+    sql=None,  # approximate by design: rows-only check
+    doc="IVF approximate top-5: corpus bucketed to 8 deterministic "
+    "centroids, queries probe 2 cells. Recall measured against "
+    "ann_brute_force in tests. No oracle (approximate by design).",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, num_cells=8, nprobe=2, k=5).orderBy(
+        "query_id", "rnk"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+_STOP_SQL = "', '".join(TX.EN_STOPWORDS)
+
+@register(
+    "text_stats",
+    sql=rf"""
+    WITH tok AS (
+        SELECT doc_id, lang, n_chars,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> list_contains(['{_STOP_SQL}'], t))) AS INT)
+               AS n_stopwords,
+           round(CAST(len(list_filter(toks, t -> list_contains(['{_STOP_SQL}'], t)))
+                      AS DOUBLE) / len(toks), 6) AS stop_ratio,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM tok
+    ORDER BY doc_id
+    """,
+    doc="per-document text statistics: whitespace token count, stopword "
+    "count/ratio (the language-ID feature). Single map pass, no shuffle.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.token_count("text").cast("int").alias("n_tokens"),
+        TX.stopword_count("text").cast("int").alias("n_stopwords"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_id_agreement",
+    sql=rf"""
+    WITH feat AS (
+        SELECT lang,
+               CASE WHEN CAST(len(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\s+'),
+                        t -> list_contains(['{_STOP_SQL}'], t))) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 0.08
+                    THEN 1 ELSE 0 END AS guessed_en
+        FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(guessed_en) AS BIGINT) AS n_guessed_english
+    FROM feat
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="language-ID heuristic (stopword-ratio >= 0.08 => English) "
+    "cross-tabbed against the labeled lang column.",
+)
+def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.is_english_guess("text").alias("guessed_en"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("guessed_en").cast("bigint").alias("n_guessed_english"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    sql=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="document fingerprinting: md5 digest of normalized text "
+    "(bit-identical across engines — doubles as the exact-dedup key).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        F.length("text").cast("bigint").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; decode is stubbed)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_metadata",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS INT)  AS width,
+           CAST(64 + (octet_length(CAST(text AS BLOB)) // 7) % 512 AS INT) AS height,
+           3 AS channels
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="multimodal plumbing: an opaque binary payload column with typed "
+    "metadata extracted by an Arrow-batched mapInPandas 'decoder' "
+    "(deterministic stub — real image/audio libs are absent in this "
+    "container; see operators in streaming/multimodal tests). The Spark "
+    "side (binary schema, batch iteration, output schema) is real.",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def decode_batches(batches):
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    # deterministic stand-in for image decode: a real
+                    # implementation would parse the container header here
+                    "width": (64 + n_bytes % 512).astype("int32"),
+                    "height": (64 + (n_bytes // 7) % 512).astype("int32"),
+                    "channels": 3,
+                }
+            )
+
+    out = payload.mapInPandas(
+        decode_batches,
+        schema="doc_id bigint, n_bytes bigint, width int, height int, channels int",
+    )
+    return out.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# As-of join / sessionization / event-time windows
+# --------------------------------------------------------------------------
+@register(
+    "asof_join_events_orders",
+    sql="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           round(coalesce(o_totalprice, 0.0), 2) AS last_order_price
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+    doc="as-of join (SURVEY §4.3): each event enriched with the user's "
+    "most recent order at event time — range join + row_number pick with "
+    "deterministic tie-break; asof_join_pandas (cogrouped merge_asof) is "
+    "the high-fan-out variant.",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    joined = joins.asof_join(
+        e, o,
+        left_ts="ts", right_ts="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        left_id="event_id", tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("last_order_price"),
+    ).orderBy("event_id")
+
+
+@register(
+    "sessionize_events",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="sessionization (gaps-and-islands): lag + gap>30min flag + sum — "
+    "sessions per user. The streaming twin (session_window with "
+    "watermark) lives in streaming/windows.py.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # µs precision: a cast-to-seconds diff would truncate and
+            # disagree with the oracle's exact interval comparison
+            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "tumbling_window_counts",
+    sql="""
+    SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS window_day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="event-time tumbling window (1 day) counts per type — the batch "
+    "twin of the streaming windowed aggregation (streaming/windows.py "
+    "runs the identical plan as a Structured Streaming query with "
+    "watermark + Trigger.AvailableNow).",
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("date").alias("window_day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_day", "event_type")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    sql="""
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(o)),
+    assigned AS (
+        SELECT time_bucket(INTERVAL 1 DAY, e.ts) - to_days(o.o) AS window_start, e.value
+        FROM events e CROSS JOIN offsets o)
+    SELECT CAST(window_start AS DATE) AS window_day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total_value
+    FROM assigned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="sliding window (2-day width, 1-day slide): each event lands in "
+    "two windows; Spark's window() emits both assignments in one pass.",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("date").alias("window_day"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_day")
+    )
+
+
+@register(
+    "embedding_norms",
+    sql="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+               AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="vector math smoke: average L2 norm per label via higher-order "
+    "functions (zip_with/aggregate) — stays JVM-side, no UDF.",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configuration (AQE on, UTC session time zone, Arrow enabled) is what we'd
+ship to a 1000-executor cluster -- only master/memory sizing changes.
+
+Scale notes (100 TB design point):
+- ``spark.sql.adaptive.enabled``: runtime coalescing of shuffle partitions
+  and skew-join splitting; mandatory at scale, harmless locally.
+- ``spark.sql.session.timeZone=UTC``: deterministic timestamp semantics so
+  results are comparable across engines (DuckDB oracle) and clusters.
+- shuffle partitions default to ~cores locally; on a real cluster this is
+  sized so each partition is ~128-256 MB post-shuffle (AQE then coalesces).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def local_cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(app_name: str = "dei-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session with engine defaults applied.
+
+    Safe to call when a session already exists: builder configs that can
+    change at runtime are applied via ``spark.conf`` afterwards.
+    """
+    cpus = local_cpus()
+    nshuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    # Runtime-settable confs, in case we were handed a pre-built session
+    # (the driver does this): enforce determinism-critical settings.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs needed for deterministic oracle comparison on a
+    session we did not build (the driver hands us one)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,94 @@
+"""Readers for the engine's table sources.
+
+Covers the reference's scan surface (SURVEY §2.1):
+- S6 (semicolon-CSV read, reference ``thehoxtontrend_full_pipeline_final.py:554-573``)
+  -> ``read_semicolon_csv`` with an explicit schema (never inferSchema in prod:
+  one extra full pass over 100 TB).
+- S7 (comma-CSV Google-Analytics read, reference ``...v5.py:577``) -> ``read_ga_csv``.
+- Parquet testdata tables -> ``load_table`` / ``load_tables``.
+
+Scale notes: parquet scans get column pruning + predicate pushdown from
+Catalyst for free; callers should select/filter as early as possible so the
+pushed filters appear in the scan node (verify with ``.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table from ``sf_dir``.
+
+    Spark has no TIMESTAMP(NANOS) parquet type; the events table stores
+    ``ts`` as ns.  We read it as a long (legacy conf) and truncate to
+    microseconds — exactly what DuckDB's µs-resolution TIMESTAMP does, so
+    both engines see identical values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read several tables at once; defaults to all ten."""
+    names = names or TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the testdata tables as temp views so ``spark.sql`` works."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_semicolon_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """The reference's warehouse-load scan: ';'-separated CSV with a header
+    row (S6).  Explicit schema -- schema inference is a full extra scan."""
+    return (
+        spark.read.option("sep", ";")
+        .option("header", True)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+GA_SCHEMA = T.StructType(
+    [
+        T.StructField("date", T.StringType()),
+        T.StructField("average_session_duration", T.DoubleType()),
+        T.StructField("bounce_rate", T.DoubleType()),
+        T.StructField("new_users", T.LongType()),
+        T.StructField("number_of_sessions_per_user", T.DoubleType()),
+        T.StructField("pages_per_session", T.DoubleType()),
+        T.StructField("page_views", T.LongType()),
+        T.StructField("users", T.LongType()),
+    ]
+)
+
+
+def read_ga_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Google-Analytics flat file (S7): comma CSV, dates as dd/MM/yyyy
+    strings (reference keeps them as text; we add a typed ``date_parsed``)."""
+    df = spark.read.option("header", True).schema(GA_SCHEMA).csv(path)
+    return df.withColumn("date_parsed", F.to_date("date", "dd/MM/yyyy"))
