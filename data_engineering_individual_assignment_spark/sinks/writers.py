@@ -1,0 +1,75 @@
+"""Warehouse sinks (SURVEY §2.1 S8-S12).
+
+The reference lands ';'-CSV files in S3 with date-keyed names
+(``s3_save_file_func``, final DAG 496-528) and loads Postgres with a
+per-row INSERT + commit loop (F:598-657) — at-least-once, duplicating on
+retry.  Spark equivalents:
+
+- canonical warehouse: date-partitioned parquet with *dynamic partition
+  overwrite* — re-running a day replaces exactly that day (idempotent,
+  fixes the retry-duplication hazard; SURVEY §3.1).
+- compatibility sink: ';'-CSV with header, one file per day key, for
+  consumers of the reference's file layout (S8).
+- JSON artifact sink for the model-results handoff (S11, L2:100-104).
+- JDBC sink (S10) is ``df.write.jdbc`` directly — a one-liner; no driver
+  jar ships in this container so it is documented, not wrapped.
+
+Scale notes: partitionBy(ingest_date) gives partition pruning to every
+downstream reader; dynamic overwrite touches only the partitions present
+in the batch — a daily run rewrites 1/365th of the table, never the
+whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_warehouse_table(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "ingest_date",
+    mode: str = "overwrite",
+) -> None:
+    """Canonical sink: parquet partitioned by the ingest date, dynamic
+    overwrite so reruns are idempotent per partition."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def overwrite_day_partition(
+    df: DataFrame, path: str, day: str, partition_col: str = "ingest_date"
+) -> None:
+    """Replace exactly one day's partition (the reference's daily drop,
+    made idempotent): stamp the partition value, dynamic-overwrite."""
+    stamped = df.withColumn(partition_col, F.lit(day))
+    write_warehouse_table(stamped, path, partition_col, mode="overwrite")
+
+
+def write_semicolon_csv(df: DataFrame, path: str) -> None:
+    """S8 compatibility: ';'-separated CSV with header — the reference's
+    S3 file format (F:519-528).  coalesce(1) mirrors its one-file-per-day
+    layout; drop it when a day's data is bigger than one worker."""
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", ";")
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def write_json_artifact(df: DataFrame, path: str) -> None:
+    """S11: small result DataFrame (model coefficients, metrics) as JSON
+    (the Lambda's results-to-S3 persistence, L2:100-104)."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def register_warehouse_view(
+    spark: SparkSession, name: str, path: str
+) -> None:
+    """S9: expose a written table to SQL (the CREATE TABLE IF NOT EXISTS
+    role, F:64-118) without a metastore: a temp view over the parquet."""
+    spark.read.parquet(path).createOrReplaceTempView(name)

@@ -1,0 +1,182 @@
+"""Structured Streaming layer (SURVEY §2.9).
+
+The reference is pure batch on a daily Airflow schedule with date-keyed
+file drops and append-only warehouse loads (final DAG 36-39, 55-58,
+601-656).  The Spark-native equivalent of that *incremental-daily*
+semantics is a file-source stream processed with Trigger.AvailableNow:
+each run picks up exactly the files not yet processed (checkpointed),
+writes idempotently, and stops — a scheduled batch with streaming's
+exactly-once bookkeeping instead of the reference's
+duplicate-append-on-retry hazard.
+
+Provided here:
+- ``stream_events``           file-source stream over an events landing dir
+- ``tumbling_counts_stream``  watermarked tumbling-window agg (late data
+                              beyond the watermark is dropped)
+- ``sliding_counts_stream``   sliding-window variant
+- ``session_counts_stream``   session_window (gap-based) variant
+- ``run_to_memory``           drive any of the above to completion
+                              synchronously (AvailableNow + memory sink)
+- ``incremental_ingest``      landing -> partitioned parquet warehouse via
+                              foreachBatch, exactly-once per file
+- ``running_totals_stateful`` custom stateful operator via
+                              applyInPandasWithState (per-key running
+                              aggregates surviving across micro-batches)
+
+The windowed aggregations are the same *logical plans* as the batch
+queries ``tumbling_window_counts``/``sliding_window_counts`` in
+plans/extensions.py — tests assert stream == batch on the same input.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stage_events(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Copy the events table into a streaming-friendly landing dir
+    (µs timestamps — the driver testdata is ns, which no Spark source
+    reads).  Stand-in for the scraper's daily JSONL drops."""
+    from ..sources.readers import load_table
+
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def stream_events(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)  # bounded micro-batches
+        .parquet(landing_dir)
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked 1-day tumbling counts per event_type — the streaming
+    twin of plans.extensions.tumbling_window_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("date").alias("window_day"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").cast("date").alias("window_day"), "n", "total_value")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (streaming-native analog of the
+    batch gaps-and-islands sessionize_events query)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion synchronously
+    (Trigger.AvailableNow) into a memory sink; returns the final result
+    as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def incremental_ingest(
+    spark: SparkSession, landing_dir: str, warehouse_dir: str, checkpoint_dir: str
+) -> None:
+    """The reference's daily load (S8-S10) as an exactly-once incremental
+    pipeline: file-source stream -> foreachBatch -> date-partitioned
+    parquet.  Re-running never duplicates (checkpoint tracks files; the
+    reference's per-row INSERT + retry could double-load, F:601-656)."""
+    events = stream_events(spark, landing_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("ingest_date", F.col("ts").cast("date"))
+            .write.mode("append")
+            .partitionBy("ingest_date")
+            .parquet(warehouse_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.9 'stateful ops'):
+    per-user running event count + value total maintained across
+    micro-batches with applyInPandasWithState.  Emits one row per user
+    per micro-batch with the cumulative totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

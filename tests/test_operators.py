@@ -1,0 +1,184 @@
+"""Operator-level unit tests: planted near-duplicates for dedup, the two
+as-of join implementations agreeing, OLS matching numpy's closed form,
+IVF recall vs brute force."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMALL
+
+
+# --------------------------------------------------------------------------
+# Dedup with planted duplicates
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("today", "tomorrow")),      # near dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "  The   QUICK brown fox jumps over the lazy dog again and again today "),
+        # 5 = normalized-exact dup of 1 (case/whitespace)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_survivors(docs_with_dups):
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        drop_exact_dups,
+        exact_dedup,
+    )
+
+    groups = {r["survivor_id"]: r["n_copies"] for r in exact_dedup(
+        docs_with_dups, "text", "doc_id").collect()}
+    # 1,2,5 collapse (normalized fingerprint); 3 and 4 stand alone
+    assert groups[1] == 3 and groups[3] == 1 and groups[4] == 1
+    kept = sorted(r["doc_id"] for r in drop_exact_dups(
+        docs_with_dups, "text", "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_jaccard_join_finds_planted_pair(docs_with_dups):
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        jaccard_join,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_join(
+        docs_with_dups, "text", "doc_id", threshold=0.5).collect()}
+    # exact dups have jaccard 1.0; the one-word edit is high but < 1
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 5)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_agrees_with_exact_on_planted(docs_with_dups):
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        jaccard_join,
+        near_dup_minhash,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_join(
+        docs_with_dups, "text", "doc_id", threshold=0.5).collect()}
+    approx = {(r["doc_a"], r["doc_b"]) for r in near_dup_minhash(
+        docs_with_dups, "text", "doc_id", threshold=0.5).collect()}
+    # high-similarity planted pairs must be recalled
+    assert {(1, 2), (1, 5)} <= approx
+    assert approx <= exact  # verification guarantees no false positives
+
+
+def test_simhash_hamming_zero_for_exact_dups(docs_with_dups):
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(
+        docs_with_dups, "text", "doc_id", max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0  # token-identical docs
+    assert pairs[(1, 5)] == 0  # case/whitespace normalize to same tokens
+
+
+# --------------------------------------------------------------------------
+# As-of join: declarative vs cogrouped-pandas implementations agree
+# --------------------------------------------------------------------------
+def test_asof_join_both_impls_agree(spark):
+    from data_engineering_individual_assignment_spark.operators import joins
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, SF_SMALL, "orders")
+
+    a = joins.asof_join(
+        e, o, left_ts="ts", right_ts="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        left_id="event_id", tie_break="o_orderkey",
+    ).select("event_id", "o_orderkey")
+    b = joins.asof_join_pandas(
+        e, o.withColumnRenamed("o_orderdate", "order_ts"),
+        left_ts="ts", right_ts="order_ts",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey"],
+    ).select("event_id", "o_orderkey")
+
+    ra = {r["event_id"]: r["o_orderkey"] for r in a.collect()}
+    rb = {r["event_id"]: r["o_orderkey"] for r in b.collect()}
+    # merge_asof has no tie-break control; compare where ties can't differ:
+    # both must agree on null-ness everywhere and on value almost everywhere
+    assert set(ra) == set(rb)
+    diffs = [k for k in ra if ra[k] != rb[k]]
+    assert len(diffs) <= len(ra) * 0.01  # only date-tie rows may differ
+
+
+def test_asof_never_picks_future_order(spark):
+    from data_engineering_individual_assignment_spark.operators import joins
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    o = load_table(spark, SF_SMALL, "orders")
+    j = joins.asof_join(
+        e, o, "ts", "o_orderdate", "user_id", "o_custkey", "event_id",
+        tie_break="o_orderkey",
+    )
+    bad = j.filter(F.col("o_orderdate") > F.col("ts")).count()
+    assert bad == 0
+
+
+# --------------------------------------------------------------------------
+# Regression: closed form matches numpy
+# --------------------------------------------------------------------------
+def test_ols_matches_numpy(spark):
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.regression import (
+        ols_fit,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    row = ols_fit(li, "x", "y").collect()[0]
+    pdf = li.toPandas()
+    b1_np, b0_np = np.polyfit(pdf["x"], pdf["y"], 1)
+    assert abs(row["b1"] - b1_np) < 1e-6 * max(1, abs(b1_np))
+    assert abs(row["b0"] - b0_np) < 1e-6 * max(1, abs(b0_np))
+
+
+def test_fit_per_group_runs(spark):
+    from data_engineering_individual_assignment_spark.operators.regression import (
+        fit_per_group,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    out = fit_per_group(li, "l_returnflag", "l_quantity", "l_extendedprice").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n"] > 0 and r["b1"] is not None
+
+
+# --------------------------------------------------------------------------
+# Similarity: IVF recall vs brute force
+# --------------------------------------------------------------------------
+def test_ivf_recall(spark):
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in
+              ivf_topk(emb, q, num_cells=8, nprobe=2, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+    assert len(approx) == len(exact)  # same shape: 5 per query
