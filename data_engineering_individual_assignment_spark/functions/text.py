@@ -39,7 +39,7 @@ def token_count(c: Column | str) -> Column:
 def bpe_ish_token_count(c: Column | str) -> Column:
     """A BPE-ish token estimate: count word pieces + digits + punctuation
     runs.  Heuristic used for LLM-cost accounting; deterministic regex."""
-    pieces = F.regexp_count(_col(c), r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]")
+    pieces = F.regexp_count(_col(c), F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"))
     return pieces.cast("int")
 
 

@@ -1,0 +1,231 @@
+"""Advanced relational coverage: non-equi (range/theta) joins, full
+outer join, ntile, grouping sets through the SQL API, per-group OLS,
+and the approximate-sketch variants (rows-only by contract).
+
+Two queries here are deliberately written with ``spark.sql`` over temp
+views instead of the DataFrame API: the engine exposes both surfaces
+(SURVEY §3.2 — notebook users get the same Catalyst plans either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.regression import fit_per_group
+from ..sources.readers import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "range_join_value_bands",
+    sql="""
+    WITH bands AS (
+        SELECT * FROM (VALUES
+            ('tiny',   0.0,   50.0),
+            ('small',  50.0,  150.0),
+            ('medium', 150.0, 300.0),
+            ('big',    300.0, 1000.0)) AS t(band, lo, hi))
+    SELECT b.band,
+           CAST(count(e.event_id) AS BIGINT) AS n,
+           round(sum(e.value), 2)            AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+    doc="range/theta join (§2.3): events banded by value interval — "
+    "broadcast-nested-loop on a 4-row literal dimension; the general "
+    "non-equi join surface the reference's date-range schema implies.",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 50.0), ("small", 50.0, 150.0),
+         ("medium", 150.0, 300.0), ("big", 300.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "full_outer_join_daily",
+    sql="""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+    od AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' GROUP BY 1)
+    SELECT coalesce(ev.day, od.day)            AS day,
+           CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(od.n_orders, 0) AS BIGINT) AS n_orders
+    FROM ev FULL OUTER JOIN od ON ev.day = od.day
+    ORDER BY day
+    """,
+    doc="full outer join: daily event counts vs recent order counts — "
+    "days present on either side survive with zero-filled other side.",
+)
+def full_outer_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        ev.join(od, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "ntile_customer_quartiles",
+    sql="""
+    WITH q AS (
+        SELECT c_custkey, c_acctbal,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        FROM customer)
+    SELECT quartile,
+           CAST(count(*) AS BIGINT)   AS n,
+           round(min(c_acctbal), 2)   AS lo,
+           round(max(c_acctbal), 2)   AS hi
+    FROM q GROUP BY quartile ORDER BY quartile
+    """,
+    doc="ntile window: customers quartiled by account balance "
+    "(deterministic tie-break on key).",
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).cast("int").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="explicit GROUPING SETS via the spark.sql surface (same Catalyst "
+    "plan as the DataFrame rollup/cube queries) — demonstrates the SQL "
+    "API entry point (SURVEY §3.2).",
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "per_group_ols",
+    sql="""
+    SELECT l_returnflag,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS b0,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS b1,
+           CAST(count(*) AS BIGINT)                              AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="per-group OLS (SURVEY U4): the Lambda's global model fitted "
+    "per l_returnflag as ONE grouped aggregation via the closed form "
+    "(covar_pop/var_pop) — no loop over groups, scales to any group "
+    "count. Oracle uses regr_slope/regr_intercept (identical algebra).",
+)
+def per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    fitted = fit_per_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return fitted.select(
+        "l_returnflag",
+        F.round("b0", 4).alias("b0"),
+        F.round("b1", 4).alias("b1"),
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "approx_sketches",
+    sql=None,  # HLL/KLL sketches are engine-specific: rows-only check
+    doc="approximate sketches for the 100 TB path: approx_count_distinct "
+    "(HyperLogLog++) and percentile_approx (KLL-ish) — constant memory "
+    "per group vs the exact variants' expand/sort. Values are engine-"
+    "specific so this is rows-only; the exact twins (distinct_counts, "
+    "percentiles_by_flag) carry the oracles.",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+@register(
+    "ml_linear_regression",
+    sql=None,  # iterative solver, fp-path dependent: rows-only check
+    doc="pyspark.ml LinearRegression variant of the flagship (SURVEY U2): "
+    "same model through the MLlib estimator API; coefficients agree with "
+    "the closed-form regression_ols to ~1e-6 (asserted in unit tests). "
+    "Rows-only: solver fp path is engine-specific.",
+)
+def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.regression import ml_linear_regression as fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    model = fit(
+        li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")),
+        "x",
+        "y",
+    )
+    return spark.createDataFrame(
+        [(float(model.intercept), float(model.coefficients[0]))], "b0 double, b1 double"
+    )

@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the 100 TB design claims, checked against
+what Catalyst actually compiles.  If a refactor breaks pushdown, loses a
+broadcast, or turns top-k into a global sort, these fail."""
+
+from __future__ import annotations
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    """Explain string; execute first when asserting on the AQE final plan
+    (broadcasts, codegen stage markers)."""
+    from data_engineering_individual_assignment_spark import plans
+
+    df = plans.CATALOG[name].fn(spark, SF_SMALL)
+    if execute:
+        df.collect()
+    mode = "simple" if execute else "formatted"
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_project_pushdown(spark):
+    plan = _plan(spark, "filter_project")
+    assert "PushedFilters: [" in plan
+    # the status/date/price predicates must reach the parquet scan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus,O)" in plan
+    # column pruning: events has 6 cols, orders 6 — the scan must read 4
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = _plan(spark, "star_join_revenue", execute=True)
+    # AQE explain prints initial+final plan: 3 joins appear in each
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the orders fact table is scanned with only the 2 needed columns
+    assert "ReadSchema: struct<o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_top_orders_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "pricing_summary", execute=True)
+    # partial (map-side) + final hash aggregate, inside codegen stages
+    # ('*(n)' prefixes mark whole-stage-codegen in the simple explain)
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+    assert "*(" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "semi_join_customers")
+    assert "LeftSemi" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query may compile to an unconditioned cartesian product over
+    two large inputs.  (Broadcast nested-loop against literal/1-row
+    frames is fine and expected for range joins + coefficient joins.)"""
+    from data_engineering_individual_assignment_spark import plans
+
+    for name, q in plans.CATALOG.items():
+        df = q.fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "CartesianProduct" not in plan, f"{name} compiled a CartesianProduct"
