@@ -160,6 +160,44 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_near_dup",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+    doc="EXACT embedding-cosine near-dup pairs (cos >= 0.95): broadcast "
+    "self-join baseline, oracle-checked; embedding_lsh_near_dup is the "
+    "sub-quadratic hyperplane-LSH scale path.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_lsh_near_dup",
+    sql=None,  # LSH recall < 1 by design: rows-only check
+    doc="APPROXIMATE embedding near-dup: 12-bit random-hyperplane "
+    "signatures (Charikar SimHash), bucket equi-join, exact cosine "
+    "verify. Linear-plus-candidates work; recall vs the exact query "
+    "is measured in unit tests.",
+)
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_pairs(emb, num_planes=12, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

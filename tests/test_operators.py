@@ -182,3 +182,35 @@ def test_ivf_recall(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
     assert len(approx) == len(exact)  # same shape: 5 per query
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup: exact finds planted pairs; hyperplane LSH recalls them
+# --------------------------------------------------------------------------
+def test_embedding_near_dup_planted(spark):
+    import random
+
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        hyperplane_lsh_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    near = [v + rng.gauss(0, 0.01) for v in base]          # cos ~ 0.9999
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r["id_a"], r["id_b"]) for r in
+             cosine_near_dup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in exact
+
+    approx = {(r["id_a"], r["id_b"]) for r in
+              hyperplane_lsh_pairs(emb, num_planes=8, threshold=0.99, dim=dim).collect()}
+    # a cos~0.9999 pair flips a given bit with p=theta/pi~0.004;
+    # P(all 8 bits agree) ~ 0.97 — with this seed it must be recalled
+    assert (0, 1) in approx
+    assert approx <= exact  # exact verification: no false positives
