@@ -52,10 +52,53 @@ def drop_exact_dups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(doc_id, shingles) with empty-shingle docs dropped."""
+    """(doc_id, shingles) string arrays with empty-shingle docs dropped.
+    Readable/debuggable form; the join operators below use the hashed
+    row form instead (higher-order functions don't codegen)."""
     return df.select(
         F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("shingles")
     ).filter(F.size("shingles") > 0)
+
+
+def hashed_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, shingle_h) — one row per DISTINCT word-k-shingle, shingles
+    hashed to int64 on the fly.
+
+    posexplode(tokens) + window lead() builds each k-gram without any
+    higher-order function, and xxhash64(tok, lead1, .., leadk-1) hashes
+    the k columns directly — no string concatenation.  Everything stays
+    in whole-stage codegen; the only shuffle is the doc_id window.
+    Downstream set ops (document frequency, prefix join, intersection)
+    then work on 8-byte longs instead of ~20-byte strings.  64-bit
+    collisions are ~1e-7 at millions of distinct shingles — negligible
+    against the exact-Jaccard thresholding.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "t0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        "t0",
+        *[F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)],
+    )
+    return grams.filter(F.col(f"t{k-1}").isNotNull()).select(
+        "doc_id", F.xxhash64(*[f"t{i}" for i in range(k)]).alias("shingle_h")
+    )
+    # NOTE: rows are NOT per-doc distinct — min-hash is multiset-invariant
+    # so minhash_signatures can consume them directly; set semantics are
+    # applied by hashed_shingle_arrays' collect_set in one aggregation.
+
+
+def hashed_shingle_arrays(shingle_rows: DataFrame) -> DataFrame:
+    """(doc_id, sz, shingles:array<long>) with DISTINCT shingles —
+    collect_set dedups inside the aggregation, saving a separate
+    dropDuplicates shuffle."""
+    return shingle_rows.groupBy("doc_id").agg(
+        F.collect_set("shingle_h").alias("shingles")
+    ).select("doc_id", F.size("shingles").alias("sz"), "shingles")
 
 
 def minhash_signatures(
@@ -63,18 +106,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature columns.
 
-    Computed as explode(shingles) -> xxhash64(i, shingle) per hash
-    function -> groupBy(doc_id).min(...).  All codegen (xxhash64 over
-    (int, string) columns, hash partial-agg), ~10× faster than a
-    higher-order-function formulation, which Spark interprets per row.
+    Built from the hashed shingle rows: per hash function i,
+    min(xxhash64(i, shingle_h)).  All codegen (no higher-order
+    functions, no string concat), one partial+final aggregation.
     Deterministic across runs and partitionings.
     """
-    tok = doc_shingles(df, text_col, id_col, k).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    hashed = tok.select(
+    rows = hashed_shingle_rows(df, text_col, id_col, k)
+    hashed = rows.select(
         "doc_id",
-        *[F.xxhash64(F.lit(i), "shingle").alias(f"h{i}") for i in range(num_hashes)],
+        *[F.xxhash64(F.lit(i), "shingle_h").alias(f"h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
@@ -118,23 +158,26 @@ def jaccard_join(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     to 6 places.
     """
-    sh = doc_shingles(df, text_col, id_col, k)
+    rows = hashed_shingle_rows(df, text_col, id_col, k)
+    sh = hashed_shingle_arrays(rows).persist()
     tok = sh.select(
-        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+        "doc_id", "sz", F.explode("shingles").alias("shingle_h")
     )
-    dfreq = tok.groupBy("shingle").agg(F.count("*").alias("dfreq"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("dfreq").asc(), F.col("shingle").asc())
+    dfreq = tok.groupBy("shingle_h").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("dfreq").asc(), F.col("shingle_h").asc()
+    )
     prefix = (
-        tok.join(dfreq, "shingle")
+        tok.join(dfreq, "shingle_h")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.col("sz") * threshold) + 1)
-        .select("doc_id", "sz", "shingle")
+        .select("doc_id", "sz", "shingle_h")
     )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: jaccard >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("b.sz") >= F.col("a.sz") * threshold)
@@ -196,7 +239,7 @@ def near_dup_minhash(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = doc_shingles(df, text_col, id_col, k)
+    sh = hashed_shingle_arrays(hashed_shingle_rows(df, text_col, id_col, k))
     return _verify_jaccard(cand, sh, threshold)
 
 
