@@ -63,3 +63,24 @@ def run_date_key(date_col: Column | str | None = None) -> Column:
     """C6: 'yyyy_MM_dd' partition/file key; defaults to current_date."""
     base = F.current_date() if date_col is None else _col(date_col)
     return F.date_format(base, "yyyy_MM_dd")
+
+
+def demojize_udf():
+    """C4: emoji -> ':name:' text (present but commented out in the
+    reference, F:181-182, 305-307).  Returns an Arrow-batched pandas UDF
+    when the optional ``emoji`` package is importable, else None — the
+    pipeline simply skips the step, like the reference's commented code.
+    (Python UDF is acceptable here: demojize has no JVM equivalent and
+    it is OFF by default.)"""
+    try:
+        import emoji
+    except ImportError:
+        return None
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _demojize(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: emoji.demojize(v) if v is not None else None)
+
+    return _demojize

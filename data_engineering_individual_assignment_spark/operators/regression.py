@@ -88,6 +88,25 @@ def evaluate(
     )
 
 
+def exact_random_split(
+    df: DataFrame, train_fraction: float = 0.6, seed: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """U1 exact-count variant (SURVEY §4.3): randomSplit is Bernoulli
+    (approximate counts); when the oracle demands an exact ⌈f·n⌉ train
+    size, rank rows by rand(seed) and cut at the threshold.  One window
+    over a random order — deterministic for a fixed seed and input."""
+    from pyspark.sql import Window
+
+    ranked = df.withColumn("__r", F.rand(seed)).withColumn(
+        "__rn", F.row_number().over(Window.orderBy(F.col("__r"), F.monotonically_increasing_id()))
+    )
+    n = df.count()
+    cut = int(train_fraction * n + 0.9999999)  # ceil
+    train = ranked.filter(F.col("__rn") <= cut).drop("__r", "__rn")
+    test = ranked.filter(F.col("__rn") > cut).drop("__r", "__rn")
+    return train, test
+
+
 def fit_per_group(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
     """Per-group simple OLS (SURVEY U4) as a grouped aggregation: returns
     (group, b0, b1, n).  Groups with zero x-variance yield null b1."""

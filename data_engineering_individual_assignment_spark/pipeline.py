@@ -76,3 +76,19 @@ def daily_run(
     )
     write_json_artifact(model, os.path.join(warehouse_dir, "regression_model", day))
     return tables
+
+
+def model_http_response(spark: SparkSession, warehouse_dir: str, day: str) -> dict:
+    """S12: the API-Gateway response the reference's Lambda returns
+    (LF:94-109) — read the day's model artifact and wrap it.  The ONLY
+    collect in the package, and it collects exactly one row, at the
+    serving boundary where a single JSON document is the product."""
+    import json
+
+    df = spark.read.json(os.path.join(warehouse_dir, "regression_model", day))
+    row = df.collect()[0].asDict()
+    return {
+        "statusCode": 200,
+        "headers": {"Content-Type": "application/json"},
+        "body": json.dumps(row),
+    }
