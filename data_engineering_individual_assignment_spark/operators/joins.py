@@ -38,22 +38,62 @@ def asof_join(
     """Backward as-of join: for each left row, the single right row with
     the greatest ``right_ts`` <= ``left_ts`` within the matching by-key.
 
-    ``left_id`` must uniquely identify left rows (window partition key).
-    ``tie_break``: right column ordered DESC to break equal-``right_ts``
-    ties deterministically.
+    Implementation is the union-merge carry-forward: tag both sides,
+    union them, sort per by-key on (ts, side) with right rows first at
+    equal timestamps, and carry the last non-null right payload forward
+    with last(..., ignoreNulls) over an unbounded-preceding frame.  One
+    shuffle + one sort, ZERO fan-out — per-key cost is O((|L|+|R|) log),
+    independent of how many right rows precede each left row (a naive
+    range-join + row_number pick is O(|L|·|R|) per key).  This is the
+    100 TB-safe exact form; ``asof_join_pandas`` below trades it for
+    arrow-batched merge_asof when pandas-side logic is wanted.
+
+    ``tie_break``: right column whose ascending order decides equal-
+    ``right_ts`` winners (the LAST in (ts, tie_break) order wins —
+    i.e. max tie_break at the max eligible ts).  ``left_id`` is retained
+    for API compatibility and must be non-null per row.  ``how='left'``
+    keeps unmatched left rows with null right columns; ``'inner'``
+    drops them.
     """
-    cond = (F.col(f"l.{left_by}") == F.col(f"r.{right_by}")) & (
-        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+    right_cols = [c for c in right.columns]
+    # carry the whole right row as one struct so last(ignoreNulls) moves
+    # all payload columns together
+    r_tagged = right.select(
+        F.col(right_by).alias("__by"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*right_cols).alias("__r"),
     )
-    joined = left.alias("l").join(right.alias("r"), cond, how)
-    order = [F.col(f"r.{right_ts}").desc_nulls_last()]
+    l_tagged = left.select(
+        F.col(left_by).alias("__by"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        *[F.col(c) for c in left.columns],
+    )
+    unioned = r_tagged.select(
+        "__by", "__ts", "__side", "__r",
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns],
+    ).unionByName(l_tagged)
+
+    # at equal ts: right rows (side 0) sort before left rows (side 1) so
+    # same-timestamp right rows are eligible; among same-ts right rows the
+    # greatest tie_break sorts last and wins the carry
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
     if tie_break:
-        order.append(F.col(f"r.{tie_break}").desc_nulls_last())
-    w = Window.partitionBy(F.col(f"l.{left_id}")).orderBy(*order)
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        order.append(F.col("__r").getField(tie_break).asc_nulls_first())
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    matched = carried.filter(F.col("__side") == 1)
+    if how == "inner":
+        matched = matched.filter(F.col("__last_r").isNotNull())
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__last_r").getField(c).alias(c) for c in right_cols],
     )
 
 

@@ -338,6 +338,36 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+@register(
+    "multimodal_frames",
+    sql="""
+    WITH framed AS (
+        SELECT doc_id, text,
+               least(4, greatest(1, CAST(ceil(length(text) / 128.0) AS INT))) AS n_frames
+        FROM documents),
+    fanned AS (
+        SELECT doc_id, text,
+               CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
+        FROM framed)
+    SELECT doc_id, frame_idx,
+           md5(substr(text, frame_idx * 128 + 1, 128)) AS frame_md5,
+           CAST(least(128, length(text) - frame_idx * 128) AS INT) AS frame_bytes
+    FROM fanned
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="multimodal frame sampling: 1:N mapInPandas fan-out over binary "
+    "payloads (deterministic fake decoder at the codec seam — "
+    "operators/multimodal.py), one row per 128-byte 'frame', md5 "
+    "fingerprint per frame. Oracle replays the same windowing in SQL.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames_fake
+
+    d = _t(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return sample_frames_fake(payload).orderBy("doc_id", "frame_idx")
+
+
 # --------------------------------------------------------------------------
 # As-of join / sessionization / event-time windows
 # --------------------------------------------------------------------------

@@ -49,6 +49,10 @@ def get_spark(app_name: str = "dei-spark", shuffle_partitions: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep the in-memory catalog's managed tables (bucketed warehouse
+        # tables) out of the repo working directory
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_WAREHOUSE_DIR", "/tmp/dei-spark-warehouse"))
     )
     spark = builder.getOrCreate()
     # Runtime-settable confs, in case we were handed a pre-built session

@@ -67,6 +67,25 @@ def write_json_artifact(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").json(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed warehouse table: co-locates rows by hash(bucket_col) at
+    WRITE time so later joins/aggregations on that key need NO shuffle —
+    the canonical 100 TB trick for fact-fact joins that repeat daily
+    (pay the shuffle once at ingest, never per query).  Verified in
+    tests: a bucketed-bucketed equi-join plans zero Exchange operators.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def register_warehouse_view(
     spark: SparkSession, name: str, path: str
 ) -> None:
