@@ -12,8 +12,11 @@
   deterministic sample of the corpus (k-means is a drop-in replacement;
   determinism is required by the test harness).
 
-Vector math is JVM-side higher-order functions (functions/vectors.py) —
-no Python in the hot path.
+Vector math: the O(pairs) scoring steps use the Arrow-vectorized numpy
+cosine (functions/vectors.cosine_pandas — one block computation per
+batch); small cardinalities (centroid probes) keep the pure-expression
+form.  Results are rounded to 6 places before comparison, absorbing the
+~1e-15 fp difference between accumulation orders.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, cosine_pandas
 
 
 def brute_force_topk(
@@ -45,7 +48,7 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine("q_vec", "c_vec"))
+        .withColumn("cos_sim", cosine_pandas("q_vec", "c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -71,7 +74,7 @@ def cosine_near_dup_pairs(
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine("v_a", "v_b"))
+        .withColumn("cos_sim", cosine_pandas("v_a", "v_b"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -137,7 +140,7 @@ def hyperplane_lsh_pairs(
         )
     )
     return (
-        cand.withColumn("cos_sim", cosine("v_a", "v_b"))
+        cand.withColumn("cos_sim", cosine_pandas("v_a", "v_b"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

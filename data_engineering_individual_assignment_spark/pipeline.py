@@ -42,12 +42,16 @@ def daily_run(
     landing: dict[str, str],
     warehouse_dir: str,
     day: str,
+    ga_csv_path: str | None = None,
 ) -> dict[str, DataFrame]:
     """One scheduled run: landing JSONL -> 4 warehouse tables (idempotent
     day overwrite) -> regression artifact.  Returns the table DataFrames.
 
     ``landing`` maps {search, comments, stats, snippets} to paths;
     ``day`` is the reference's 'yyyy_MM_dd' run key (F:36-39).
+    ``ga_csv_path``: when given, the Google-Analytics flat file loads as
+    the 5th warehouse table ``website_statistics`` (active in the
+    reference's v5, commented out in final — V5:577,649-660).
     """
     tables = youtube.normalize_all(
         spark,
@@ -56,6 +60,12 @@ def daily_run(
         landing["stats"],
         landing["snippets"],
     )
+    if ga_csv_path is not None:
+        from .sources.readers import read_ga_csv
+
+        tables["website_statistics"] = read_ga_csv(spark, ga_csv_path).drop(
+            "date_parsed"
+        )
     for name, df in tables.items():
         overwrite_day_partition(df, os.path.join(warehouse_dir, name), day)
         register_warehouse_view(spark, name, os.path.join(warehouse_dir, name))
