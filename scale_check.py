@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Scale-headroom check: replicate the sf0.1 tables 10× (≈ sf1:
+6M lineitem rows, 50k documents) into a temp dir, rerun headline
+queries, and report the scaling exponent per query.
+
+A query that "would survive 100×" should scale ~linearly (exponent ≈ 1)
+or better; a quadratic operator shows exponent ≈ 2 here and gets fixed,
+not shipped.  Usage: python scale_check.py [replication_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+QUERIES = [
+    "pricing_summary",
+    "star_join_revenue",
+    "regression_ols",
+    "rank_orders_per_customer",
+    "asof_join_events_orders",
+    "dedup_exact",
+    "near_dup_pairs",
+    "tumbling_window_counts",
+    "text_stats",
+]
+
+REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")
+COPIED = ("region", "nation", "supplier", "part")
+
+
+def replicate(spark, src: str, dst: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    os.makedirs(dst, exist_ok=True)
+    for name in COPIED:
+        load_table(spark, src, name).write.mode("overwrite").parquet(
+            os.path.join(dst, f"{name}.parquet")
+        )
+    # key-shift each replica so ids stay unique and joins keep their
+    # selectivity instead of becoming factor²-fanout self-intersections
+    shifts = {
+        "lineitem": ("l_orderkey", 10_000_000),
+        "orders": ("o_orderkey", 10_000_000),
+        "customer": ("c_custkey", 1_000_000),
+        "events": ("event_id", 10_000_000),
+        "documents": ("doc_id", 1_000_000),
+        "embeddings": ("vec_id", 1_000_000),
+    }
+    extra = {
+        "orders": ("o_custkey", 1_000_000),
+        "events": ("user_id", 1_000_000),
+    }
+    for name in REPLICATED:
+        df = load_table(spark, src, name)
+        key, stride = shifts[name]
+        parts = []
+        for i in range(factor):
+            part = df.withColumn(key, F.col(key) + F.lit(i * stride))
+            if name in extra:
+                k2, s2 = extra[name]
+                part = part.withColumn(k2, F.col(k2) + F.lit(i * s2))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    from data_engineering_individual_assignment_spark import plans
+
+    timings = {}
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        plans.CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = "/root/testdata/sf0.1"
+    from data_engineering_individual_assignment_spark.session import get_spark
+
+    spark = get_spark("dei-spark-scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    dst = tempfile.mkdtemp(prefix="dei_scale_")
+    try:
+        replicate(spark, src, dst, factor)
+        base = run_suite(spark, src)  # warm
+        base = run_suite(spark, src)
+        big = run_suite(spark, dst)
+        report = {}
+        for q in QUERIES:
+            exponent = math.log(max(big[q], 1e-3) / max(base[q], 1e-3)) / math.log(factor)
+            report[q] = {
+                "sf0.1_sec": base[q],
+                f"x{factor}_sec": big[q],
+                "scaling_exponent": round(exponent, 2),
+            }
+        print(json.dumps(report, indent=2))
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
