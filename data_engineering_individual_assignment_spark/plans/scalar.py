@@ -182,6 +182,84 @@ def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_funcs",
+    sql="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                     AS d,
+           CAST(year(o_orderdate) AS INT)                        AS y,
+           CAST(month(o_orderdate) AS INT)                       AS m,
+           CAST(dayofweek(o_orderdate) AS INT)                   AS dow,
+           CAST(quarter(o_orderdate) AS INT)                     AS q,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')  AS plus3m,
+           CAST(date_diff('day', o_orderdate,
+                TIMESTAMP '2002-01-01 00:00:00') AS BIGINT)      AS days_to_2002
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    doc="date/time function surface (C5/C6 generalization): year/month/"
+    "dayofweek/quarter, date_trunc, add_months, datediff. Spark dayofweek "
+    "is 1-based Sunday, DuckDB 0-based — the Spark side subtracts 1.",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            # Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.date_format(
+                F.add_months("o_orderdate", 3).cast("timestamp"), "yyyy-MM-dd"
+            ).alias("plus3m"),
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+            ).cast("bigint").alias("days_to_2002"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "map_funcs",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="map-typed columns (SURVEY §2.8 'map functions: absent' engine "
+    "surface): props parsed into map<string,string>, accessed via "
+    "element_at/map_keys; the oracle checks the extracted values (DuckDB "
+    "has no map-from-JSON, so it reads the field directly).",
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    parsed = e.select(
+        "event_type",
+        F.element_at(m, "k").cast("bigint").alias("k_val"),
+    )
+    return (
+        parsed.filter(F.col("k_val").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("k_val").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "quality_scores",
     sql=rf"""
     WITH feat AS (

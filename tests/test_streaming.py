@@ -104,3 +104,71 @@ def test_running_totals_stateful(spark, landing):
     b = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
     s = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
     assert b == s
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """§2.9 late-data semantics: with a 1-hour watermark and append mode,
+    events arriving after the watermark passed their window are DROPPED.
+    Three files processed as separate micro-batches (maxFilesPerTrigger=1,
+    mtime order): day-1 events, day-2 events (advance the watermark past
+    day-1's window), then LATE day-1 events — the final day-1 window must
+    count only the first file."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    landing = str(tmp_path / "late_landing")
+    os.makedirs(landing)
+
+    def write_file(name, rows, mtime):
+        # the file source lists leaf FILES: write via a temp dir, then move
+        # the single part file into the landing dir under a stable name
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, "
+                  "value double, props string"
+        )
+        tmp_dir = f"{landing}__{name}_tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        dest = f"{landing}/{name}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp_dir)
+        os.utime(dest, (mtime, mtime))
+
+    import datetime as dt
+
+    d1 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    d2 = dt.datetime(2024, 3, 2, 12, 0, 0)
+    d2b = dt.datetime(2024, 3, 2, 13, 0, 0)
+    late = dt.datetime(2024, 3, 1, 11, 0, 0)  # day-1, arrives after day-2
+    now = _time.time()
+    write_file("f1", [(1, d1, 1, "view", 1.0, "{}"), (2, d1, 2, "view", 1.0, "{}")], now - 400)
+    write_file("f2", [(3, d2, 1, "view", 1.0, "{}")], now - 300)
+    # watermark computed from f2 becomes effective one batch later: f3 is
+    # the flush batch whose eviction emits the finalized day-1 window...
+    write_file("f3", [(5, d2b, 1, "view", 1.0, "{}")], now - 200)
+    # ...so by f4 the day-1 state is gone and the late row must be dropped
+    write_file("f4", [(4, late, 3, "view", 1.0, "{}")], now - 100)
+
+    stream = (
+        spark.readStream.schema(W.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("date").alias("day"), "n")
+    )
+    out = W.run_to_memory(spark, agg, mode="append")
+    rows = {str(r["day"]): r["n"] for r in out.collect()}
+    # day-1 window finalized by the day-2 watermark with ONLY the 2
+    # on-time events; the late event (id=4) must not appear anywhere
+    assert rows.get("2024-03-01") == 2, rows
