@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "pricing_summary",
+    "shipping_priority",
     "star_join_revenue",
     "regression_ols",
     "rank_orders_per_customer",

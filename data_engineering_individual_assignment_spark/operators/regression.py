@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 
 def ols_fit(df: DataFrame, x: str, y: str) -> DataFrame:
-    """1-row DataFrame (b0, b1, n) — closed-form simple OLS."""
-    b1 = F.covar_pop(x, y) / F.var_pop(x)
+    """1-row DataFrame (b0, b1, n) — closed-form simple OLS.
+    try_divide: zero x-variance (constant or single-row input) yields a
+    null slope instead of an ANSI divide-by-zero error."""
+    b1 = F.try_divide(F.covar_pop(x, y), F.var_pop(x))
     return df.agg(
         (F.avg(y) - b1 * F.avg(x)).alias("b0"),
         b1.alias("b1"),
@@ -110,7 +112,7 @@ def exact_random_split(
 def fit_per_group(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
     """Per-group simple OLS (SURVEY U4) as a grouped aggregation: returns
     (group, b0, b1, n).  Groups with zero x-variance yield null b1."""
-    b1 = F.covar_pop(x, y) / F.var_pop(x)
+    b1 = F.try_divide(F.covar_pop(x, y), F.var_pop(x))
     return df.groupBy(group).agg(
         (F.avg(y) - b1 * F.avg(x)).alias("b0"),
         b1.alias("b1"),

@@ -1,0 +1,92 @@
+"""Edge-case robustness: empty inputs, degenerate statistics, single
+rows — operators must not throw or silently mis-shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_dedup_on_empty(spark):
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        exact_dedup,
+        jaccard_join,
+        near_dup_minhash,
+    )
+
+    e = _empty_docs(spark)
+    assert exact_dedup(e, "text", "doc_id").count() == 0
+    assert jaccard_join(e, "text", "doc_id").count() == 0
+    assert near_dup_minhash(e, "text", "doc_id").count() == 0
+
+
+def test_jaccard_short_docs_no_shingles(spark):
+    """Docs with fewer tokens than the shingle width produce no shingles
+    and must simply be absent, not crash."""
+    from data_engineering_individual_assignment_spark.operators.dedup import jaccard_join
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a"), (3, ""), (4, "long enough text here okay")],
+        "doc_id long, text string",
+    )
+    assert jaccard_join(df, "text", "doc_id").count() == 0
+
+
+def test_asof_empty_right_side(spark):
+    from data_engineering_individual_assignment_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7)], "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [], "o_custkey long, o_orderdate timestamp, o_orderkey long"
+    )
+    out = asof_join(
+        left, right, "ts", "o_orderdate", "user_id", "o_custkey", "event_id",
+        tie_break="o_orderkey",
+    ).collect()
+    assert len(out) == 1 and out[0]["o_orderkey"] is None
+    inner = asof_join(
+        left, right, "ts", "o_orderdate", "user_id", "o_custkey", "event_id",
+        tie_break="o_orderkey", how="inner",
+    ).collect()
+    assert inner == []
+
+
+def test_ols_constant_x_yields_null_slope(spark):
+    from data_engineering_individual_assignment_spark.operators.regression import ols_fit
+
+    df = spark.createDataFrame([(5.0, float(i)) for i in range(10)], "x double, y double")
+    row = ols_fit(df, "x", "y").collect()[0]
+    assert row["b1"] is None  # var_pop(x)=0 -> null, not a crash or inf
+
+
+def test_ols_single_row(spark):
+    from data_engineering_individual_assignment_spark.operators.regression import ols_fit
+
+    df = spark.createDataFrame([(2.0, 3.0)], "x double, y double")
+    row = ols_fit(df, "x", "y").collect()[0]
+    assert row["n"] == 1 and row["b1"] is None
+
+
+def test_topk_with_fewer_rows_than_k(spark):
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).collect()
+    assert len(out) == 2  # corpus minus self, fewer than k — no padding
+
+
+def test_salted_join_empty_build(spark):
+    from data_engineering_individual_assignment_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([(1, 10)], "row_id long, k long")
+    build = spark.createDataFrame([], "k long, attr string")
+    assert salted_join(probe, build, "k", probe_salt_col="row_id").count() == 0
