@@ -149,6 +149,20 @@ def incremental_ingest(
     q.awaitTermination()
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys across micro-batches
+    with watermark-bounded state (dropDuplicatesWithinWatermark — state
+    for a key is held only while late duplicates are still admissible,
+    so memory is bounded at any stream length; the batch twin is
+    operators/dedup.exact_dedup).  Re-delivered files / at-least-once
+    upstreams stop producing duplicate rows downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def running_totals_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator (SURVEY §2.9 'stateful ops'):
     per-user running event count + value total maintained across

@@ -172,3 +172,40 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # day-1 window finalized by the day-2 watermark with ONLY the 2
     # on-time events; the late event (id=4) must not appear anywhere
     assert rows.get("2024-03-01") == 2, rows
+
+
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
+    """At-least-once upstream: the same rows delivered in two files must
+    come out once (watermark-bounded dedup state)."""
+    import glob
+    import os
+    import shutil
+
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    landing = str(tmp_path / "dup_landing")
+    os.makedirs(landing)
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 5, 1, 10, i), i % 3, "view", 1.0, "{}") for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    tmp_dir = f"{landing}__tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+    part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+    shutil.copy(part, f"{landing}/a.parquet")
+    shutil.copy(part, f"{landing}/b.parquet")  # redelivery of the same data
+    shutil.rmtree(tmp_dir)
+
+    stream = (
+        spark.readStream.schema(W.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = W.run_to_memory(spark, W.dedup_stream(stream), mode="append")
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [0, 1, 2, 3, 4, 5]
