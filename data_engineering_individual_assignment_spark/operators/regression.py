@@ -120,6 +120,35 @@ def fit_per_group(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
     )
 
 
+def fit_per_group_pandas(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
+    """Per-group OLS via grouped-map applyInPandas (SURVEY U4's named
+    mechanism): each group's pandas frame fits with numpy.polyfit.
+
+    The closed-form ``fit_per_group`` is the preferred production path
+    (pure aggregation, no Python); this variant is the template for
+    models that have NO aggregation closed form (trees, iterative
+    solvers) — per-group pandas with Arrow transfer, one shuffle on the
+    group key.  Agreement between the two is asserted in unit tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{group} string, b0 double, b1 double, n bigint"
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[x].to_numpy(dtype=float)
+        ys = pdf[y].to_numpy(dtype=float)
+        if len(xs) < 2 or np.var(xs) == 0.0:
+            b1, b0 = float("nan"), float("nan")
+        else:
+            b1, b0 = np.polyfit(xs, ys, 1)
+        return pd.DataFrame(
+            {group: [str(pdf[group].iloc[0])], "b0": [b0], "b1": [b1], "n": [len(xs)]}
+        )
+
+    return df.select(group, x, y).groupBy(group).applyInPandas(fit, out_schema)
+
+
 def ml_linear_regression(df: DataFrame, x: str, y: str):
     """pyspark.ml variant (SURVEY U2): returns the fitted model.  Gated
     behind import so environments without MLlib native deps still load

@@ -165,6 +165,35 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_strategy_hints",
+    sql="""
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice), 2)    AS total_price
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s.s_suppkey
+    """,
+    doc="join strategy hints: the same equi-join forced to SHUFFLE_HASH "
+    "(build the small side's hash table per partition — no sort, no "
+    "broadcast). Catalyst obeys hints over its own choice; the plan test "
+    "asserts ShuffledHashJoin appears. Result is strategy-independent.",
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").hint("shuffle_hash")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
     "per_group_ols",
     sql="""
     SELECT l_returnflag,

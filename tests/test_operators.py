@@ -214,3 +214,23 @@ def test_embedding_near_dup_planted(spark):
     # P(all 8 bits agree) ~ 0.97 — with this seed it must be recalled
     assert (0, 1) in approx
     assert approx <= exact  # exact verification: no false positives
+
+
+def test_per_group_pandas_matches_closed_form(spark):
+    """U4 both ways: grouped-map applyInPandas (numpy polyfit) agrees
+    with the closed-form grouped aggregation to 1e-6 relative."""
+    from data_engineering_individual_assignment_spark.operators.regression import (
+        fit_per_group,
+        fit_per_group_pandas,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    a = {r["l_returnflag"]: (r["b0"], r["b1"]) for r in fit_per_group(
+        li, "l_returnflag", "l_quantity", "l_extendedprice").collect()}
+    b = {r["l_returnflag"]: (r["b0"], r["b1"]) for r in fit_per_group_pandas(
+        li, "l_returnflag", "l_quantity", "l_extendedprice").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for va, vb in zip(a[k], b[k]):
+            assert abs(va - vb) <= 1e-6 * max(1.0, abs(va))

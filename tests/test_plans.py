@@ -69,3 +69,8 @@ def test_no_cartesian_products_anywhere(spark):
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
         )
         assert "CartesianProduct" not in plan, f"{name} compiled a CartesianProduct"
+
+
+def test_join_hint_forces_shuffled_hash(spark):
+    plan = _plan(spark, "join_strategy_hints", execute=True)
+    assert "ShuffledHashJoin" in plan
