@@ -189,6 +189,27 @@ def jaccard_join(
     return _verify_jaccard(cand, sh, threshold)
 
 
+def choose_bands(threshold: float, num_hashes: int = 24) -> tuple[int, int]:
+    """Pick (num_bands, rows_per_band) for banded LSH: among the divisor
+    splits of ``num_hashes``, choose the one whose S-curve inflection
+    (1/b)^(1/r) sits closest below the target threshold — highest
+    precision that still recalls at-threshold pairs."""
+    best, best_score = (num_hashes, 1), None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        inflection = (1.0 / b) ** (1.0 / r)
+        # prefer inflection just below the threshold (recall-safe),
+        # penalize being far below (precision loss)
+        score = (threshold - inflection) if inflection <= threshold else 10 * (
+            inflection - threshold
+        )
+        if best_score is None or score < best_score:
+            best, best_score = (b, r), score
+    return best
+
+
 def near_dup_minhash(
     df: DataFrame,
     text_col: str,

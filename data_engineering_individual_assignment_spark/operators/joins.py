@@ -34,9 +34,13 @@ def asof_join(
     left_id: str,
     tie_break: str | None = None,
     how: str = "left",
+    right_cols: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the single right row with
     the greatest ``right_ts`` <= ``left_ts`` within the matching by-key.
+
+    ``right_cols`` prunes the right payload carried through the window
+    (default: every right column) — at scale, carry only what you need.
 
     Implementation is the union-merge carry-forward: tag both sides,
     union them, sort per by-key on (ts, side) with right rows first at
@@ -55,8 +59,12 @@ def asof_join(
     keeps unmatched left rows with null right columns; ``'inner'``
     drops them.
     """
-    right_cols = [c for c in right.columns]
-    # carry the whole right row as one struct so last(ignoreNulls) moves
+    needed = set(right_cols or right.columns) | {right_ts, right_by}
+    if tie_break:
+        needed.add(tie_break)
+    right = right.select(*[c for c in right.columns if c in needed])
+    right_cols = right_cols or right.columns
+    # carry the pruned right row as one struct so last(ignoreNulls) moves
     # all payload columns together
     r_tagged = right.select(
         F.col(right_by).alias("__by"),

@@ -417,6 +417,35 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(big_only).unionByName(either).orderBy("segment")
 
 
+@register(
+    "bag_set_ops",
+    sql="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'O')
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    ORDER BY op
+    """,
+    doc="multiset set ops (§2.7): intersectAll/exceptAll keep duplicate "
+    "multiplicity (bag semantics), unlike the distinct forms in "
+    "set_ops_customers.",
+)
+def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "O").select(F.col("l_suppkey").alias("k"))
+    inter = a.intersectAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    exc = a.exceptAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return inter.unionByName(exc).orderBy("op")
+
+
 # --------------------------------------------------------------------------
 # Distinct / approx-distinct (SURVEY §2.4 extension)
 # --------------------------------------------------------------------------

@@ -234,3 +234,18 @@ def test_per_group_pandas_matches_closed_form(spark):
     for k in a:
         for va, vb in zip(a[k], b[k]):
             assert abs(va - vb) <= 1e-6 * max(1.0, abs(va))
+
+
+def test_choose_bands_theory():
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        choose_bands,
+    )
+
+    # inflection (1/b)^(1/r) must sit at-or-below the threshold (recall-
+    # safe) and b*r must always equal the hash budget
+    for t in (0.5, 0.7, 0.8, 0.9):
+        b, r = choose_bands(t, 24)
+        assert b * r == 24
+        assert (1.0 / b) ** (1.0 / r) <= t + 1e-9
+    # higher thresholds want more rows per band (steeper curve)
+    assert choose_bands(0.9, 24)[1] >= choose_bands(0.5, 24)[1]
