@@ -171,6 +171,32 @@ def assign_cells(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Real IVF training: k-means|| via pyspark.ml, returning centroids
+    in the same (id_col, vec_col) shape the probe path expects (cell ids
+    are the cluster indices).  Seeded => reproducible within Spark; the
+    harness's oracle-independent (rows-only) queries may use it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assembled = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=num_cells, seed=seed, featuresCol="features").fit(assembled)
+    centers = [
+        (i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,14 +205,19 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_kmeans: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest cells per
-    query.  Centroids = the ``num_cells`` lowest-id corpus vectors
-    (deterministic stand-in for a k-means fit).
+    query.  Centroids = the ``num_cells`` lowest-id corpus vectors (a
+    deterministic stand-in) or a seeded k-means|| fit
+    (``use_kmeans=True`` — better cells, engine-specific determinism).
 
     Recall < 1 by design; pair with ``brute_force_topk`` to measure it.
     """
-    centroids = corpus.orderBy(id_col).limit(num_cells)
+    if use_kmeans:
+        centroids = kmeans_centroids(corpus, num_cells, id_col, vec_col)
+    else:
+        centroids = corpus.orderBy(id_col).limit(num_cells)
     cells = assign_cells(corpus, centroids, id_col, vec_col)
 
     cents = centroids.select(

@@ -75,6 +75,19 @@ def read_semicolon_csv(
     )
 
 
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal ingest (SURVEY §2.11): the binaryFile source reads
+    opaque assets (images/audio/video) as (path, modificationTime,
+    length, content:binary) — payloads stay columnar end-to-end, feeding
+    the mapInPandas decoders in operators/multimodal.py.  At 100 TB set
+    spark.sql.files.maxPartitionBytes so a partition holds a sensible
+    number of assets."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 GA_SCHEMA = T.StructType(
     [
         T.StructField("date", T.StringType()),

@@ -104,3 +104,33 @@ def test_model_http_response(spark, tmp_path):
     assert resp["statusCode"] == 200
     body = json.loads(resp["body"])
     assert "b1" in body and "rmse" in body
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile ingest -> mapInPandas frame sampler, end to end on real
+    files on disk."""
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        sample_frames_fake,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        read_binary_files,
+    )
+    import hashlib
+
+    payloads = {i: bytes([i]) * (100 + 150 * i) for i in range(3)}
+    for i, data in payloads.items():
+        (tmp_path / f"asset_{i}.bin").write_bytes(data)
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    with_ids = df.selectExpr(
+        "CAST(regexp_extract(path, 'asset_(\\\\d+)', 1) AS BIGINT) AS doc_id",
+        "content AS payload",
+    )
+    frames = sample_frames_fake(with_ids).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1          # 100 bytes -> 1 frame
+    assert len(by_doc[2]) == 4          # 400 bytes -> ceil(400/128) = 4 frames
+    expected = hashlib.md5(payloads[1][:128]).hexdigest()
+    assert [r for r in by_doc[1] if r["frame_idx"] == 0][0]["frame_md5"] == expected

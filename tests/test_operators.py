@@ -249,3 +249,21 @@ def test_choose_bands_theory():
         assert (1.0 / b) ** (1.0 / r) <= t + 1e-9
     # higher thresholds want more rows per band (steeper curve)
     assert choose_bands(0.9, 24)[1] >= choose_bands(0.5, 24)[1]
+
+
+def test_ivf_kmeans_recall_at_least_default(spark):
+    """KMeans cells should not be worse than the lowest-id-centroid stub."""
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             brute_force_topk(emb, q, k=5).collect()}
+    km = {(r["query_id"], r["neighbor_id"]) for r in
+          ivf_topk(emb, q, num_cells=8, nprobe=2, k=5, use_kmeans=True).collect()}
+    recall = len(exact & km) / len(exact)
+    assert recall >= 0.4, f"kmeans IVF recall collapsed: {recall}"
