@@ -264,6 +264,57 @@ def near_dup_minhash(
     return _verify_jaccard(cand, sh, threshold)
 
 
+def _md5_hash60(col: Column, salt: str | None = None) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5, parsed as int.
+    Identical in any engine with md5 (DuckDB: CAST('0x'||substr(md5(x),
+    1,15) AS BIGINT)) — used by the *_portable operators so MinHash and
+    SimHash values themselves are oracle-checkable, unlike xxhash64."""
+    src = col if salt is None else F.concat(F.lit(f"{salt}|"), col)
+    return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
+
+
+def minhash_portable(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, k: int = 3
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}) MinHash signature with md5-derived hash
+    functions — bit-identical across engines, so the signature itself is
+    differential-testable.  The xxhash64 variant (minhash_signatures) is
+    the faster production path."""
+    rows = doc_shingles(df, text_col, id_col, k).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    hashed = rows.select(
+        "doc_id",
+        *[_md5_hash60(F.col("sh"), str(i)).alias(f"mh{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def simhash_portable(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) with md5-derived token hashes and ``bits``-bit
+    signatures — engine-portable for oracle checking (the 64-bit
+    xxhash64 variant below is the production path)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", _md5_hash60(F.col("tok")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

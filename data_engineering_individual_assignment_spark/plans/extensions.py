@@ -97,6 +97,79 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_MH_TERMS = ",\n           ".join(
+    f"CAST(list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i}|' || s), 1, 15) AS BIGINT))) AS BIGINT) AS mh{i}"
+    for i in range(4)
+)
+
+@register(
+    "minhash_portable_sigs",
+    sql=rf"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3)
+    SELECT doc_id,
+           {_MH_TERMS}
+    FROM sh
+    ORDER BY doc_id
+    """,
+    doc="oracle-checkable MinHash: 4 signature slots whose hash functions "
+    "derive from md5 (portable across engines), so the minhash VALUES "
+    "themselves are differential-tested — the xxhash64 production "
+    "variant is checked against this construction by unit tests.",
+)
+def minhash_portable_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_portable(d, "text", "doc_id", num_hashes=4, k=3).orderBy(
+        "doc_id"
+    )
+
+
+_SIM_BITS = 16
+_BIT_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SIM_BITS)
+)
+_BIT_RECOMBINE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+    for b in range(_SIM_BITS)
+)
+
+@register(
+    "simhash_portable_check",
+    sql=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM tok),
+    bits AS (
+        SELECT doc_id,
+           {_BIT_SUMS}
+        FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({_BIT_RECOMBINE} AS BIGINT) AS simhash
+    FROM bits
+    ORDER BY doc_id
+    """,
+    doc="oracle-checkable SimHash: 16-bit signatures from md5-derived "
+    "token hashes, bit-identical across engines — pins the sign-"
+    "aggregate + bit-recombination construction the 64-bit xxhash64 "
+    "production variant uses.",
+)
+def simhash_portable_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_portable(d, "text", "doc_id", bits=_SIM_BITS).orderBy("doc_id")
+
+
 @register(
     "simhash_clusters",
     sql=None,  # xxhash64 is Spark-specific: rows-only check by contract
