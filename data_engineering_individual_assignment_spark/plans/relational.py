@@ -418,6 +418,71 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "collect_sorted_lists",
+    sql="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           list(c_custkey ORDER BY c_custkey) AS custkeys
+    FROM customer
+    WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="array aggregation (collect_list/array_agg): per-nation sorted "
+    "key lists — sort inside the array makes the nondeterministic "
+    "collection order canonical for comparison.",
+)
+def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") < 200)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "first_last_order_dates",
+    sql="""
+    SELECT DISTINCT o_custkey,
+           strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order,
+           strftime(last_value(o_orderdate)  OVER w, '%Y-%m-%d') AS last_order,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+    doc="first_value/last_value analytic windows with an explicit "
+    "unbounded frame (last_value defaults to current-row frames — the "
+    "classic trap) — per-customer order-history bounds.",
+)
+def first_last_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.date_format(F.first("o_orderdate").over(w), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.last("o_orderdate").over(w), "yyyy-MM-dd").alias("last_order"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@register(
     "bag_set_ops",
     sql="""
     WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
