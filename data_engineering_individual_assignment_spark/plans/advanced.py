@@ -151,13 +151,17 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "API entry point (SURVEY §3.2).",
 )
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    import re
+
+    # per-sf_dir view name: no collision if several sf dirs share a session
+    view = "lineitem_gs_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
                round(sum(l_extendedprice), 2) AS total_price
-        FROM lineitem_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
         """

@@ -149,6 +149,44 @@ def incremental_ingest(
     q.awaitTermination()
 
 
+def purchase_attribution_stream(
+    events: DataFrame, events2: DataFrame, window_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the same
+    user's clicks in the preceding ``window_minutes``.  Both sides carry
+    watermarks so the join state is bounded — Spark retains only rows
+    that can still find a partner inside the interval.  The batch twin
+    is the identical join condition on static frames (asserted in
+    tests)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "amount"
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:

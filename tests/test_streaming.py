@@ -209,3 +209,35 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     out = W.run_to_memory(spark, W.dedup_stream(stream), mode="append")
     got = sorted(r["event_id"] for r in out.collect())
     assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, landing):
+    """Stream-stream interval join (purchase<-click attribution within
+    1 hour) produces the same pairs as the identical batch join."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    s1 = W.stream_events(spark, landing)
+    s2 = W.stream_events(spark, landing)
+    joined = W.purchase_attribution_stream(s1, s2, window_minutes=60)
+    stream_out = W.run_to_memory(spark, joined, mode="append")
+
+    e = spark.read.parquet(landing)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 60 MINUTES")),
+    ).select("purchase_id", "click_id")
+
+    s_pairs = {(r["purchase_id"], r["click_id"]) for r in stream_out.collect()}
+    b_pairs = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert s_pairs == b_pairs
+    assert len(s_pairs) > 0  # the fixture data must actually exercise it
