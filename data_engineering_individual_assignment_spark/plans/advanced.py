@@ -169,6 +169,84 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_frame_window",
+    sql="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', DATE '1995-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+        FROM orders)
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS orders_in_30d
+    FROM seq
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="RANGE-framed window (value-based frame, vs the ROWS frames "
+    "elsewhere): per customer, how many orders landed in the trailing "
+    "30-day value window of each order — missing days widen the frame "
+    "correctly, which a ROWS frame would get wrong.",
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("day_no"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return (
+        seq.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count("*").over(w).alias("orders_in_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "correlated_subqueries_sql",
+    sql="""
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    ORDER BY o.o_orderkey
+    """,
+    doc="SQL-surface correlated subqueries: a correlated scalar subquery "
+    "(above the customer's own average) and a correlated EXISTS, both "
+    "decorrelated by Catalyst into aggregate+join / semi-join — no "
+    "per-row re-execution.",
+)
+def correlated_subqueries_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    view_o = "orders_cs_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    view_l = "lineitem_cs_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view_o)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view_l)
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total_price
+        FROM {view_o} o
+        WHERE o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM {view_o} o2
+                                WHERE o2.o_custkey = o.o_custkey)
+          AND EXISTS (SELECT 1 FROM {view_l} l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+@register(
     "join_strategy_hints",
     sql="""
     SELECT s.s_suppkey, s.s_name,
