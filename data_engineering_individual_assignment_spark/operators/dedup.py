@@ -102,16 +102,26 @@ def hashed_shingle_arrays(shingle_rows: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 24, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 24,
+    k: int = 3,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature columns.
 
     Built from the hashed shingle rows: per hash function i,
     min(xxhash64(i, shingle_h)).  All codegen (no higher-order
     functions, no string concat), one partial+final aggregation.
-    Deterministic across runs and partitionings.
+    Deterministic across runs and partitionings.  Pass ``shingle_rows``
+    to reuse an already-built (doc_id, shingle_h) relation.
     """
-    rows = hashed_shingle_rows(df, text_col, id_col, k)
+    rows = (
+        shingle_rows
+        if shingle_rows is not None
+        else hashed_shingle_rows(df, text_col, id_col, k)
+    )
     hashed = rows.select(
         "doc_id",
         *[F.xxhash64(F.lit(i), "shingle_h").alias(f"h{i}") for i in range(num_hashes)],
@@ -229,7 +239,12 @@ def near_dup_minhash(
     skew/false-candidate knob on a low-entropy corpus.  ``jaccard_join``
     is the exact variant.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_bands * rows_per_band, k)
+    # build the shingle relation ONCE; signatures and the verification
+    # arrays both derive from it (persist: it feeds two subtrees)
+    shingle_rows = hashed_shingle_rows(df, text_col, id_col, k).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_bands * rows_per_band, k, shingle_rows=shingle_rows
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -260,7 +275,7 @@ def near_dup_minhash(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = hashed_shingle_arrays(hashed_shingle_rows(df, text_col, id_col, k))
+    sh = hashed_shingle_arrays(shingle_rows)
     return _verify_jaccard(cand, sh, threshold)
 
 

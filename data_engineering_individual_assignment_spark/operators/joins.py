@@ -63,14 +63,15 @@ def asof_join(
     if tie_break:
         needed.add(tie_break)
     right = right.select(*[c for c in right.columns if c in needed])
-    right_cols = right_cols or right.columns
+    out_right_cols = right_cols or right.columns
     # carry the pruned right row as one struct so last(ignoreNulls) moves
-    # all payload columns together
+    # all payload columns together; the struct must include tie_break even
+    # when the caller's right_cols excludes it (the window orders by it)
     r_tagged = right.select(
         F.col(right_by).alias("__by"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*right_cols).alias("__r"),
+        F.struct(*right.columns).alias("__r"),
     )
     l_tagged = left.select(
         F.col(left_by).alias("__by"),
@@ -101,7 +102,7 @@ def asof_join(
         matched = matched.filter(F.col("__last_r").isNotNull())
     return matched.select(
         *[F.col(c) for c in left.columns],
-        *[F.col("__last_r").getField(c).alias(c) for c in right_cols],
+        *[F.col("__last_r").getField(c).alias(c) for c in out_right_cols],
     )
 
 
@@ -133,11 +134,21 @@ def asof_join_pandas(
     def merge_groups(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=out_cols)
-        lpdf = lpdf.sort_values(left_ts)
+        # merge_asof raises on null keys: null-ts left rows can never
+        # match (set-aside, re-appended with null payload); null-ts right
+        # rows can never be picked (dropped)
+        null_left = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()].sort_values(left_ts)
+        rpdf = rpdf[rpdf[right_ts].notna()]
+        if not null_left.empty:
+            for c in right_cols:
+                null_left = null_left.assign(**{c: None})
+        if lpdf.empty:
+            return null_left[out_cols]
         if rpdf.empty:
             for c in right_cols:
                 lpdf[c] = None
-            return lpdf[out_cols]
+            return pd.concat([lpdf, null_left])[out_cols] if not null_left.empty else lpdf[out_cols]
         rpdf = rpdf.sort_values(right_ts)
         merged = pd.merge_asof(
             lpdf,
@@ -146,6 +157,8 @@ def asof_join_pandas(
             right_on=right_ts,
             direction="backward",
         )
+        if not null_left.empty:
+            merged = pd.concat([merged[out_cols], null_left[out_cols]])
         return merged[out_cols]
 
     return (

@@ -44,12 +44,19 @@ def sample_frames_fake(
     id_col: str = "doc_id",
     frame_size: int = 128,
     max_frames: int = 4,
+    unit: str = "bytes",
 ) -> DataFrame:
     """'Video' frame sampling with a deterministic fake decoder: emit one
-    row per frame_size-byte window (capped at max_frames), fingerprinted
+    row per frame_size-sized window (capped at max_frames), fingerprinted
     with md5.  Demonstrates the 1:N mapInPandas fan-out a real
     frame-sampler uses; swap the md5 for a codec call at the
-    ``decode_image`` seam."""
+    ``decode_image`` seam.
+
+    ``unit='bytes'`` windows raw bytes (the real multimodal case);
+    ``unit='chars'`` decodes the payload as UTF-8 and windows CHARACTERS
+    (md5 of each slice's UTF-8 bytes) — the mode whose arithmetic a
+    SQL oracle can replicate (md5/substr over VARCHAR), since engines'
+    blob functions diverge on non-ASCII."""
     import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -57,24 +64,27 @@ def sample_frames_fake(
             ids, idxs, digests, sizes = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload)
+                if unit == "chars":
+                    data = data.decode("utf-8")
                 n_frames = min(max_frames, max(1, -(-len(data) // frame_size)))
                 for i in range(n_frames):
                     chunk = data[i * frame_size : (i + 1) * frame_size]
+                    raw = chunk.encode("utf-8") if unit == "chars" else chunk
                     ids.append(doc_id)
                     idxs.append(i)
-                    digests.append(hashlib.md5(chunk).hexdigest())
+                    digests.append(hashlib.md5(raw).hexdigest())
                     sizes.append(len(chunk))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame_md5": digests,
-                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_len": pd.Series(sizes, dtype="int32"),
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        gen, schema="doc_id bigint, frame_idx int, frame_md5 string, frame_bytes int"
+        gen, schema="doc_id bigint, frame_idx int, frame_md5 string, frame_len int"
     )
 
 

@@ -37,10 +37,16 @@ def salted_join(
     spreads only across *distinct* non-key attributes, so prefer an id).
     Output columns = probe ∪ build (minus the duplicate key).
     """
-    salt_src = probe_salt_col or key
-    p = probe.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(salt_factor)).cast("int")
-    )
+    if probe_salt_col is not None:
+        # deterministic: reruns place each row in the same salt bucket
+        salt = F.pmod(F.xxhash64(F.col(probe_salt_col)), F.lit(salt_factor))
+    else:
+        # no unique column given: spread by row position.  Salting the
+        # KEY would put every row of the hot key in ONE bucket (a no-op);
+        # position-based salt still spreads them — join RESULTS are
+        # salt-independent, only the task placement varies across reruns.
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_factor))
+    p = probe.withColumn("__salt", salt.cast("int"))
     b = build.join(
         F.broadcast(
             build.sparkSession.range(salt_factor).select(

@@ -35,11 +35,11 @@ _STOPS = "', '".join(TX.EN_STOPWORDS)
                len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
                (least(length(text) / 500.0, 1.0)
                 + (1.0 - least(4.0 * (length(text) - length(regexp_replace(text,
-                      '[^\w\s]', '', 'g'))) / length(text), 1.0))
+                      '[^\w\s]', '', 'g'))) / greatest(length(text), 1), 1.0))
                 + least(5.0 * CAST(len(list_filter(
                       regexp_split_to_array(trim(lower(text)), '\s+'),
                       t -> list_contains(['{_STOPS}'], t))) AS DOUBLE)
-                    / len(regexp_split_to_array(trim(lower(text)), '\s+')), 1.0)
+                    / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 1.0)
                ) / 3 AS quality
         FROM survivors)
     SELECT lang,

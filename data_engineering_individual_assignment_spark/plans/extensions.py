@@ -424,21 +424,23 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM framed)
     SELECT doc_id, frame_idx,
            md5(substr(text, frame_idx * 128 + 1, 128)) AS frame_md5,
-           CAST(least(128, length(text) - frame_idx * 128) AS INT) AS frame_bytes
+           CAST(least(128, length(text) - frame_idx * 128) AS INT) AS frame_len
     FROM fanned
     ORDER BY doc_id, frame_idx
     """,
-    doc="multimodal frame sampling: 1:N mapInPandas fan-out over binary "
-    "payloads (deterministic fake decoder at the codec seam — "
-    "operators/multimodal.py), one row per 128-byte 'frame', md5 "
-    "fingerprint per frame. Oracle replays the same windowing in SQL.",
+    doc="multimodal frame sampling: 1:N mapInPandas fan-out over payloads "
+    "(deterministic fake decoder at the codec seam — operators/"
+    "multimodal.py), one row per 128-char 'frame', md5 per frame. "
+    "Character framing here so the SQL oracle's substr/md5 replicate the "
+    "arithmetic exactly even for non-ASCII; byte framing (the real "
+    "binary mode) is exercised in the binaryFile source test.",
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import sample_frames_fake
 
     d = _t(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return sample_frames_fake(payload).orderBy("doc_id", "frame_idx")
+    return sample_frames_fake(payload, unit="chars").orderBy("doc_id", "frame_idx")
 
 
 # --------------------------------------------------------------------------

@@ -266,11 +266,11 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                least(length(text) / 500.0, 1.0) AS length_term,
                1.0 - least(4.0 * (length(text) - length(regexp_replace(text,
-                     '[^\w\s]', '', 'g'))) / length(text), 1.0) AS punct_term,
+                     '[^\w\s]', '', 'g'))) / greatest(length(text), 1), 1.0) AS punct_term,
                least(5.0 * CAST(len(list_filter(
                      regexp_split_to_array(trim(lower(text)), '\s+'),
                      t -> list_contains(['{_STOPS}'], t))) AS DOUBLE)
-                   / len(regexp_split_to_array(trim(lower(text)), '\s+')), 1.0)
+                   / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 1.0)
                    AS stop_term
         FROM documents)
     SELECT doc_id, round((length_term + punct_term + stop_term) / 3, 6) AS quality

@@ -15,8 +15,9 @@ import os
 # Strings chosen to exercise C1 (';'), C2 (non-ASCII/emoji), C3 (control
 # chars AND literal backslash sequences, two-pass semantics).
 NASTY_TITLE = "Top; 10 café tricks \U0001f600\tnew\\tline"
-#  C1: ';'->','  C2: é and emoji dropped  C3: \t removed, literal '\t' removed
-NASTY_TITLE_CLEAN = "Top, 10 caf tricksnewline"
+#  C1: ';'->','  C2: é and emoji dropped (spaces stay)  C3: real \t and
+#  literal '\t' removed
+NASTY_TITLE_CLEAN = "Top, 10 caf tricks newline"
 
 NASTY_COMMENT = "love\nthis; video ❤️\\n really"
 NASTY_COMMENT_CLEAN = "lovethis, video  really"

@@ -128,16 +128,20 @@ def incremental_ingest(
 ) -> None:
     """The reference's daily load (S8-S10) as an exactly-once incremental
     pipeline: file-source stream -> foreachBatch -> date-partitioned
-    parquet.  Re-running never duplicates (checkpoint tracks files; the
-    reference's per-row INSERT + retry could double-load, F:601-656)."""
+    parquet.  Re-running never duplicates: the checkpoint tracks which
+    files each epoch consumed, and each epoch OVERWRITES its own
+    ``epoch_id=N`` directory — foreachBatch is at-least-once, so a
+    retried epoch must land idempotently (a plain append here would
+    re-create the reference's duplicate-on-retry hazard, F:601-656).
+    Readers see (epoch_id, ingest_date) as partition columns."""
     events = stream_events(spark, landing_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         (
             batch_df.withColumn("ingest_date", F.col("ts").cast("date"))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("ingest_date")
-            .parquet(warehouse_dir)
+            .parquet(f"{warehouse_dir}/epoch_id={epoch_id}")
         )
 
     q = (

@@ -90,3 +90,46 @@ def test_salted_join_empty_build(spark):
     probe = spark.createDataFrame([(1, 10)], "row_id long, k long")
     build = spark.createDataFrame([], "k long, attr string")
     assert salted_join(probe, build, "k", probe_salt_col="row_id").count() == 0
+
+
+def test_asof_pandas_tolerates_null_timestamps(spark):
+    """Regression: merge_asof raises on null keys — null-ts left rows must
+    come through with null payload, null-ts right rows must be ignored."""
+    from data_engineering_individual_assignment_spark.operators.joins import (
+        asof_join_pandas,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 7), (2, None, 7)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 100), (7, None, 999)],
+        "o_custkey long, order_ts string, o_orderkey long",
+    ).withColumn("order_ts", F.col("order_ts").cast("timestamp"))
+    out = {r["event_id"]: r["o_orderkey"] for r in asof_join_pandas(
+        left, right, "ts", "order_ts", "user_id", "o_custkey", ["o_orderkey"]
+    ).collect()}
+    assert out[1] == 100   # matched; the null-ts right row was ignored
+    assert out[2] is None  # null-ts left row survives with null payload
+
+
+def test_asof_tie_break_excluded_from_right_cols(spark):
+    """Regression: tie_break must work even when right_cols doesn't
+    include it (it's carried in the struct, pruned from the output)."""
+    from data_engineering_individual_assignment_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", 7)], "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 1, 10.0), (7, "2024-01-01 00:00:00", 2, 20.0)],
+        "o_custkey long, o_orderdate string, o_orderkey long, o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = asof_join(
+        left, right, "ts", "o_orderdate", "user_id", "o_custkey", "event_id",
+        tie_break="o_orderkey", right_cols=["o_totalprice"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["o_totalprice"] == 20.0   # max tie_break won
+    assert "o_orderkey" not in out[0].asDict()  # pruned from output

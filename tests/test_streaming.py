@@ -73,8 +73,13 @@ def test_incremental_ingest_exactly_once(spark, landing, tmp_path):
     W.incremental_ingest(spark, landing, wh, ck)
     n2 = spark.read.parquet(wh).count()
     assert n2 == expected
-    # partition layout: ingest_date=... directories exist
-    assert any(p.startswith("ingest_date=") for p in os.listdir(wh))
+    # partition layout: epoch_id=N/ingest_date=D directories (epoch-keyed
+    # overwrite is what makes a retried foreachBatch epoch idempotent)
+    epochs = [p for p in os.listdir(wh) if p.startswith("epoch_id=")]
+    assert epochs
+    assert any(
+        q.startswith("ingest_date=") for q in os.listdir(os.path.join(wh, epochs[0]))
+    )
 
 
 def test_running_totals_stateful(spark, landing):

@@ -26,7 +26,7 @@ def test_video_descriptions(tables):
     )
     assert rows == sorted(
         [
-            ("2021/03/05", "vidA", "Top, 10 caf tricks newline",
+            ("2021/03/05", "vidA", fixtures.NASTY_TITLE_CLEAN,
              "full description, of A  end"),
             ("2021/03/06", "vidB", "plain title B", "full B"),
             ("2021/04/01", "vidC", "title C", "full C"),
@@ -38,7 +38,7 @@ def test_video_comments(tables):
     rows = sorted(tuple(r) for r in tables["video_comments"].collect())
     assert rows == sorted(
         [
-            ("2021/03/05", "vidA", "lovethis, video  really", "Ali,ce ", 3, 0),
+            ("2021/03/05", "vidA", fixtures.NASTY_COMMENT_CLEAN, "Ali,ce ", 3, 0),
             ("2021/03/05", "vidA", "reply one", "Bob", 0, 1),
             ("2021/03/05", "vidA", "replytwo", "Cara", 1, 1),
             ("2021/03/06", "vidB", "no replies here", "Dee", 7, 0),
