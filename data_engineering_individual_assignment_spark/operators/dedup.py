@@ -225,20 +225,25 @@ def near_dup_minhash(
     text_col: str,
     id_col: str,
     threshold: float = 0.7,
-    num_bands: int = 6,
-    rows_per_band: int = 4,
+    num_bands: int | None = None,
+    rows_per_band: int | None = None,
     k: int = 3,
+    num_hashes: int = 24,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs via banded MinHash-LSH
     (shingle -> minhash signature -> band hash -> bucket equi-join),
     then exact Jaccard verification of candidates only.
 
     Candidate recall at similarity j is 1-(1-j^r)^b (r=rows_per_band,
-    b=num_bands): with b=6, r=4 that's 0.96 at j=0.8 and 0.9996 at
-    j=0.9, while unrelated pairs (j~0.1) collide with p~6e-4 — r is the
-    skew/false-candidate knob on a low-entropy corpus.  ``jaccard_join``
-    is the exact variant.
+    b=num_bands); when not given, (b, r) come from ``choose_bands`` so
+    the S-curve inflection tracks the threshold.  At the default
+    threshold 0.7 with 24 hashes that's b=6, r=4: recall 0.96 at j=0.8,
+    0.9996 at j=0.9, while unrelated pairs (j~0.1) collide with p~6e-4 —
+    r is the skew/false-candidate knob on a low-entropy corpus.
+    ``jaccard_join`` is the exact variant.
     """
+    if num_bands is None or rows_per_band is None:
+        num_bands, rows_per_band = choose_bands(threshold, num_hashes)
     # build the shingle relation ONCE; signatures and the verification
     # arrays both derive from it (persist: it feeds two subtrees)
     shingle_rows = hashed_shingle_rows(df, text_col, id_col, k).persist()
