@@ -51,12 +51,19 @@ def main() -> None:
         # Catalyst prune the projections we're trying to measure)
         df.write.format("noop").mode("overwrite").save()
 
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        release_intermediates,
+    )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = plans.CATALOG[name]
         t0 = time.perf_counter()
         run(q.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # free any persisted dedup intermediates so one query's cache
+        # doesn't squeeze the next query's shuffle memory
+        release_intermediates()
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -21,6 +21,31 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
 
+# Persisted intermediates (the shingle relation feeds both the candidate
+# and the verification subtree, so it must stay cached until the caller
+# materializes the returned plan).  Each persist is recorded here so
+# harnesses that run many queries on one long-lived SparkSession can
+# release the blocks between queries instead of waiting for LRU eviction.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
+def release_intermediates() -> int:
+    """Unpersist every intermediate cached by jaccard_join /
+    near_dup_minhash since the last call.  Call AFTER materializing the
+    returned DataFrame (unpersisting earlier would recompute the shingle
+    relation once per subtree).  Returns the number released."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -169,7 +194,7 @@ def jaccard_join(
     to 6 places.
     """
     rows = hashed_shingle_rows(df, text_col, id_col, k)
-    sh = hashed_shingle_arrays(rows).persist()
+    sh = _persist(hashed_shingle_arrays(rows))
     tok = sh.select(
         "doc_id", "sz", F.explode("shingles").alias("shingle_h")
     )
@@ -246,7 +271,7 @@ def near_dup_minhash(
         num_bands, rows_per_band = choose_bands(threshold, num_hashes)
     # build the shingle relation ONCE; signatures and the verification
     # arrays both derive from it (persist: it feeds two subtrees)
-    shingle_rows = hashed_shingle_rows(df, text_col, id_col, k).persist()
+    shingle_rows = _persist(hashed_shingle_rows(df, text_col, id_col, k))
     sigs = minhash_signatures(
         df, text_col, id_col, num_bands * rows_per_band, k, shingle_rows=shingle_rows
     )

@@ -62,7 +62,12 @@ def asof_join(
     needed = set(right_cols or right.columns) | {right_ts, right_by}
     if tie_break:
         needed.add(tie_break)
-    right = right.select(*[c for c in right.columns if c in needed])
+    # a null right_ts can never satisfy right_ts <= left_ts, so those rows
+    # must not enter the carry-forward (nulls-first ordering would otherwise
+    # make them eligible for every left row); mirrors asof_join_pandas
+    right = right.filter(F.col(right_ts).isNotNull()).select(
+        *[c for c in right.columns if c in needed]
+    )
     out_right_cols = right_cols or right.columns
     # carry the pruned right row as one struct so last(ignoreNulls) moves
     # all payload columns together; the struct must include tie_break even

@@ -36,7 +36,17 @@ def salted_join(
     deterministic reruns; falling back to rand-free xxhash64 of the key
     spreads only across *distinct* non-key attributes, so prefer an id).
     Output columns = probe ∪ build (minus the duplicate key).
+
+    Only ``inner``, ``left`` and ``left_semi`` are supported: the build
+    side is replicated ``salt_factor`` times, so a right/full join would
+    emit each unmatched build row once per salt copy.
     """
+    if how not in {"inner", "left", "left_outer", "left_semi", "leftsemi"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "the replicated build side would duplicate unmatched build "
+            "rows under right/full semantics"
+        )
     if probe_salt_col is not None:
         # deterministic: reruns place each row in the same salt bucket
         salt = F.pmod(F.xxhash64(F.col(probe_salt_col)), F.lit(salt_factor))

@@ -86,7 +86,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH tagged AS (
         SELECT lang,
-               CASE WHEN (doc_id * 2654435761) % 100 < 20 THEN 1 ELSE 0 END AS sampled
+               CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 20
+                    THEN 1 ELSE 0 END AS sampled
         FROM documents)
     SELECT lang,
            CAST(count(*) AS BIGINT)     AS n_total,
@@ -98,11 +99,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="deterministic stratified sampling (training-data subsetting): "
     "a multiplicative-hash bucket on the id keeps ~20% per stratum, "
     "reproducible across engines and reruns — no rand(), no "
-    "sampleBy-seed engine coupling.",
+    "sampleBy-seed engine coupling.  The id is reduced mod a prime "
+    "BEFORE the multiply so the product stays inside int64 in every "
+    "engine (Spark non-ANSI would silently wrap for ids above ~3.5e9 "
+    "while wider-integer engines would not — a divergence and a skew).",
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sampled = ((F.col("doc_id") * 2654435761) % 100 < 20).cast("int")
+    sampled = (((F.col("doc_id") % 1000003) * 2654435761) % 100 < 20).cast("int")
     return (
         d.select("lang", sampled.alias("sampled"))
         .groupBy("lang")

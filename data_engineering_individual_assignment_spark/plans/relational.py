@@ -422,7 +422,7 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT c_nationkey,
            CAST(count(*) AS BIGINT) AS n,
-           list(c_custkey ORDER BY c_custkey) AS custkeys
+           array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS custkeys
     FROM customer
     WHERE c_custkey < 200
     GROUP BY c_nationkey
@@ -430,7 +430,9 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="array aggregation (collect_list/array_agg): per-nation sorted "
     "key lists — sort inside the array makes the nondeterministic "
-    "collection order canonical for comparison.",
+    "collection order canonical, and the array is serialized to a "
+    "comma string so differential harnesses can hash/sort it "
+    "(raw list columns are unhashable in pandas canonicalizers).",
 )
 def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -439,7 +441,9 @@ def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n"),
-            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(
+                F.array_sort(F.collect_list("c_custkey")), ","
+            ).alias("custkeys"),
         )
         .orderBy("c_nationkey")
     )

@@ -78,6 +78,9 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        release_intermediates,
+    )
 
     timings = {}
     for name in QUERIES:
@@ -86,6 +89,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_intermediates()
     return timings
 
 

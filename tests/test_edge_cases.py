@@ -92,6 +92,18 @@ def test_salted_join_empty_build(spark):
     assert salted_join(probe, build, "k", probe_salt_col="row_id").count() == 0
 
 
+def test_salted_join_rejects_outer_build_modes(spark):
+    """right/full would emit each unmatched build row salt_factor times."""
+    import pytest
+    from data_engineering_individual_assignment_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([(1, 10)], "row_id long, k long")
+    build = spark.createDataFrame([(10, "a")], "k long, attr string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(probe, build, "k", probe_salt_col="row_id", how=how)
+
+
 def test_asof_pandas_tolerates_null_timestamps(spark):
     """Regression: merge_asof raises on null keys — null-ts left rows must
     come through with null payload, null-ts right rows must be ignored."""
@@ -112,6 +124,37 @@ def test_asof_pandas_tolerates_null_timestamps(spark):
     ).collect()}
     assert out[1] == 100   # matched; the null-ts right row was ignored
     assert out[2] is None  # null-ts left row survives with null payload
+
+
+def test_asof_declarative_tolerates_null_timestamps(spark):
+    """Regression: with nulls-first ordering a null-ts right row sorted
+    before everything and its payload was carried into null-ts left rows
+    and left rows earlier than every real right row.  Null-ts right rows
+    must be ignored; null-ts left rows survive with null payload."""
+    from data_engineering_individual_assignment_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", 7),   # after the real right row
+            (2, None, 7),                     # null-ts left
+            (3, "2023-12-01 00:00:00", 7),   # before every real right row
+        ],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", 100), (7, None, 999)],
+        "o_custkey long, order_ts string, o_orderkey long",
+    ).withColumn("order_ts", F.col("order_ts").cast("timestamp"))
+    out = {r["event_id"]: r["o_orderkey"] for r in asof_join(
+        left, right, "ts", "order_ts", "user_id", "o_custkey", "event_id",
+        right_cols=["o_orderkey"],
+    ).collect()}
+    assert out == {1: 100, 2: None, 3: None}
+    inner = asof_join(
+        left, right, "ts", "order_ts", "user_id", "o_custkey", "event_id",
+        right_cols=["o_orderkey"], how="inner",
+    ).collect()
+    assert [r["event_id"] for r in inner] == [1]
 
 
 def test_asof_tie_break_excluded_from_right_cols(spark):

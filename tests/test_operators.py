@@ -58,6 +58,26 @@ def test_jaccard_join_finds_planted_pair(docs_with_dups):
     assert (1, 4) not in pairs
 
 
+def test_dedup_releases_persisted_intermediates(docs_with_dups):
+    """jaccard_join/near_dup_minhash persist the shingle relation; after
+    materialization + release_intermediates() no cached blocks remain."""
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        jaccard_join,
+        near_dup_minhash,
+        release_intermediates,
+    )
+
+    spark = docs_with_dups.sparkSession
+    jsc = spark.sparkContext._jsc.sc()
+    release_intermediates()  # flush leftovers from earlier tests
+    n_before = jsc.getPersistentRDDs().size()
+    jaccard_join(docs_with_dups, "text", "doc_id", threshold=0.5).count()
+    near_dup_minhash(docs_with_dups, "text", "doc_id", threshold=0.5).count()
+    assert jsc.getPersistentRDDs().size() > n_before
+    assert release_intermediates() == 2
+    assert jsc.getPersistentRDDs().size() == n_before
+
+
 def test_minhash_agrees_with_exact_on_planted(docs_with_dups):
     from data_engineering_individual_assignment_spark.operators.dedup import (
         jaccard_join,
