@@ -234,6 +234,23 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans",
+    sql=None,  # approximate + engine-specific training: rows-only check
+    doc="IVF approximate top-5 with REAL cells: seeded k-means|| "
+    "(pyspark.ml) trains the 8 centroids instead of the lowest-id "
+    "stand-ins — the production IVF path. Tests pin recall >= 0.4 at "
+    "nprobe=2 and exact brute-force equality at nprobe=num_cells. "
+    "No oracle (k-means training is engine-specific by nature).",
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, num_cells=8, nprobe=2, k=5, use_kmeans=True
+    ).orderBy("query_id", "rnk")
+
+
+@register(
     "embedding_near_dup",
     sql="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -11,8 +11,10 @@ retry.  Spark equivalents:
 - compatibility sink: ';'-CSV with header, one file per day key, for
   consumers of the reference's file layout (S8).
 - JSON artifact sink for the model-results handoff (S11, L2:100-104).
-- JDBC sink (S10) is ``df.write.jdbc`` directly — a one-liner; no driver
-  jar ships in this container so it is documented, not wrapped.
+- JDBC sink (S10): ``write_jdbc`` wraps ``df.write.jdbc`` with the
+  bulk-load options that replace the reference's per-row INSERT+commit
+  loop (no driver jar ships in this container, so tests assert the
+  invocation contract — options/mode assembly — not a live database).
 
 Scale notes: partitionBy(ingest_date) gives partition pruning to every
 downstream reader; dynamic overwrite touches only the partitions present
@@ -84,6 +86,56 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    driver: str = "org.postgresql.Driver",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    **options: str,
+):
+    """S10: assemble the configured DataFrameWriter for a JDBC load —
+    the bulk replacement for the reference's per-row INSERT + commit
+    loop (F:598-657, one transaction per row).  Spark executes one
+    batched transaction per partition (``batchsize`` rows per round
+    trip); ``num_partitions`` caps concurrent connections so a
+    1000-executor job doesn't open 1000 sessions against the database.
+
+    Returned unsaved so tests (and dry runs) can inspect the contract;
+    ``write_jdbc`` calls ``.save()``.
+    """
+    if mode not in {"append", "overwrite", "ignore", "error", "errorifexists"}:
+        raise ValueError(f"unsupported JDBC save mode: {mode!r}")
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("batchsize", str(batch_size))
+        # idempotent-ish overwrite: truncate keeps the DDL (indexes,
+        # grants) instead of drop+recreate
+        .option("truncate", "true" if mode == "overwrite" else "false")
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **kwargs,
+) -> None:
+    """Execute the JDBC load assembled by ``jdbc_writer``."""
+    jdbc_writer(df, url, table, mode=mode, **kwargs).save()
 
 
 def register_warehouse_view(

@@ -63,13 +63,21 @@ def register_temp_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 def read_semicolon_csv(
-    spark: SparkSession, path: str, schema: T.StructType | str
+    spark: SparkSession, path: str, schema: T.StructType | str,
+    multiline: bool = False,
 ) -> DataFrame:
     """The reference's warehouse-load scan: ';'-separated CSV with a header
-    row (S6).  Explicit schema -- schema inference is a full extra scan."""
+    row (S6).  Explicit schema -- schema inference is a full extra scan.
+
+    ``multiline=True`` parses quoted records that span physical lines
+    (the reference's description table keeps embedded newlines).  Scale
+    note: multiLine makes each file non-splittable — one task per file —
+    so keep it off for columns the cleaning chain already strips
+    newlines from, and shard multi-line inputs into many files."""
     return (
         spark.read.option("sep", ";")
         .option("header", True)
+        .option("multiLine", multiline)
         .schema(schema)
         .csv(path)
     )

@@ -286,4 +286,14 @@ def test_ivf_kmeans_recall_at_least_default(spark):
     km = {(r["query_id"], r["neighbor_id"]) for r in
           ivf_topk(emb, q, num_cells=8, nprobe=2, k=5, use_kmeans=True).collect()}
     recall = len(exact & km) / len(exact)
+    # NOT compared against the lowest-id-centroid variant: on this
+    # testdata the low-id vectors coincide with the planted cluster
+    # exemplars (and the queries themselves), so the stand-in recalls
+    # 0.86 vs kmeans 0.48 at nprobe=2 — a data artifact, not a quality
+    # ordering (both partitions are balanced: top-2 cells hold 28% vs
+    # 40% of the corpus).
     assert recall >= 0.4, f"kmeans IVF recall collapsed: {recall}"
+    # the real invariant: probing EVERY cell must equal brute force
+    full = {(r["query_id"], r["neighbor_id"]) for r in
+            ivf_topk(emb, q, num_cells=8, nprobe=8, k=5, use_kmeans=True).collect()}
+    assert full == exact

@@ -70,3 +70,28 @@ def test_json_artifact(spark, tmp_path):
     back = spark.read.json(out)
     row = back.collect()[0]
     assert row["rmse"] > 0 and row["n_train"] > 0
+
+
+def test_jdbc_writer_invocation_contract(spark):
+    """S10: no database/driver jar ships in this container, so assert the
+    contract — mode validation, partition capping, and that the driver
+    class + url reach the JDBC source (the save fails on the missing
+    driver CLASS, not on option assembly)."""
+    import pytest
+    from data_engineering_individual_assignment_spark.sinks.writers import (
+        jdbc_writer,
+        write_jdbc,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        jdbc_writer(df, "jdbc:postgresql://h/db", "t", mode="replace")
+
+    # num_partitions caps concurrent connections
+    capped = jdbc_writer(df, "jdbc:postgresql://h/db", "t", num_partitions=3)
+    assert capped._df.rdd.getNumPartitions() == 3
+
+    # driver option is wired through: resolution fails on that class
+    with pytest.raises(Exception) as ei:
+        write_jdbc(df, "jdbc:postgresql://h/db", "t", mode="overwrite")
+    assert "org.postgresql.Driver" in str(ei.value)
