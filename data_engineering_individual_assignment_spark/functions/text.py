@@ -93,3 +93,58 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array())
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality heuristics + PII scrubbing (training-data hygiene)
+# --------------------------------------------------------------------------
+def mean_word_length(c: Column | str) -> Column:
+    """Average characters per whitespace token (0.0 for empty text) — the
+    Gopher mean-word-length gate (docs outside ~[3,10] are usually not
+    prose)."""
+    squeezed = F.regexp_replace(F.trim(F.lower(_col(c))), r"\s+", "")
+    n = token_count(c)
+    return F.when(n > 0, F.length(squeezed) / n).otherwise(F.lit(0.0))
+
+
+def repetition_ratio(c: Column | str) -> Column:
+    """Fraction of tokens that repeat an earlier token:
+    1 - distinct/total.  High values flag boilerplate/spam (the Gopher
+    duplicate-fraction family)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(toks))) / n
+    ).otherwise(F.lit(0.0))
+
+
+def bigram_repetition_ratio(c: Column | str) -> Column:
+    """Fraction of word bigrams that repeat: 1 - distinct_bigrams/total.
+    Catches looping text that token-level repetition misses."""
+    toks = tokens(c)
+    total = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.when(
+        total > 0, (total - F.size(shingles(c, 2))) / total
+    ).otherwise(F.lit(0.0))
+
+
+# RE2-safe patterns (identical semantics in Spark's Java regex and
+# DuckDB's RE2: no lookarounds, no backrefs)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_count(c: Column | str, pattern: str) -> Column:
+    """Occurrences of one PII pattern (int)."""
+    return F.regexp_count(_col(c), F.lit(pattern)).cast("int")
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Replace emails, then phone numbers, then bare IPv4s with typed
+    placeholder tags.  Order matters: the phone pass must not see the
+    digits inside an already-scrubbed email, and the IP pass must not
+    re-match dotted phone fragments."""
+    out = F.regexp_replace(_col(c), EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")

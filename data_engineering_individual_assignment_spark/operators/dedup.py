@@ -430,3 +430,49 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against an eval/benchmark set)
+# --------------------------------------------------------------------------
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Training-data decontamination: (corpus doc, benchmark doc) pairs
+    sharing >= ``min_shared`` distinct word ``k``-grams.
+
+    The benchmark side is the small one by construction (eval suites are
+    KBs-to-MBs against a 100 TB corpus), so its exploded shingle relation
+    is broadcast — the corpus is ONE streamed map pass: per-row shingle
+    array (higher-order transform, no window, so NO corpus shuffle —
+    unlike hashed_shingle_rows, whose lead() window exchanges the whole
+    exploded corpus), explode, hash-join against the broadcast.  The only
+    shuffle is the per-pair count over MATCHED rows, which is bounded by
+    the contamination volume, not the corpus.
+
+    Returns (doc_id, bench_id, n_shared) with n_shared = the number of
+    distinct shared k-grams.  Shingles are per-doc DISTINCT (set
+    semantics), so each shared gram counts once.
+    """
+
+    def exploded(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            doc_shingles(df, text_col, id_col, k)
+            .select(F.col("doc_id").alias(out_id), F.explode("shingles").alias("g"))
+            # 8-byte hash instead of the ~20-byte gram string: smaller
+            # broadcast and cheaper join keys (collisions ~1e-7)
+            .select(out_id, F.xxhash64("g").alias("shingle_h"))
+        )
+
+    return (
+        exploded(corpus, "doc_id")
+        .join(F.broadcast(exploded(benchmark, "bench_id")), "shingle_h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -116,3 +116,266 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_SQUEEZED = r"regexp_replace(trim(lower(text)), '\s+', '', 'g')"
+
+
+@register(
+    "gopher_quality_signals",
+    sql=rf"""
+    WITH feats AS (
+        SELECT source,
+               len({_TOKS}) AS n_tokens,
+               length({_SQUEEZED}) * 1.0 / greatest(len({_TOKS}), 1) AS mwl,
+               (len({_TOKS}) - len(list_distinct({_TOKS}))) * 1.0
+                 / greatest(len({_TOKS}), 1) AS rep
+        FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(mwl), 4) AS avg_mwl,
+           round(avg(rep), 4) AS avg_rep,
+           CAST(sum(CASE WHEN n_tokens BETWEEN 20 AND 100000
+                          AND mwl BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass
+    FROM feats
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Gopher-style quality gate signals per source: mean word length, "
+    "token repetition fraction, and the count of docs passing the "
+    "word-count+word-length gates. One map pass + one small aggregate — "
+    "the shape of a 100 TB corpus-hygiene scan.",
+)
+def gopher_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "source",
+        TX.token_count("text").alias("n_tokens"),
+        TX.mean_word_length("text").alias("mwl"),
+        TX.repetition_ratio("text").alias("rep"),
+    )
+    gate = (
+        F.col("n_tokens").between(20, 100000) & F.col("mwl").between(3, 10)
+    ).cast("int")
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("mwl"), 4).alias("avg_mwl"),
+            F.round(F.avg("rep"), 4).alias("avg_rep"),
+            F.sum(gate).cast("bigint").alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "repetition_topk",
+    sql=rf"""
+    WITH feats AS (
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               (len({_TOKS}) - len(list_distinct({_TOKS}))) * 1.0
+                 / greatest(len({_TOKS}), 1) AS rep,
+               CASE WHEN len({_TOKS}) >= 2 THEN
+                 (len({_TOKS}) - 1 - len(list_distinct([
+                      array_to_string(({_TOKS})[i:i+1], ' ')
+                      for i in range(1, len({_TOKS}))
+                  ]))) * 1.0 / (len({_TOKS}) - 1)
+               ELSE 0.0 END AS bigram_rep
+        FROM documents)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(rep, 6) AS rep, round(bigram_rep, 6) AS bigram_rep
+    FROM feats
+    ORDER BY round(bigram_rep, 6) DESC, doc_id ASC
+    LIMIT 20
+    """,
+    doc="most-repetitive documents (boilerplate/spam surfacing): top-20 "
+    "by bigram repetition fraction with token-level repetition "
+    "alongside. TakeOrderedAndProject — no full sort at scale.",
+)
+def repetition_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            TX.token_count("text").cast("bigint").alias("n_tokens"),
+            F.round(TX.repetition_ratio("text"), 6).alias("rep"),
+            F.round(TX.bigram_repetition_ratio("text"), 6).alias("bigram_rep"),
+        )
+        .orderBy(F.col("bigram_rep").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_PII_PLANTS = [
+    (9000001, "contact me at alice.smith+spam@example.co.uk or 555-123-4567"),
+    (9000002, "server 10.0.0.1 fell over, ping 192.168.1.254 instead"),
+    (9000003, "mail bob@corp.io, backup bob.backup@corp.io, cell 333.444.5555"),
+]
+_PII_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _PII_PLANTS)
+
+
+@register(
+    "pii_scrub_audit",
+    sql=rf"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES {_PII_VALUES}) v(doc_id, text)),
+    scrubbed AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+               len(regexp_extract_all(text,
+                   '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b')) AS n_phone,
+               len(regexp_extract_all(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                     '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
+                   '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ip,
+               md5(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
+                     '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+                     '<IP>', 'g')) AS scrub_md5
+        FROM corpus)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS total_emails,
+           CAST(sum(n_phone) AS BIGINT) AS total_phones,
+           CAST(sum(n_ip)    AS BIGINT) AS total_ips,
+           CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           md5(string_agg(scrub_md5, '' ORDER BY doc_id)) AS corpus_scrub_md5
+    FROM scrubbed
+    """,
+    doc="PII scrub audit: email/phone/IPv4 detection + typed-placeholder "
+    "redaction over the corpus plus planted fixture rows (the synthetic "
+    "corpus is PII-free, so the plants make the oracle pin the regex "
+    "semantics cross-engine, including the md5 of every scrubbed text). "
+    "Map-only; the scrub composes into any ingest plan.",
+)
+def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(_PII_PLANTS, "doc_id long, text string")
+    corpus = d.unionByName(plants)
+    scrubbed = corpus.select(
+        "doc_id",
+        TX.pii_count("text", TX.EMAIL_RE).alias("n_email"),
+        TX.pii_count("text", TX.PHONE_RE).alias("n_phone"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), TX.EMAIL_RE, "<EMAIL>"),
+                TX.PHONE_RE, "<PHONE>",
+            ),
+            F.lit(TX.IPV4_RE),
+        ).cast("int").alias("n_ip"),
+        F.md5(TX.scrub_pii("text")).alias("scrub_md5"),
+    )
+    return scrubbed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+        F.sum("n_ip").cast("bigint").alias("total_ips"),
+        F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.md5(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("doc_id", "scrub_md5")))
+                .getField("scrub_md5")
+            )
+        ).alias("corpus_scrub_md5"),
+    )
+
+
+@register(
+    "contamination_check",
+    sql=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3)
+    SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+           CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT) AS n_shared
+    FROM sh c JOIN sh b ON c.doc_id >= 20 AND b.doc_id < 20
+    WHERE len(list_intersect(c.shingles, b.shingles)) >= 3
+    ORDER BY doc_id, bench_id
+    """,
+    doc="benchmark decontamination: corpus docs sharing >= 3 distinct "
+    "word 3-grams with a benchmark set (here: the 20 lowest-id docs "
+    "standing in for an eval suite). The benchmark's exploded shingles "
+    "are broadcast, so the 100 TB corpus is one streamed map pass — no "
+    "corpus shuffle, no all-pairs.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 20)
+    bench = d.filter(F.col("doc_id") < 20)
+    return dedup.contamination_pairs(
+        corpus, bench, "text", "doc_id", k=3, min_shared=3
+    ).orderBy("doc_id", "bench_id")
+
+
+@register(
+    "incremental_dedup",
+    sql=r"""
+    WITH store AS (
+        SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id < 400),
+    batch AS (
+        SELECT lang,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id >= 400)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN fp IN (SELECT fp FROM store)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_store,
+           CAST(sum(CASE WHEN fp IN (SELECT fp FROM store)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM batch
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="incremental (cross-run) dedup: a new batch (doc_id >= 400) is "
+    "checked against the historical fingerprint store (doc_id < 400) "
+    "with a digest-keyed join — the daily-ingest shape where the store "
+    "is a bucketed fingerprint table and only 16-byte digests move.",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    store = (
+        d.filter(F.col("doc_id") < 400)
+        .select(TX.fingerprint("text").alias("fp"))
+        .distinct()
+        .withColumn("in_store", F.lit(1))
+    )
+    batch = d.filter(F.col("doc_id") >= 400).select(
+        "lang", TX.fingerprint("text").alias("fp")
+    )
+    tagged = batch.join(store, "fp", "left")
+    dup = F.when(F.col("in_store").isNotNull(), 1).otherwise(0)
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_new"),
+            F.sum(dup).cast("bigint").alias("n_dup_vs_store"),
+            F.sum(1 - dup).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,73 @@
+"""Unit tests for the training-data hygiene extensions: Gopher-style
+quality heuristics, PII scrubbing, and benchmark decontamination.
+The catalog queries run the same code differentially against DuckDB
+(tests/test_queries_oracle.py); these tests pin the semantics on
+hand-computed fixtures, including planted PII the synthetic corpus
+doesn't contain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_individual_assignment_spark.functions import text as TX
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col.alias("v")
+    ).first()["v"]
+
+
+def test_mean_word_length_and_repetition(spark):
+    assert _one(spark, "aa bbbb cc", TX.mean_word_length("text")) == (8 / 3)
+    assert _one(spark, "  ", TX.mean_word_length("text")) == 0.0
+    # 5 tokens, 3 distinct -> 2/5 repeat
+    assert _one(spark, "a b a b c", TX.repetition_ratio("text")) == 0.4
+    assert _one(spark, "", TX.repetition_ratio("text")) == 0.0
+    # bigrams of "a b a b a": [a b, b a, a b, b a] -> 2 distinct of 4
+    assert _one(spark, "a b a b a", TX.bigram_repetition_ratio("text")) == 0.5
+    assert _one(spark, "solo", TX.bigram_repetition_ratio("text")) == 0.0
+
+
+def test_scrub_pii_planted(spark):
+    s = _one(
+        spark,
+        "mail a.b+c@x.co.uk or 555-123-4567 from 10.0.0.1 now",
+        TX.scrub_pii("text"),
+    )
+    assert s == "mail <EMAIL> or <PHONE> from <IP> now"
+    # dotted phone must be taken by the PHONE pass, not the IP pass
+    assert _one(spark, "call 333.444.5555", TX.scrub_pii("text")) == "call <PHONE>"
+    # counts
+    df = spark.createDataFrame(
+        [("a@b.io and c@d.io", )], "text string"
+    )
+    n = df.select(TX.pii_count("text", TX.EMAIL_RE).alias("n")).first()["n"]
+    assert n == 2
+
+
+def test_contamination_pairs_planted(spark):
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 'quick brown fox' and 'brown fox jumps' (2 trigrams)
+            (100, "a quick brown fox jumps here"),
+            (101, "completely unrelated words only appear within this row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in contamination_pairs(
+        corpus, bench, "text", "doc_id", k=3, min_shared=2
+    ).collect()}
+    assert out == {(100, 1): 2}
+    # threshold excludes the pair
+    assert contamination_pairs(
+        corpus, bench, "text", "doc_id", k=3, min_shared=3
+    ).count() == 0
