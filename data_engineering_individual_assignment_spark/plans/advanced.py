@@ -340,3 +340,95 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(model.intercept), float(model.coefficients[0]))], "b0 double, b1 double"
     )
+
+
+@register(
+    "salted_join_agg",
+    sql="""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    doc="skew-mitigation equivalence: the salted join (build side "
+    "replicated 8 ways, probe salted by order key) must produce exactly "
+    "the rows of the plain equi-join — the oracle IS the plain join. "
+    "Salting only changes task placement, never results.",
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    joined = salted_join(o, c, "custkey", salt_factor=8, probe_salt_col="o_orderkey")
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "asof_join_pandas_variant",
+    sql="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           round(coalesce(o_totalprice, 0.0), 2) AS last_order_price
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+    doc="the cogrouped merge_asof scale path against the SAME oracle as "
+    "asof_join_events_orders: the right side is first reduced to its "
+    "per-(custkey, date) winner (max orderkey — merge_asof itself has "
+    "no tie-break), then pd.merge_asof runs per co-grouped key. Proves "
+    "the Arrow path agrees with the declarative union-merge form.",
+)
+def asof_join_pandas_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.joins import asof_join_pandas
+
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    # deterministic per-(custkey, date) winner so merge_asof's lack of a
+    # tie-break cannot pick a different row than the oracle
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    best = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    joined = asof_join_pandas(
+        e, best,
+        left_ts="ts", right_ts="order_ts",
+        left_by="user_id", right_by="o_custkey",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("last_order_price"),
+    ).orderBy("event_id")

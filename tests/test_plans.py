@@ -74,3 +74,18 @@ def test_no_cartesian_products_anywhere(spark):
 def test_join_hint_forces_shuffled_hash(spark):
     plan = _plan(spark, "join_strategy_hints", execute=True)
     assert "ShuffledHashJoin" in plan
+
+
+def test_contamination_is_broadcast_map_pass(spark):
+    """The corpus side must never shuffle before the join: benchmark
+    shingles broadcast, no Window (the window-based shingle builder
+    would exchange the whole exploded corpus)."""
+    plan = _plan(spark, "contamination_check", execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_topk_is_take_ordered(spark):
+    plan = _plan(spark, "repetition_topk")
+    assert "TakeOrderedAndProject" in plan
