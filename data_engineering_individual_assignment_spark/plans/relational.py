@@ -706,3 +706,37 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "distribution_windows",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cum_dist
+    FROM orders
+    WHERE o_orderkey < 500
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="distribution window functions (§2.5): percent_rank + cume_dist "
+    "of order value within each priority class — unique (price, key) "
+    "ordering makes both deterministic across engines.",
+)
+def distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("o_orderkey")
+    )

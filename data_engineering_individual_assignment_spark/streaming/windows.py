@@ -236,3 +236,51 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static decontamination (documents stream vs broadcast benchmark)
+# --------------------------------------------------------------------------
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def stage_documents(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Copy the documents table into a streaming landing dir (stand-in
+    for a crawler's rolling drops)."""
+    from ..sources.readers import load_table
+
+    load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(out_dir)
+    return out_dir
+
+
+def stream_documents(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing_dir)
+    )
+
+
+def contamination_stream(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Decontamination as ingest happens: the document stream is checked
+    against a STATIC benchmark set via the same operator the batch
+    catalog uses (stream-static broadcast join + aggregation).  The
+    per-row shingle transform is stateless, so the only streaming state
+    is the (doc_id, bench_id) count aggregate.  Run in 'complete' mode
+    (the pair counts are monotone under AvailableNow replay)."""
+    from ..operators.dedup import contamination_pairs
+
+    return contamination_pairs(
+        docs_stream, benchmark, "text", "doc_id", k=k, min_shared=min_shared
+    )

@@ -23,6 +23,10 @@ SHOW = {
     "fan-out.",
     "near_dup_pairs": "Prefix-filtered set-similarity join: shingle hashing + "
     "doc-frequency agg + prefix equi-join; no all-pairs operator anywhere.",
+    "contamination_check": "Benchmark decontamination: per-row shingle "
+    "transform (no Window, so the corpus side never shuffles before the "
+    "join), benchmark shingles broadcast, count aggregate only over "
+    "matched rows.",
 }
 
 

@@ -246,3 +246,27 @@ def test_stream_stream_interval_join_equals_batch(spark, landing):
     b_pairs = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert s_pairs == b_pairs
     assert len(s_pairs) > 0  # the fixture data must actually exercise it
+
+
+def test_contamination_stream_equals_batch(spark, tmp_path):
+    """Stream-static decontamination: the streamed corpus against a
+    static broadcast benchmark must produce exactly the batch catalog
+    query's pairs."""
+    from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMALL, "documents")
+    corpus, bench = d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20)
+    landing = str(tmp_path / "docs_landing")
+    corpus.write.parquet(landing)
+
+    stream_out = W.run_to_memory(
+        spark,
+        W.contamination_stream(W.stream_documents(spark, landing), bench),
+        mode="complete",
+    )
+    batch_out = plans.CATALOG["contamination_check"].fn(spark, SF_SMALL)
+    cols = ["doc_id", "bench_id", "n_shared"]
+    assert _canon(stream_out, cols) == _canon(batch_out, cols)
