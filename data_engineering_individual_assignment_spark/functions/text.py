@@ -148,3 +148,21 @@ def scrub_pii(c: Column | str) -> Column:
     out = F.regexp_replace(_col(c), EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def token_chunks(c: Column | str, size: int, stride: int) -> Column:
+    """Context-window chunking: array of space-joined token windows of
+    ``size`` tokens starting every ``stride`` tokens (overlap = size -
+    stride; the final window may be shorter).  The standard pre-training
+    tokenize-and-pack precursor, as a pure codegen expression — chunking
+    100 TB is a map-only pass with zero shuffle.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(c)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, size)))

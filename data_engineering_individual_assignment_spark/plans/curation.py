@@ -379,3 +379,77 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "chunk_documents",
+    sql=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id < 50),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s // 48 AS INT) AS chunk_id,
+               array_to_string(t[s + 1 : s + 64], ' ') AS chunk
+        FROM toks, unnest(range(0, greatest(len(t), 1), 48)) AS u(s)
+        WHERE s < len(t))
+    SELECT doc_id, chunk_id,
+           CAST(len(regexp_split_to_array(chunk, '\s+')) AS INT) AS n_chunk_tokens,
+           md5(chunk) AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="context-window chunking (pre-training pack precursor): 64-token "
+    "windows every 48 tokens (16-token overlap), final window may be "
+    "short. Pure expression chunking + posexplode — a map-only pass "
+    "with zero shuffle at any corpus size. md5 per chunk makes the "
+    "window boundaries byte-comparable cross-engine.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(TX.token_chunks("text", 64, 48)).alias("chunk_id", "chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int"),
+            F.size(F.split("chunk", r"\s+")).cast("int").alias("n_chunk_tokens"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "token_histogram",
+    sql=r"""
+    SELECT CAST(least(len(regexp_split_to_array(trim(lower(text)), '\s+')) // 16, 8)
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="token-count histogram (training-data budgeting): docs bucketed "
+    "by tokens//16 capped at 8+. Map + tiny aggregate; the corpus-level "
+    "token accounting every data-mix decision starts from.",
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = TX.token_count("text")
+    return (
+        d.select(
+            F.least(F.floor(n / 16), F.lit(8)).cast("bigint").alias("bucket"),
+            n.alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("bucket")
+    )

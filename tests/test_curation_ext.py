@@ -71,3 +71,21 @@ def test_contamination_pairs_planted(spark):
     assert contamination_pairs(
         corpus, bench, "text", "doc_id", k=3, min_shared=3
     ).count() == 0
+
+
+def test_token_chunks_overlap_semantics(spark):
+    import pytest
+
+    words = " ".join(f"w{i}" for i in range(10))
+    chunks = _one(spark, words, TX.token_chunks("text", size=4, stride=3))
+    # starts at 0,3,6,9 — last window is short (1 token)
+    assert chunks == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+        "w9",
+    ]
+    # a doc shorter than one window yields exactly one chunk
+    assert _one(spark, "a b", TX.token_chunks("text", 4, 3)) == ["a b"]
+    with pytest.raises(ValueError):
+        TX.token_chunks("text", 4, 0)
