@@ -476,3 +476,76 @@ def contamination_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster assignment (connected components over the pair graph)
+# --------------------------------------------------------------------------
+def pair_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: connected components by
+    iterative min-label propagation.  Returns (doc_id, cluster_id) for
+    every doc appearing in a pair; cluster_id = the smallest doc_id
+    reachable, so survivor selection (keep cluster_id row) stays
+    idempotent like exact_dedup.
+
+    Iterations are bounded by the cluster DIAMETER, not the corpus:
+    near-dup clusters are near-cliques (every member shares most
+    shingles), so 2-4 rounds close them in practice; ``max_iter`` is a
+    safety rail and each round localCheckpoints to truncate lineage.
+    At billion-edge scale switch to the alternating large/small-star
+    algorithm (Kiveris et al., 2014) — same DataFrame shape per round.
+    """
+    spark = pairs.sparkSession
+    # materialize the (possibly expensive) pair computation ONCE at full
+    # session parallelism, then size the iteration to the GRAPH: a
+    # checkpointed RDD keeps its partition count, and localCheckpoint
+    # materializes pre-AQE partitioning — so without this, every round
+    # would rescan/shuffle 200-wide for a tiny pair graph
+    # (~50k edges per partition at scale; conf restored in finally)
+    edges = pairs.select("doc_a", "doc_b").persist()
+    n_edges = 2 * edges.count()
+    parts = max(1, min(256, n_edges // 50_000 + 1))
+    sym = (
+        edges.unionByName(
+            edges.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .repartition(parts, "doc_b")
+        .localCheckpoint()
+    )
+    edges.unpersist()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        labels = (
+            sym.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iter):
+            neigh = (
+                sym.join(labels, sym["doc_b"] == labels["doc_id"])
+                .groupBy("doc_a")
+                .agg(F.min("label").alias("nmin"))
+            )
+            proposed = (
+                labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nmin", F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce("nmin", F.col("label")) < F.col("label"))
+                    .cast("int")
+                    .alias("__changed"),
+                )
+            ).localCheckpoint()
+            changed = proposed.agg(F.sum("__changed")).first()[0] or 0
+            labels = proposed.drop("__changed")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

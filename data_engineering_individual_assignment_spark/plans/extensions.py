@@ -683,3 +683,47 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
         .orderBy("label")
     )
+
+
+@register(
+    "near_dup_clusters",
+    sql=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY a
+    ORDER BY doc_id
+    """,
+    doc="near-dup CLUSTER assignment: connected components over the "
+    "exact Jaccard>=0.7 pair graph by iterative min-label propagation "
+    "(rounds bounded by cluster diameter — near-cliques close in 2-4; "
+    "localCheckpoint per round truncates lineage). cluster_id = "
+    "smallest reachable doc_id, so keep-the-cluster-id-row dedup stays "
+    "idempotent. Oracle: DuckDB recursive transitive closure.",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
+    return dedup.pair_clusters(pairs).orderBy("doc_id")

@@ -67,15 +67,16 @@ def test_dedup_releases_persisted_intermediates(docs_with_dups):
         release_intermediates,
     )
 
-    spark = docs_with_dups.sparkSession
-    jsc = spark.sparkContext._jsc.sc()
+    from data_engineering_individual_assignment_spark.operators import dedup as D
+
     release_intermediates()  # flush leftovers from earlier tests
-    n_before = jsc.getPersistentRDDs().size()
     jaccard_join(docs_with_dups, "text", "doc_id", threshold=0.5).count()
     near_dup_minhash(docs_with_dups, "text", "doc_id", threshold=0.5).count()
-    assert jsc.getPersistentRDDs().size() > n_before
+    cached = list(D._PERSISTED)
+    assert len(cached) == 2
+    assert all(df.storageLevel.useMemory for df in cached)
     assert release_intermediates() == 2
-    assert jsc.getPersistentRDDs().size() == n_before
+    assert not any(df.storageLevel.useMemory for df in cached)
 
 
 def test_minhash_agrees_with_exact_on_planted(docs_with_dups):
@@ -297,3 +298,17 @@ def test_ivf_kmeans_recall_at_least_default(spark):
     full = {(r["query_id"], r["neighbor_id"]) for r in
             ivf_topk(emb, q, num_cells=8, nprobe=8, k=5, use_kmeans=True).collect()}
     assert full == exact
+
+
+def test_pair_clusters_chain_and_islands(spark):
+    """A chain a-b, b-c must collapse to one cluster labeled min(id);
+    disconnected pairs keep separate labels."""
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        pair_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 11), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in pair_clusters(pairs).collect()}
+    assert out == {5: 5, 9: 5, 11: 5, 2: 2, 3: 2}
