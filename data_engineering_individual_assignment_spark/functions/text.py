@@ -9,6 +9,7 @@ map-only pass over the documents table, no shuffle.
 
 from __future__ import annotations
 
+import pandas as pd  # annotation resolution for the one pandas-UDF factory
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -166,3 +167,28 @@ def token_chunks(c: Column | str, size: int, stride: int) -> Column:
         lambda s: s < n,
     )
     return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, size)))
+
+
+def compression_ratio_udf():
+    """Vectorized (Arrow-batched) compression-ratio quality signal:
+    len(zlib(text)) / len(text) — highly repetitive/boilerplate text
+    compresses far below ~0.4 while natural prose sits ~0.5-0.8.  A
+    pandas UDF is the right tool here (no JVM zlib expression exists);
+    the batch transfer amortizes the Python hop, and the signal is a
+    map-only pass at any corpus size.  zlib output is library-version
+    dependent, so queries built on this are rows-only (no SQL oracle)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(v):
+            if not v:
+                return 0.0
+            b = v.encode("utf-8")
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return s.map(one)
+
+    return _ratio

@@ -453,3 +453,70 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "compression_quality",
+    sql=None,  # zlib output is library-version dependent: rows-only
+    doc="compression-ratio quality signal (boilerplate detector): "
+    "per-source average zlib ratio and the count of highly-redundant "
+    "docs (ratio < 0.4), via an Arrow-batched pandas UDF — the "
+    "demonstration of the vectorized-UDF surface for signals with no "
+    "JVM expression equivalent. Rows-only by design.",
+)
+def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ratio = TX.compression_ratio_udf()(F.col("text"))
+    return (
+        d.select("source", ratio.alias("ratio"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+            F.sum((F.col("ratio") < 0.4).cast("int")).cast("bigint").alias("n_redundant"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "weighted_mix",
+    sql="""
+    WITH rated AS (
+        SELECT source,
+               CASE WHEN source IN ('src0', 'src2') THEN 50
+                    WHEN source = 'src1' THEN 25
+                    ELSE 10 END AS rate,
+               ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+        FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rated
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="training-data mix resampling: per-source keep-rates (50%/25%/"
+    "10%) applied via the same int64-safe multiplicative hash as "
+    "stratified_sample — a deterministic, rerun-stable data-mix "
+    "downsampler (no rand(), no seed coupling).",
+)
+def weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src2"), 50)
+        .when(F.col("source") == "src1", 25)
+        .otherwise(10)
+    )
+    bucket = ((F.col("doc_id") % 1000003) * 2654435761) % 100
+    return (
+        d.select("source", rate.alias("rate"), bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("bucket") < F.col("rate")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -144,3 +144,11 @@ def register_warehouse_view(
     """S9: expose a written table to SQL (the CREATE TABLE IF NOT EXISTS
     role, F:64-118) without a metastore: a temp view over the parquet."""
     spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL corpus export: one JSON object per line, gzip-compressed
+    parts (splittable alternatives like zstd/parquet are preferred for
+    re-reads; gzip chosen for interchange).  No coalesce — a corpus
+    export should write one part per task."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)

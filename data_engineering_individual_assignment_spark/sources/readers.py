@@ -115,3 +115,15 @@ def read_ga_csv(spark: SparkSession, path: str) -> DataFrame:
     strings (reference keeps them as text; we add a typed ``date_parsed``)."""
     df = spark.read.option("header", True).schema(GA_SCHEMA).csv(path)
     return df.withColumn("date_parsed", F.to_date("date", "dd/MM/yyyy"))
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSONL corpus ingest (one JSON object per line — the lingua franca
+    of LLM training corpora).  Explicit schema: inference would scan the
+    corpus twice, and a 100 TB JSONL read must also set
+    ``spark.sql.files.maxPartitionBytes`` so splits stay executor-sized.
+    Lines that fail to parse surface in ``_corrupt_record`` when the
+    schema includes it (PERMISSIVE default) rather than killing the job."""
+    return spark.read.schema(schema).json(path)

@@ -89,3 +89,18 @@ def test_token_chunks_overlap_semantics(spark):
     assert _one(spark, "a b", TX.token_chunks("text", 4, 3)) == ["a b"]
     with pytest.raises(ValueError):
         TX.token_chunks("text", 4, 0)
+
+
+def test_compression_ratio_separates_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 400),                      # highly redundant
+            (2, " ".join(f"tok{i * 7919 % 104729}" for i in range(400))),
+        ],
+        "doc_id long, text string",
+    )
+    ratio = TX.compression_ratio_udf()(F.col("text"))
+    out = {r["doc_id"]: r["r"] for r in df.select("doc_id", ratio.alias("r")).collect()}
+    assert out[1] < 0.05          # pure repetition compresses to nothing
+    assert out[2] > 0.3           # varied tokens stay incompressible-ish
+    assert out[1] < out[2]

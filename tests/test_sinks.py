@@ -95,3 +95,23 @@ def test_jdbc_writer_invocation_contract(spark):
     with pytest.raises(Exception) as ei:
         write_jdbc(df, "jdbc:postgresql://h/db", "t", mode="overwrite")
     assert "org.postgresql.Driver" in str(ei.value)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from data_engineering_individual_assignment_spark.sinks.writers import write_jsonl
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        load_table,
+        read_jsonl,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(
+        spark, out,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert back.count() == docs.count()
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
