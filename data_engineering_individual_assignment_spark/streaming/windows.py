@@ -284,3 +284,19 @@ def contamination_stream(
     return contamination_pairs(
         docs_stream, benchmark, "text", "doc_id", k=k, min_shared=min_shared
     )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame, store_fingerprints: DataFrame
+) -> DataFrame:
+    """Streaming ingest dedup: keep only new-batch documents whose
+    normalized-text fingerprint is NOT already in the historical store
+    (stream-static left_anti join — the static side is the bucketed
+    fingerprint table in production, broadcast when small).  Stateless
+    per micro-batch, so append mode works; combine with
+    ``dedup_stream`` (dropDuplicatesWithinWatermark) to also collapse
+    dups WITHIN the stream."""
+    from ..functions.text import fingerprint
+
+    tagged = docs_stream.withColumn("fp", fingerprint("text"))
+    return tagged.join(store_fingerprints, "fp", "left_anti")
