@@ -9,7 +9,6 @@ map-only pass over the documents table, no shuffle.
 
 from __future__ import annotations
 
-import pandas as pd  # annotation resolution for the one pandas-UDF factory
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -141,14 +140,20 @@ def pii_count(c: Column | str, pattern: str) -> Column:
     return F.regexp_count(_col(c), F.lit(pattern)).cast("int")
 
 
+def scrub_email_phone(c: Column | str) -> Column:
+    """The first two scrub passes (emails, then phones).  Shared between
+    ``scrub_pii`` and audits that need to count IPs on the SAME
+    intermediate text — the pass order is load-bearing (the phone pass
+    must not see digits inside an already-scrubbed email, the IP pass
+    must not re-match dotted phone fragments)."""
+    out = F.regexp_replace(_col(c), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
 def scrub_pii(c: Column | str) -> Column:
     """Replace emails, then phone numbers, then bare IPv4s with typed
-    placeholder tags.  Order matters: the phone pass must not see the
-    digits inside an already-scrubbed email, and the IP pass must not
-    re-match dotted phone fragments."""
-    out = F.regexp_replace(_col(c), EMAIL_RE, "<EMAIL>")
-    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
-    return F.regexp_replace(out, IPV4_RE, "<IP>")
+    placeholder tags (order via ``scrub_email_phone``)."""
+    return F.regexp_replace(scrub_email_phone(c), IPV4_RE, "<IP>")
 
 
 def token_chunks(c: Column | str, size: int, stride: int) -> Column:
@@ -175,20 +180,26 @@ def compression_ratio_udf():
     compresses far below ~0.4 while natural prose sits ~0.5-0.8.  A
     pandas UDF is the right tool here (no JVM zlib expression exists);
     the batch transfer amortizes the Python hop, and the signal is a
-    map-only pass at any corpus size.  zlib output is library-version
-    dependent, so queries built on this are rows-only (no SQL oracle)."""
+    map-only pass at any corpus size.  Null/empty text yields null (not
+    0.0) so contentless docs drop out of averages and redundancy counts
+    instead of reading as maximally-redundant.  zlib output is
+    library-version dependent, so queries built on this are rows-only
+    (no SQL oracle)."""
     import zlib
 
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def _ratio(s: pd.Series) -> pd.Series:
+    def _ratio(s):
         def one(v):
             if not v:
-                return 0.0
+                return None
             b = v.encode("utf-8")
             return len(zlib.compress(b, 6)) / len(b)
 
         return s.map(one)
 
-    return _ratio
+    # real class objects (not string annotations) so pandas_udf's type
+    # inference works without a module-level pandas import
+    _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_ratio, "double")

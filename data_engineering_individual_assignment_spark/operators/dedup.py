@@ -483,25 +483,25 @@ def contamination_pairs(
 # --------------------------------------------------------------------------
 def pair_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Collapse near-dup PAIRS into clusters: connected components by
-    iterative min-label propagation.  Returns (doc_id, cluster_id) for
+    min-label propagation WITH path halving (each round a node takes the
+    min of its neighbors' labels, then jumps to its label's label), so
+    rounds scale with log2(component diameter) — max_iter=20 covers
+    diameters up to ~2^20, and non-convergence raises instead of
+    silently splitting a component.  Returns (doc_id, cluster_id) for
     every doc appearing in a pair; cluster_id = the smallest doc_id
     reachable, so survivor selection (keep cluster_id row) stays
     idempotent like exact_dedup.
 
-    Iterations are bounded by the cluster DIAMETER, not the corpus:
-    near-dup clusters are near-cliques (every member shares most
-    shingles), so 2-4 rounds close them in practice; ``max_iter`` is a
-    safety rail and each round localCheckpoints to truncate lineage.
-    At billion-edge scale switch to the alternating large/small-star
-    algorithm (Kiveris et al., 2014) — same DataFrame shape per round.
+    Every shuffle in the loop is explicitly repartitioned to a width
+    sized to the GRAPH (localCheckpoint drops Catalyst partitioning
+    info, so without this each round would shuffle at the session
+    default — 200-wide for a 25-edge graph).  The session conf is NOT
+    touched (concurrent queries are unaffected).  At billion-edge scale
+    switch to alternating large/small-star (Kiveris et al., 2014) —
+    same DataFrame shape per round.
     """
-    spark = pairs.sparkSession
-    # materialize the (possibly expensive) pair computation ONCE at full
-    # session parallelism, then size the iteration to the GRAPH: a
-    # checkpointed RDD keeps its partition count, and localCheckpoint
-    # materializes pre-AQE partitioning — so without this, every round
-    # would rescan/shuffle 200-wide for a tiny pair graph
-    # (~50k edges per partition at scale; conf restored in finally)
+    # materialize the (possibly expensive) pair computation ONCE at
+    # full session parallelism (~50k edges per partition thereafter)
     edges = pairs.select("doc_a", "doc_b").persist()
     n_edges = 2 * edges.count()
     parts = max(1, min(256, n_edges // 50_000 + 1))
@@ -515,37 +515,71 @@ def pair_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     edges.unpersist()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        labels = (
-            sym.select(F.col("doc_a").alias("doc_id"))
-            .distinct()
-            .withColumn("label", F.col("doc_id"))
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        neigh = (
+            sym.repartition(parts, "doc_b")
+            .join(
+                labels.repartition(parts, "doc_id"),
+                sym["doc_b"] == labels["doc_id"],
+            )
+            .repartition(parts, "doc_a")
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.repartition(parts, "doc_id")
+            .join(
+                neigh.repartition(parts, "doc_a"),
+                labels["doc_id"] == neigh["doc_a"],
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # path halving: follow label -> label(label); collapses long
+        # chains in O(log diameter) rounds instead of O(diameter)
+        l2 = stepped.select(
+            F.col("doc_id").alias("l_id"), F.col("label").alias("l_lab")
+        )
+        proposed = (
+            stepped.repartition(parts, "label")
+            .join(
+                l2.repartition(parts, "l_id"),
+                stepped["label"] == l2["l_id"],
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("l_lab", F.col("label"))
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
-        for _ in range(max_iter):
-            neigh = (
-                sym.join(labels, sym["doc_b"] == labels["doc_id"])
-                .groupBy("doc_a")
-                .agg(F.min("label").alias("nmin"))
-            )
-            proposed = (
-                labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("label"), F.coalesce("nmin", F.col("label"))
-                    ).alias("label"),
-                    (F.coalesce("nmin", F.col("label")) < F.col("label"))
-                    .cast("int")
-                    .alias("__changed"),
-                )
-            ).localCheckpoint()
-            changed = proposed.agg(F.sum("__changed")).first()[0] or 0
-            labels = proposed.drop("__changed")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        changed = (
+            proposed.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = proposed
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"pair_clusters did not converge in {max_iter} rounds — "
+            "component diameter > 2^rounds; raise max_iter"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

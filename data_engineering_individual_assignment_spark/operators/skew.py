@@ -37,15 +37,21 @@ def salted_join(
     spreads only across *distinct* non-key attributes, so prefer an id).
     Output columns = probe ∪ build (minus the duplicate key).
 
-    Only ``inner``, ``left`` and ``left_semi`` are supported: the build
-    side is replicated ``salt_factor`` times, so a right/full join would
-    emit each unmatched build row once per salt copy.
+    Only ``inner``, ``left``, ``left_semi`` and ``left_anti`` are
+    supported: the build side is replicated ``salt_factor`` times, so a
+    right/full join would emit each unmatched build row once per salt
+    copy.  Probe-side semantics (including anti) are salt-independent —
+    a probe row at salt s finds build key k iff k exists at all, since
+    every key is present at every salt.
     """
-    if how not in {"inner", "left", "left_outer", "left_semi", "leftsemi"}:
+    if how not in {
+        "inner", "left", "left_outer",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }:
         raise ValueError(
-            f"salted_join supports inner/left/left_semi, not {how!r}: "
-            "the replicated build side would duplicate unmatched build "
-            "rows under right/full semantics"
+            f"salted_join supports inner/left/left_semi/left_anti, not "
+            f"{how!r}: the replicated build side would duplicate "
+            "unmatched build rows under right/full semantics"
         )
     if probe_salt_col is not None:
         # deterministic: reruns place each row in the same salt bucket

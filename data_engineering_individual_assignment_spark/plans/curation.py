@@ -270,13 +270,9 @@ def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         TX.pii_count("text", TX.EMAIL_RE).alias("n_email"),
         TX.pii_count("text", TX.PHONE_RE).alias("n_phone"),
-        F.regexp_count(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), TX.EMAIL_RE, "<EMAIL>"),
-                TX.PHONE_RE, "<PHONE>",
-            ),
-            F.lit(TX.IPV4_RE),
-        ).cast("int").alias("n_ip"),
+        # count IPs on the same email+phone-scrubbed intermediate the
+        # real scrub sees (shared helper keeps the pass order in sync)
+        TX.pii_count(TX.scrub_email_phone("text"), TX.IPV4_RE).alias("n_ip"),
         F.md5(TX.scrub_pii("text")).alias("scrub_md5"),
     )
     return scrubbed.agg(

@@ -110,7 +110,9 @@ def jdbc_writer(
     """
     if mode not in {"append", "overwrite", "ignore", "error", "errorifexists"}:
         raise ValueError(f"unsupported JDBC save mode: {mode!r}")
-    out = df.repartition(num_partitions) if num_partitions else df
+    # coalesce, not repartition: capping connections must not pay a
+    # full shuffle of the dataset on its way to the database
+    out = df.coalesce(num_partitions) if num_partitions else df
     writer = (
         out.write.format("jdbc")
         .mode(mode)

@@ -104,3 +104,14 @@ def test_compression_ratio_separates_boilerplate(spark):
     assert out[1] < 0.05          # pure repetition compresses to nothing
     assert out[2] > 0.3           # varied tokens stay incompressible-ish
     assert out[1] < out[2]
+
+
+def test_compression_ratio_null_and_empty_are_null(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "some actual text here")],
+        "doc_id long, text string",
+    )
+    ratio = TX.compression_ratio_udf()(F.col("text"))
+    out = {r["doc_id"]: r["r"] for r in df.select("doc_id", ratio.alias("r")).collect()}
+    assert out[1] is None and out[2] is None
+    assert out[3] is not None and out[3] > 0

@@ -176,3 +176,18 @@ def test_asof_tie_break_excluded_from_right_cols(spark):
     assert len(out) == 1
     assert out[0]["o_totalprice"] == 20.0   # max tie_break won
     assert "o_orderkey" not in out[0].asDict()  # pruned from output
+
+
+def test_salted_join_left_anti_matches_plain(spark):
+    """Anti semantics are salt-independent: every build key exists at
+    every salt, so salted left_anti == plain left_anti."""
+    from data_engineering_individual_assignment_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "row_id long, k long"
+    )
+    build = spark.createDataFrame([(10, "a"), (30, "c")], "k long, attr string")
+    out = sorted(r["row_id"] for r in salted_join(
+        probe, build, "k", probe_salt_col="row_id", how="left_anti"
+    ).collect())
+    assert out == [2]

@@ -312,3 +312,18 @@ def test_pair_clusters_chain_and_islands(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in pair_clusters(pairs).collect()}
     assert out == {5: 5, 9: 5, 11: 5, 2: 2, 3: 2}
+
+
+def test_pair_clusters_long_chain_converges(spark):
+    """A 30-node drift chain (diameter 29) must converge well inside
+    max_iter=20 thanks to path halving, all labeled with the min id."""
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        pair_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 129)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in pair_clusters(pairs).collect()}
+    assert set(out) == set(range(100, 130))
+    assert set(out.values()) == {100}
