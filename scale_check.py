@@ -30,6 +30,9 @@ QUERIES = [
     "near_dup_pairs",
     "tumbling_window_counts",
     "text_stats",
+    "contamination_check",
+    "chunk_documents",
+    "near_dup_clusters",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")
