@@ -26,7 +26,7 @@ def main() -> None:
     for q in plans.CATALOG.values():
         by_mod.setdefault(q.fn.__module__.rsplit(".", 1)[-1], []).append(q)
     for mod in ["relational", "reference", "analytics", "scalar", "advanced",
-                "extensions", "curation"]:
+                "extensions", "curation", "features"]:
         qs = by_mod.get(mod, [])
         lines += [f"## plans/{mod}.py ({len(qs)} queries)", "",
                   "| query | check | what it pins |", "|---|---|---|"]

@@ -89,3 +89,49 @@ def test_contamination_is_broadcast_map_pass(spark):
 def test_repetition_topk_is_take_ordered(spark):
     plan = _plan(spark, "repetition_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_event_funnel_single_user_exchange(spark):
+    """The three stage-gated minima must share ONE user_id hash
+    partitioning: three Window nodes, one hashpartitioning(user_id...)
+    Exchange.  A second user_id exchange means the chained windows
+    stopped reusing the partitioning."""
+    plan = _plan(spark, "event_funnel")
+    tree = plan.split("(1) Scan")[0].splitlines()
+    wl = [i for i, line in enumerate(tree) if "Window" in line]
+    assert len(wl) == 3, f"expected 3 Window nodes, got {len(wl)}"
+    between = tree[wl[0] : wl[2] + 1]
+    assert not any("Exchange" in line for line in between), (
+        "re-shuffle between chained windows:\n" + "\n".join(between)
+    )
+    below = tree[wl[2] + 1 :]
+    assert sum("Exchange" in line for line in below) == 1, (
+        "expected exactly one Exchange feeding the window stack"
+    )
+
+
+def test_tfidf_broadcasts_scored_slice(spark):
+    """The vocabulary-sized df table must not re-shuffle for the join:
+    the filtered per-doc TF side broadcasts."""
+    plan = _plan(spark, "tfidf_top_terms", execute=True)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_vote_broadcasts_queries_and_labels(spark):
+    """kNN vote touches the corpus exactly once: every join against it
+    (query vectors, label lookup) is a broadcast."""
+    plan = _plan(spark, "knn_label_vote", execute=True)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_quantize_divides_by_unrounded_scale(spark):
+    """Regression pin for the lateral-column-alias hazard: the quantizer
+    must divide by the raw scale, not the round(...,6) display value
+    (Spark LCA silently rebinds a lambda's column reference to a
+    same-named alias earlier in the select list)."""
+    plan = _plan(spark, "embedding_quantize")
+    # the rounded alias appears exactly once (output); the division
+    # operand is the raw_scale attribute
+    assert "raw_scale" in plan
+    assert "/ round(" not in plan
