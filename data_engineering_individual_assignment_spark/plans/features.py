@@ -406,6 +406,47 @@ def bigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+_CORR_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 4) AS corr_v"
+    " FROM lineitem"
+    for a, b in _CORR_PAIRS
+)
+
+
+@register(
+    "numeric_correlations",
+    sql=f"{_CORR_SQL}\nORDER BY col_a, col_b",
+    doc="pairwise Pearson correlation matrix over the lineitem measures "
+    "(feature-redundancy profiling before model training): all six "
+    "pairs computed in ONE aggregation pass (each corr is a co-moment "
+    "partial aggregate, map-side combined), then unpivoted via stack. "
+    "One scan, one 1-row shuffle — never one pass per pair.",
+)
+def numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"{a}__{b}")
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {a}__{b}" for a, b in _CORR_PAIRS
+    )
+    return agg.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (col_a, col_b, corr_v)"
+    ).orderBy("col_a", "col_b")
+
+
 @register(
     "price_histogram",
     sql="""

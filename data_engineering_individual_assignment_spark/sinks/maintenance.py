@@ -1,0 +1,87 @@
+"""Table-maintenance operators: the jobs that keep a 100 TB parquet
+warehouse healthy between queries.
+
+- ``compact_parquet``: rewrite a directory of small files into
+  target-size files.  Streaming ingest (AvailableNow micro-batches,
+  per-partition dynamic overwrites) inevitably produces many small
+  files; scan throughput then dies on per-file open overhead and the
+  driver's file-listing.  Compaction reads once, repartitions to
+  ceil(bytes / target), writes once — a pure shuffle-bounded pass that
+  parallelizes over the cluster.
+- ``scan_stats``: per-file row counts and per-column min/max — the
+  manifest a planner (or an engineer auditing pruning) reads instead of
+  the data.  Computed with one grouped aggregation over
+  ``input_file_name()``; at scale this is the same partial+final
+  aggregate shape as any groupBy, shuffling one row per (partition,
+  file).
+
+Neither touches the driver beyond listing-level metadata: row data
+never collects.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Rewrite ``src`` (a parquet directory) into ``dst`` with files
+    sized ~``target_file_mb``.  Returns the number of output files
+    requested.
+
+    Sizing uses the on-disk compressed bytes of the source — the right
+    proxy when re-writing with the same codec.  ``repartition(n)``
+    round-robins rows, so output files are uniformly sized even when
+    the input's file sizes are skewed (the usual case after per-key
+    dynamic overwrites).  On a real deployment this runs per partition
+    directory (ingest_date=...), keeping each rewrite's shuffle bounded
+    by one partition's volume, not the table's.
+    """
+    n_files = max(1, math.ceil(_dir_bytes(src) / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
+
+
+def scan_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+) -> DataFrame:
+    """Per-file manifest: row count plus min/max for each named column.
+
+    Output schema: (file, n_rows, <col>_min, <col>_max, ...) with
+    ``file`` the basename of the parquet part file.  One grouped
+    aggregation; the shuffle carries a row per (input partition, file),
+    never row data.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in columns:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return (
+        df.groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+        )
+        .agg(*aggs)
+        .orderBy("file")
+    )

@@ -135,3 +135,12 @@ def test_embedding_quantize_divides_by_unrounded_scale(spark):
     # operand is the raw_scale attribute
     assert "raw_scale" in plan
     assert "/ round(" not in plan
+
+
+def test_correlations_single_pass(spark):
+    """All six pairwise corrs must come from ONE scan + ONE aggregate,
+    not a pass per pair."""
+    import re
+
+    plan = _plan(spark, "numeric_correlations")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1

@@ -115,3 +115,45 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in docs.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        compact_parquet,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compact")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    # simulate streaming-ingest fragmentation: 64 tiny files
+    li.repartition(64).write.parquet(src)
+    n_small = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_small == 64
+
+    n_target = compact_parquet(spark, src, dst, target_file_mb=128)
+    n_after = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert n_target == n_after == 1  # sf0.001 lineitem << 128 MB
+    # content preserved exactly
+    assert spark.read.parquet(dst).count() == li.count()
+    a = spark.read.parquet(dst).agg(F.sum("l_extendedprice")).first()[0]
+    b = li.agg(F.sum("l_extendedprice")).first()[0]
+    assert abs(a - b) < 1e-6
+
+
+def test_scan_stats_manifest(spark, tmp_path):
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        scan_stats,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    src = str(tmp_path / "t")
+    li = load_table(spark, SF_SMALL, "orders")
+    li.repartition(4).write.parquet(src)
+    stats = scan_stats(spark, src, ["o_orderkey", "o_totalprice"]).collect()
+    assert len(stats) == 4
+    assert sum(r.n_rows for r in stats) == li.count()
+    lo = min(r.o_orderkey_min for r in stats)
+    hi = max(r.o_orderkey_max for r in stats)
+    row = li.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert (lo, hi) == (row[0], row[1])
