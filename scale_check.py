@@ -33,6 +33,8 @@ QUERIES = [
     "contamination_check",
     "chunk_documents",
     "near_dup_clusters",
+    "tfidf_top_terms",
+    "event_funnel",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")
