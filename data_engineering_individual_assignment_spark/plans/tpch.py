@@ -1,0 +1,643 @@
+"""TPC-H-style decision-support batch (Q4/Q6/Q7/Q8/Q9/Q10/Q13/Q14/Q15/
+Q19/Q21/Q22 analogs) adapted to the driver's trimmed star schema.
+
+The driver's tables drop ``partsupp``, ``l_commitdate``/``l_receiptdate``,
+``l_shipmode``/``l_shipinstruct`` and ``c_phone``, so each query keeps the
+classic *shape* (the plan pattern Catalyst must optimize) while re-basing
+the predicates on available columns — e.g. Q4/Q21's "late" test becomes
+``l_shipdate > o_orderdate + 30 days``, Q9's supply cost becomes a
+retail-price surrogate, Q22's customer segment becomes an account-balance
+percentile with a no-recent-orders anti join.
+
+Scale design, per query:
+- Dimension tables (``nation``/``region``/``supplier``/filtered ``part``)
+  are broadcast; the lineitem fact is never shuffled for a dim join.
+- Selective dim filters are applied BEFORE the fact join so the broadcast
+  side stays small and the fact rows are pruned at the earliest join.
+- Q21's classic double EXISTS self-join (three lineitem scans) is
+  rewritten as one per-(order, supplier) aggregate + one window — two
+  orderkey exchanges total instead of three full self-joins; the DuckDB
+  oracle uses the equivalent distinct-pairs CTE.
+- Q4's EXISTS becomes a left-semi join with an equi+range condition.
+- Scalar subqueries (Q15 max revenue, Q22 average balance) become
+  1-row broadcast cross joins — the decorrelation Catalyst would emit.
+- Single-pass conditional aggregation (Q8 share, Q14 promo ratio)
+  instead of two scans.
+
+Reference parity: the reference engine has no decision-support suite —
+this batch exists because SURVEY §2's relational surface (multi-join,
+semi/anti, grouped agg, top-k) composes into exactly these shapes, and
+they are the standard yardstick for "would this plan survive 100 TB".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change: pure filter + aggregate, full pushdown
+# --------------------------------------------------------------------------
+@register(
+    "forecast_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: single-scan filter + global aggregate. All four "
+    "predicates reach the parquet scan (PushedFilters); no shuffle beyond "
+    "the 1-row partial-agg exchange. The canonical 'is pushdown working' "
+    "probe.",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+@register(
+    "volume_shipping",
+    sql="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair revenue by ship year. "
+    "supplier+nation broadcast into lineitem FIRST (prunes the fact to the "
+    "two supplier nations before the orders shuffle); customer nation "
+    "resolved via broadcast nation; the disjunctive pair filter runs after "
+    "both nations are known.",
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+            | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share inside one region/product segment
+# --------------------------------------------------------------------------
+@register(
+    "market_share",
+    sql="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: a nation's share of regional revenue for one part "
+    "type, per order year, as ONE conditional aggregation (numerator CASE "
+    "inside the same sum — no second scan). part filter broadcast-prunes "
+    "lineitem first; nation/region resolve via broadcast.",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("asia_nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("asia_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _rev()
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-line profit by supplier nation and year
+# --------------------------------------------------------------------------
+@register(
+    "product_profit",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: profit (revenue minus a 10%%-of-retail supply-cost "
+    "surrogate — no partsupp table) for parts matching a name pattern, by "
+    "supplier nation and order year. The LIKE filter prunes part BEFORE "
+    "broadcast; lineitem joins three broadcast dims, then one orders "
+    "shuffle.",
+)
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item reporting: top 20 customers by lost revenue
+# --------------------------------------------------------------------------
+@register(
+    "returned_items_top",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal,
+           n.n_name
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: quarter of returned lineitems -> customer revenue "
+    "ranking -> top-20 (TakeOrderedAndProject). returnflag + date filters "
+    "prune both fact inputs before their join; nation broadcast.",
+)
+def returned_items_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_distribution",
+    sql="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: LEFT join with the filter in the JOIN condition "
+    "(customers with zero qualifying orders must still appear with "
+    "c_count=0), two-level aggregation. The second groupBy is tiny "
+    "(distinct counts), so the cost is one custkey shuffle.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion revenue share for one ship month
+# --------------------------------------------------------------------------
+@register(
+    "promo_revenue_ratio",
+    sql="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-05-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: percentage-of-total as one conditional aggregate "
+    "over a single ship-month slice; part broadcast, date filter pushed to "
+    "the lineitem scan.",
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-04-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-05-01 00:00:00"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
+                / F.sum(_rev()),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue (scalar-subquery max)
+# --------------------------------------------------------------------------
+@register(
+    "top_supplier",
+    sql="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: per-supplier quarterly revenue, keep the row(s) "
+    "equal to the global max. The scalar subquery decorrelates into a "
+    "1-row broadcast cross join against the (already tiny) revenue "
+    "aggregate; revenue rounded in BOTH dialects before the equality so "
+    "sum-order float drift can't flip the winner.",
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_rev()), 2).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue under disjunctive brand/quantity/size brackets
+# --------------------------------------------------------------------------
+@register(
+    "discounted_revenue_brackets",
+    sql="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'
+           AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12'
+           AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20'
+           AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: three OR'd (brand, size, quantity) brackets "
+    "across the part join. The part side is pre-filtered to the brand "
+    "union (derived filter pushed below the join), quantity brackets "
+    "evaluate post-join; one broadcast, zero fact shuffles.",
+)
+def discounted_revenue_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#20")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — late-shipment order priority count (EXISTS -> left-semi)
+# --------------------------------------------------------------------------
+@register(
+    "late_shipment_priority",
+    sql="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (commitdate-free): orders from one quarter having "
+    "at least one lineitem shipped >30 days after order date, counted per "
+    "priority. The EXISTS is a left-semi join with an equi key plus a "
+    "range residual — no fan-out, no distinct needed.",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-10-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept multi-supplier orders waiting
+# --------------------------------------------------------------------------
+@register(
+    "waiting_suppliers",
+    sql="""
+    WITH pairs AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey),
+    stats AS (
+        SELECT l_orderkey,
+               count(*) AS n_supp,
+               sum(is_late) AS n_late
+        FROM pairs GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM pairs p
+    JOIN stats t ON t.l_orderkey = p.l_orderkey
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    WHERE p.is_late = 1 AND t.n_supp > 1 AND t.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (commitdate-free): for finished multi-supplier "
+    "orders, the SOLE supplier that shipped >30 days late. Classic form "
+    "is lineitem x EXISTS x NOT-EXISTS (three self-joins); here one "
+    "per-(order,supplier) aggregate + one order-partitioned window "
+    "computes the same predicate with two orderkey exchanges total. "
+    "The DuckDB oracle uses the equivalent distinct-pairs CTE.",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), 1
+    ).otherwise(0)
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = pairs.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    ).filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — wealthy customers gone idle (scalar avg + NOT EXISTS anti join)
+# --------------------------------------------------------------------------
+@register(
+    "idle_wealthy_customers",
+    sql="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >=
+                            TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q22 shape (phone-prefix-free): above-average-balance "
+    "customers with no orders in the final year, aggregated per nation. "
+    "Scalar avg -> 1-row broadcast cross join; NOT EXISTS -> left-anti "
+    "join against the date-pruned orders slice; nation broadcast.",
+)
+def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2001-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

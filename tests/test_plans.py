@@ -144,3 +144,54 @@ def test_correlations_single_pass(spark):
 
     plan = _plan(spark, "numeric_correlations")
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+# --------------------------------------------------------------------------
+# TPC-H batch (plans/tpch.py)
+# --------------------------------------------------------------------------
+def test_forecast_revenue_full_pushdown(spark):
+    plan = _plan(spark, "forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # all range predicates reach the parquet scan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in plan.split("PushedFilters")[1].split("]")[0], frag
+    # column pruning: only the 4 referenced columns are read
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read and "l_tax" not in read
+
+
+def test_volume_shipping_fact_never_shuffled_for_dims(spark):
+    plan = _plan(spark, "volume_shipping", execute=True)
+    # supplier/nation and customer/nation resolve via broadcast;
+    # the only SortMergeJoin allowed is lineitem-orders / orders-customer
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_product_profit_three_broadcasts_one_shuffle(spark):
+    plan = _plan(spark, "product_profit", execute=True)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the p_name LIKE filter prunes part BEFORE the broadcast exchange
+    assert "red" in plan
+
+
+def test_late_shipment_priority_is_semi_join(spark):
+    plan = _plan(spark, "late_shipment_priority")
+    assert "LeftSemi" in plan
+    # no fan-out then distinct: Aggregate only on o_orderpriority
+    assert "Distinct" not in plan
+
+
+def test_waiting_suppliers_two_orderkey_exchanges(spark):
+    plan = _plan(spark, "waiting_suppliers", execute=True)
+    # rewrite of the classic double-EXISTS: per-(order,supplier) aggregate
+    # + order window — the lineitem relation is scanned ONCE
+    assert plan.count("Scan parquet") - plan.count("Scan parquet [") <= 8
+    li_scans = [ln for ln in plan.splitlines() if "lineitem" in ln and "Scan" in ln]
+    assert len(li_scans) <= 2  # initial+final AQE plan print one each
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_idle_wealthy_customers_anti_join_and_scalar_broadcast(spark):
+    plan = _plan(spark, "idle_wealthy_customers", execute=True)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
