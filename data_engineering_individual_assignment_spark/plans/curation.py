@@ -516,3 +516,172 @@ def weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dup_span_fraction",
+    sql=r"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([
+                   array_to_string(toks[i:i+7], ' ')
+                   for i in range(1, greatest(len(toks) - 7, 0) + 1)
+               ])) AS gram
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+    df AS (
+        SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup,
+           round(sum(CASE WHEN d.n_docs > 1 THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS dup_frac
+    FROM grams g JOIN df d ON d.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+    doc="cross-document duplicated-span signal (RefinedWeb-style): the "
+    "fraction of each document's DISTINCT word-8-grams that also occur "
+    "in at least one other document. 8-grams are built by posexplode + "
+    "lead (no higher-order functions) and hashed to int64, so the "
+    "document-frequency aggregation shuffles 8-byte keys; the per-doc "
+    "fraction is a second small aggregation. Linear in corpus size — "
+    "the scalable form of exact-substring contamination scoring.",
+)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = dedup.hashed_shingle_rows(d, "text", "doc_id", k=8).distinct()
+    df_counts = grams.groupBy("shingle_h").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        grams.join(df_counts, "shingle_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_dup"),
+            F.round(
+                F.sum((F.col("n_docs") > 1).cast("double")) / F.count("*"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "perplexity_proxy",
+    sql=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+    vocab AS (
+        SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT sum(cnt) AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(v.cnt / total.n)), 6) AS cross_entropy
+    FROM tok t
+    JOIN vocab v ON v.term = t.term
+    CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+    doc="corpus-unigram cross-entropy per document (a perplexity proxy "
+    "without a trained LM): vocab = one term-keyed aggregate over the "
+    "corpus, total = 1-row broadcast, per-doc score = mean -ln p(term) "
+    "over token instances. High values flag out-of-distribution or "
+    "noisy documents; the vocabulary join is term-keyed and map-side "
+    "combinable, so the whole signal costs two shuffles.",
+)
+def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    return (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("n"))), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_quality_survivors",
+    sql=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id ASC)
+                   AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           doc_id AS survivor_doc_id,
+           n_chars AS survivor_n_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="quality-aware near-dup survivor selection: connected components "
+    "over the Jaccard>=0.7 pair graph (min-label propagation), each "
+    "cluster keeping its LONGEST member (n_chars, ties to the smallest "
+    "doc_id) via one max(struct) aggregate — the curation policy 'keep "
+    "the richest copy' instead of exact_dedup's min-id rule. Oracle: "
+    "recursive-CTE transitive closure + row_number survivor.",
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
+    clusters = dedup.pair_clusters(pairs)
+    return (
+        clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("survivor_doc_id"),
+            F.col("best.n_chars").alias("survivor_n_chars"),
+            "n_members",
+        )
+    )

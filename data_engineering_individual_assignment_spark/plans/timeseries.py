@@ -1,0 +1,147 @@
+"""Time-series warehouse shapes over the events log: calendar-spine
+gap filling with forward-fill interpolation, and a type-2
+slowly-changing-dimension (SCD2) history build.
+
+Scale design:
+- The date spine is GENERATED on-executor (``sequence`` + ``explode``
+  from a 1-row min/max aggregate broadcast) — no driver-side date loop,
+  no collected bounds.
+- Forward fill is ``last(ignoreNulls)`` over a per-key ordered window —
+  one exchange per key, linear in rows.
+- SCD2 collapses consecutive same-state rows with ``lag`` then derives
+  validity intervals with ``lead`` — two windows over the SAME
+  (user_id, ts) ordering, so Catalyst plans ONE exchange + sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+
+@register(
+    "gap_fill_daily",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY event_type, day),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    spine AS (
+        SELECT t.event_type, CAST(u.d AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+                                  INTERVAL 1 DAY)) AS d
+                    FROM bounds) u),
+    filled AS (
+        SELECT s.event_type, s.day,
+               coalesce(d.n_events, 0) AS n_events,
+               last_value(d.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS avg_value_ff
+        FROM spine s
+        LEFT JOIN daily d ON d.event_type = s.event_type
+                         AND d.day = s.day)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+           round(avg_value_ff, 6) AS avg_value_ff
+    FROM filled
+    """,
+    doc="calendar-spine gap filling: per-event-type daily counts joined "
+    "to a generated min..max date spine (sequence+explode from a 1-row "
+    "broadcast bounds aggregate — no driver loop), missing days "
+    "zero-filled and the daily average forward-filled with "
+    "last(ignoreNulls) over the per-type ordered window.",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("ff"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round("ff", 6).alias("avg_value_ff"),
+        )
+    )
+
+
+@register(
+    "scd2_user_state_history",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE user_id < 20),
+    runs AS (
+        SELECT user_id, event_type AS state, ts AS valid_from_ts
+        FROM ordered
+        WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, state,
+           strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           coalesce(strftime(lead(valid_from_ts) OVER (
+                        PARTITION BY user_id ORDER BY valid_from_ts),
+                    '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to,
+           CAST(lead(valid_from_ts) OVER (
+                    PARTITION BY user_id ORDER BY valid_from_ts)
+                IS NULL AS INT) AS is_current
+    FROM runs
+    """,
+    doc="SCD2 history build: each user's event_type stream collapsed to "
+    "state-change runs (lag over (user_id, ts) detects transitions), "
+    "then lead() closes each validity interval — the standard type-2 "
+    "dimension derivation, two windows sharing one exchange+sort. "
+    "user_id < 20 keeps the checked slice small; the plan is "
+    "slice-independent.",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from_ts"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_ts")
+    nxt = F.lead("valid_from_ts").over(w2)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return runs.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from_ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format(nxt, fmt), F.lit("current")).alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
