@@ -432,3 +432,171 @@ def asof_join_pandas_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("last_order_price"),
     ).orderBy("event_id")
+
+
+@register(
+    "merge_upsert_summary",
+    sql="""
+    WITH base AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS base_price
+        FROM orders WHERE o_orderkey % 10 <> 0),
+    updates AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(1.1 AS DECIMAL(3,1)) AS new_price
+        FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+        SELECT coalesce(u.new_price, CAST(b.base_price AS DECIMAL(22,3)))
+                 AS final_price,
+               CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                    WHEN u.o_orderkey IS NULL THEN 'unchanged'
+                    ELSE 'updated' END AS action
+        FROM base b FULL OUTER JOIN updates u
+          ON u.o_orderkey = b.o_orderkey)
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(final_price) AS DOUBLE), 2) AS total_price
+    FROM merged
+    GROUP BY action
+    """,
+    doc="warehouse MERGE/upsert semantics as one lazy plan: a base "
+    "snapshot full-outer-joined to an update set, rows classified "
+    "inserted/updated/unchanged and re-priced with coalesce — the "
+    "batch equivalent of MERGE INTO (the reference's per-row INSERT "
+    "loop, F:598-657, done set-wise). One key-partitioned shuffle; at "
+    "100 TB both sides bucket by the merge key so the join is "
+    "exchange-free (write_bucketed_table). Prices go through exact "
+    "DECIMAL arithmetic (double round(x*1.1) half-cases diverge "
+    "between engines); only the final exact sum is cast to double.",
+)
+def merge_upsert_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("base_price"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        (
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(3,1)")
+        ).alias("new_price"),
+    )
+    merged = base.join(
+        updates, F.col("o_orderkey") == F.col("u_orderkey"), "full"
+    ).select(
+        F.coalesce(
+            "new_price", F.col("base_price").cast("decimal(22,3)")
+        ).alias("final_price"),
+        F.when(F.col("o_orderkey").isNull(), "inserted")
+        .when(F.col("u_orderkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("final_price").cast("double"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "median_mode_stats",
+    sql="""
+    WITH status_counts AS (
+        SELECT l_returnflag, l_linestatus, count(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    mode_pick AS (
+        SELECT l_returnflag, l_linestatus AS mode_status
+        FROM status_counts
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY c DESC, l_linestatus ASC) = 1)
+    SELECT s.l_returnflag,
+           round(median(s.l_quantity), 3) AS median_qty,
+           round(median(s.l_extendedprice), 3) AS median_price,
+           m.mode_status
+    FROM lineitem s JOIN mode_pick m USING (l_returnflag)
+    GROUP BY s.l_returnflag, m.mode_status
+    """,
+    doc="exact interpolated median (percentile_cont 0.5 semantics in "
+    "both engines) and deterministic mode (ties to the smallest value "
+    "— Spark mode(deterministic=True), oracle row_number tie-break) "
+    "per return flag (medians rounded to 3 — midpoints of 2-decimal "
+    "prices end in .xx5, so round-to-2 sits ON the half boundary). "
+    "Median needs a per-group sort of the values; at "
+    "scale prefer approx_percentile (approx_sketches) unless exactness "
+    "is contractual.",
+)
+def median_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 3).alias("median_qty"),
+            F.round(F.median("l_extendedprice"), 3).alias("median_price"),
+            F.mode("l_linestatus", True).alias("mode_status"),
+        )
+        .select("l_returnflag", "median_qty", "median_price", "mode_status")
+    )
+
+
+@register(
+    "summary_stats_wide",
+    sql="""
+    WITH agg AS (SELECT
+        CAST(count(l_quantity) AS BIGINT) AS qty_n,
+        round(avg(l_quantity), 6) AS qty_mean,
+        round(stddev_samp(l_quantity), 6) AS qty_std,
+        round(min(l_quantity), 2) AS qty_min,
+        round(max(l_quantity), 2) AS qty_max,
+        CAST(count(l_extendedprice) AS BIGINT) AS price_n,
+        round(avg(l_extendedprice), 6) AS price_mean,
+        round(stddev_samp(l_extendedprice), 6) AS price_std,
+        round(min(l_extendedprice), 2) AS price_min,
+        round(max(l_extendedprice), 2) AS price_max,
+        CAST(count(l_discount) AS BIGINT) AS disc_n,
+        round(avg(l_discount), 6) AS disc_mean,
+        round(stddev_samp(l_discount), 6) AS disc_std,
+        round(min(l_discount), 2) AS disc_min,
+        round(max(l_discount), 2) AS disc_max
+        FROM lineitem)
+    SELECT col, n, mean, std, min_v, max_v FROM (
+        SELECT 'l_quantity' AS col, qty_n AS n, qty_mean AS mean,
+               qty_std AS std, qty_min AS min_v, qty_max AS max_v FROM agg
+        UNION ALL
+        SELECT 'l_extendedprice', price_n, price_mean, price_std,
+               price_min, price_max FROM agg
+        UNION ALL
+        SELECT 'l_discount', disc_n, disc_mean, disc_std,
+               disc_min, disc_max FROM agg)
+    """,
+    doc="one-pass df.describe(): count/mean/stddev/min/max for three "
+    "numeric columns computed in a SINGLE aggregation over a single "
+    "scan (15 partial aggregates, map-side combined), then unpivoted "
+    "to one row per column with stack() — never one pass per column.",
+)
+def summary_stats_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {
+        "l_quantity": "qty",
+        "l_extendedprice": "price",
+        "l_discount": "disc",
+    }
+    aggs = []
+    for c, p in cols.items():
+        aggs += [
+            F.count(c).alias(f"{p}_n"),
+            F.round(F.avg(c), 6).alias(f"{p}_mean"),
+            F.round(F.stddev_samp(c), 6).alias(f"{p}_std"),
+            F.round(F.min(c), 2).alias(f"{p}_min"),
+            F.round(F.max(c), 2).alias(f"{p}_max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {p}_n, {p}_mean, {p}_std, {p}_min, {p}_max"
+        for c, p in cols.items()
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col, n, mean, std, min_v, max_v)"
+        )
+    )

@@ -35,6 +35,10 @@ QUERIES = [
     "near_dup_clusters",
     "tfidf_top_terms",
     "event_funnel",
+    "volume_shipping",
+    "waiting_suppliers",
+    "dup_span_fraction",
+    "gap_fill_daily",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")
