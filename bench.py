@@ -55,15 +55,25 @@ def main() -> None:
         release_intermediates,
     )
 
+    # median-of-3 per query makes the number adjudicable: a single
+    # contended run can't masquerade as a regression, and a real
+    # regression can't hide behind "contention".  The unpersist of
+    # dedup intermediates happens OUTSIDE the timed window.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = plans.CATALOG[name]
-        t0 = time.perf_counter()
-        run(q.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # free any persisted dedup intermediates so one query's cache
-        # doesn't squeeze the next query's shuffle memory
+        samples: list[float] = []
+        for _ in range(runs):
+            release_intermediates()  # outside the timed window
+            t0 = time.perf_counter()
+            run(q.fn(spark, sf_dir))
+            samples.append(round(time.perf_counter() - t0, 3))
         release_intermediates()
+        samples.sort()
+        all_runs[name] = samples
+        timings[name] = samples[len(samples) // 2]
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,6 +84,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "median": True,
+                "samples": all_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

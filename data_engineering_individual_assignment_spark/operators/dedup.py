@@ -39,10 +39,14 @@ def release_intermediates() -> int:
     """Unpersist every intermediate cached by jaccard_join /
     near_dup_minhash since the last call.  Call AFTER materializing the
     returned DataFrame (unpersisting earlier would recompute the shingle
-    relation once per subtree).  Returns the number released."""
+    relation once per subtree).  Returns the number released.
+
+    blocking=True: the default async unpersist lets block eviction run
+    concurrently with whatever executes next — in a benchmark loop that
+    bleeds one query's cleanup into the next query's timed window."""
     n = 0
     while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+        _PERSISTED.pop().unpersist(blocking=True)
         n += 1
     return n
 

@@ -253,24 +253,38 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup",
     sql="""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        -- planted near-identical clones: the synthetic embeddings are
+        -- near-orthogonal (max pairwise cos ~0.5), so without these the
+        -- 0.95 threshold compares empty sets — a vacuous oracle match
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id < 5)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
                AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
     WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95
     ORDER BY id_a, id_b
     """,
-    doc="EXACT embedding-cosine near-dup pairs (cos >= 0.95): broadcast "
-    "self-join baseline, oracle-checked; embedding_lsh_near_dup is the "
-    "sub-quadratic hyperplane-LSH scale path.",
+    doc="EXACT embedding-cosine near-dup pairs (cos >= 0.95) over the "
+    "corpus plus 5 planted exact-duplicate clones (ids +1e6), so the "
+    "oracle compares a non-empty pair set: broadcast self-join baseline; "
+    "embedding_lsh_near_dup is the sub-quadratic hyperplane-LSH scale path.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_near_dup_pairs(emb, threshold=0.95).orderBy("id_a", "id_b")
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.cosine_near_dup_pairs(corpus, threshold=0.95).orderBy("id_a", "id_b")
 
 
 @register(
@@ -279,11 +293,18 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="APPROXIMATE embedding near-dup: 12-bit random-hyperplane "
     "signatures (Charikar SimHash), bucket equi-join, exact cosine "
     "verify. Linear-plus-candidates work; recall vs the exact query "
-    "is measured in unit tests.",
+    "is measured in unit tests. Same planted-clone domain as "
+    "embedding_near_dup (identical vectors collide in every bucket, "
+    "so the check is non-vacuous).",
 )
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.hyperplane_lsh_pairs(emb, num_planes=12, threshold=0.95).orderBy(
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.hyperplane_lsh_pairs(corpus, num_planes=12, threshold=0.95).orderBy(
         "id_a", "id_b"
     )
 
@@ -528,9 +549,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
-            # µs precision: a cast-to-seconds diff would truncate and
-            # disagree with the oracle's exact interval comparison
-            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > 1800 * 1_000_000),
+            # timestamp-type-agnostic: timestamp subtraction yields an
+            # INTERVAL for both TIMESTAMP and TIMESTAMP_NTZ (unix_micros
+            # rejects NTZ, which the driver session infers from parquet)
+            | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")),
             1,
         )
         .otherwise(0)
