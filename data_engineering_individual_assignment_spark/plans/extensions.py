@@ -97,6 +97,127 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@register(
+    "dedup_latest_event",
+    sql="""
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS latest_event_id,
+           round(value, 2)          AS latest_value,
+           CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+               AS n_versions
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="latest-record-wins dedup (the warehouse 'keep newest version "
+    "per key' op, CDC compaction): one row_number window per "
+    "(user_id, event_type), newest ts wins, event_id desc tie-break. "
+    "One hash exchange on the dedup key — scale-safe; contrast with "
+    "dedup_exact's content-hash semantics.",
+)
+def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id", "event_type")
+    return (
+        e.withColumn("n_versions", F.count("*").over(wc))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.round("value", 2).alias("latest_value"),
+            F.col("n_versions").cast("bigint"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+_EST_HASHES = 16
+_EST_SIG_TERMS = ",\n               ".join(
+    f"CAST(list_min(list_transform(shingles, s -> "
+    f"CAST('0x' || substr(md5('{i}|' || s), 1, 15) AS BIGINT))) AS BIGINT) AS mh{i}"
+    for i in range(_EST_HASHES)
+)
+_EST_AGREE = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_EST_HASHES)
+)
+
+
+@register(
+    "minhash_estimate_accuracy",
+    sql=rf"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+    sigs AS (
+        SELECT doc_id,
+               {_EST_SIG_TERMS}
+        FROM sh)
+    SELECT p.doc_a, p.doc_b,
+           round(p.j, 6) AS exact_j,
+           round(({_EST_AGREE}) / {_EST_HASHES}.0, 6) AS est_j
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    doc="sketch-accuracy measurement: exact 3-shingle Jaccard vs the "
+    "16-hash MinHash ESTIMATE (fraction of agreeing md5-portable "
+    "minhashes — E[est]=J, the quantity LSH banding thresholds on) for "
+    "every pair with exact J >= 0.5. Both engines compute identical "
+    "md5-derived signatures, so the estimate itself is oracle-checked, "
+    "pinning cross-engine sketch portability.",
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.5, k=3).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("exact_j")
+    )
+    sigs = dedup.minhash_portable(d, "text", "doc_id", num_hashes=_EST_HASHES, k=3)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_EST_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_EST_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_EST_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "exact_j",
+            F.round(agree / F.lit(float(_EST_HASHES)), 6).alias("est_j"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _MH_TERMS = ",\n           ".join(
     f"CAST(list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i}|' || s), 1, 15) AS BIGINT))) AS BIGINT) AS mh{i}"
     for i in range(4)
@@ -707,9 +828,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_clusters",
-    sql=r"""
+# shared by near_dup_clusters and near_dup_clusters_star: the cluster
+# assignment is algorithm-independent (connected components are unique),
+# so both implementations must match the same transitive-closure oracle
+_CLUSTERS_ORACLE_SQL = r"""
     WITH RECURSIVE sh AS (
         SELECT doc_id,
                list_distinct([
@@ -737,7 +859,12 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach
     GROUP BY a
     ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "near_dup_clusters",
+    sql=_CLUSTERS_ORACLE_SQL,
     doc="near-dup CLUSTER assignment: connected components over the "
     "exact Jaccard>=0.7 pair graph by iterative min-label propagation "
     "(rounds bounded by cluster diameter — near-cliques close in 2-4; "
@@ -749,3 +876,18 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
     return dedup.pair_clusters(pairs).orderBy("doc_id")
+
+
+@register(
+    "near_dup_clusters_star",
+    sql=_CLUSTERS_ORACLE_SQL,
+    doc="near-dup CLUSTER assignment via alternating large-star/"
+    "small-star (Kiveris et al. 2014) — the billion-edge scale path: "
+    "O(log n) rounds independent of component diameter, one driver "
+    "action per round. Same transitive-closure oracle as "
+    "near_dup_clusters (components are algorithm-independent).",
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
+    return dedup.star_clusters(pairs).orderBy("doc_id")

@@ -313,3 +313,58 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "key_skew_profile",
+    sql="""
+    WITH oc AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM orders GROUP BY o_custkey),
+    ev AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY user_id)
+    SELECT 'orders.o_custkey' AS keyspace,
+           CAST(count(*) AS BIGINT)       AS n_keys,
+           CAST(max(n) AS BIGINT)         AS max_rows,
+           round(avg(n), 4)               AS avg_rows,
+           round(quantile_cont(n, 0.5), 4)  AS p50_rows,
+           round(quantile_cont(n, 0.99), 4) AS p99_rows,
+           round(max(n) / avg(n), 4)      AS skew_factor
+    FROM oc
+    UNION ALL
+    SELECT 'events.user_id',
+           CAST(count(*) AS BIGINT),
+           CAST(max(n) AS BIGINT),
+           round(avg(n), 4),
+           round(quantile_cont(n, 0.5), 4),
+           round(quantile_cont(n, 0.99), 4),
+           round(max(n) / avg(n), 4)
+    FROM ev
+    ORDER BY keyspace
+    """,
+    doc="join/agg-key skew diagnosis — the profile you run BEFORE "
+    "choosing a salting factor or trusting AQE's skew-join split: "
+    "per-key row counts reduced to max/avg/p50/p99 and a max/avg skew "
+    "factor, for the two natural join keys in the schema. Two partial "
+    "aggregations (map-side combine on the key), each followed by a "
+    "single-row reduce — no full-table sort, scale-safe.",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count("*").cast("double").alias("n"))
+        return per_key.agg(
+            F.lit(label).alias("keyspace"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("n").cast("bigint").alias("max_rows"),
+            F.round(F.avg("n"), 4).alias("avg_rows"),
+            F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_rows"),
+            F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_rows"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_factor"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    return (
+        profile(o, "o_custkey", "orders.o_custkey")
+        .unionByName(profile(e, "user_id", "events.user_id"))
+        .orderBy("keyspace")
+    )

@@ -238,6 +238,60 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def latest_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming latest-record-wins (the CDC-compaction twin of the
+    batch ``dedup_latest_event`` query): per (user_id, event_type),
+    keep the newest row by (ts, event_id) across micro-batches with
+    applyInPandasWithState.  Emits the current winner per key per
+    micro-batch; the LAST emission per key equals the batch answer.
+    State is one (ts, event_id, value) triple per key — bounded by the
+    keyspace, not the stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("latest_ts_us", T.LongType()),
+        T.StructField("latest_event_id", T.LongType()),
+        T.StructField("latest_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            # tuple comparison (ts, event_id) — same tie-break as the
+            # batch window's ORDER BY ts DESC, event_id DESC
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            for i in range(len(pdf)):
+                cand = (
+                    int(ts_us[i]),
+                    int(pdf["event_id"].iloc[i]),
+                    float(pdf["value"].iloc[i]),
+                )
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "latest_ts_us": [best[0]],
+                "latest_event_id": [best[1]],
+                "latest_value": [best[2]],
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-static decontamination (documents stream vs broadcast benchmark)
 # --------------------------------------------------------------------------

@@ -39,6 +39,10 @@ QUERIES = [
     "waiting_suppliers",
     "dup_span_fraction",
     "gap_fill_daily",
+    "near_dup_clusters_star",
+    "dedup_latest_event",
+    "minhash_estimate_accuracy",
+    "key_skew_profile",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")

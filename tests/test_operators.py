@@ -327,3 +327,38 @@ def test_pair_clusters_long_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in pair_clusters(pairs).collect()}
     assert set(out) == set(range(100, 130))
     assert set(out.values()) == {100}
+
+
+def test_star_clusters_chain_and_islands(spark):
+    """large/small-star must produce the same components as label
+    propagation: chain collapses to min-id, islands stay separate."""
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        star_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 11), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in star_clusters(pairs).collect()}
+    assert out == {5: 5, 9: 5, 11: 5, 2: 2, 3: 2}
+
+
+def test_star_clusters_long_chain_logarithmic_rounds(spark):
+    """On a 30-node drift chain (diameter 29) the alternating-star
+    algorithm must converge correctly in O(log d) rounds — ceil(log2(29))
+    = 5, +1 for the fixpoint-detection round, +1 slack — not the ~29 a
+    naive propagation would need.  (Path-halved label propagation is
+    also logarithmic; star's advantage at scale is one driver action
+    per round and edge-set — not label-table — state.)"""
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        LAST_ROUNDS,
+        star_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 129)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in star_clusters(pairs).collect()}
+    assert set(out) == set(range(100, 130))
+    assert set(out.values()) == {100}
+    assert LAST_ROUNDS["star_clusters"] <= 7

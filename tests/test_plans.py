@@ -242,3 +242,20 @@ def test_column_profile_single_scan(spark):
     ev_scans = [ln for ln in plan.splitlines() if "events" in ln and "Scan" in ln]
     # initial + final AQE plan each print the scan once
     assert len(ev_scans) <= 2
+
+
+def test_dedup_latest_single_exchange(spark):
+    """Latest-record-wins must hash-exchange ONCE on the dedup key —
+    the n_versions count window and the row_number window share the
+    (user_id, event_type) partitioning."""
+    plan = _plan(spark, "dedup_latest_event")
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("hashpartitioning(user_id") <= 1
+
+
+def test_key_skew_profile_partial_aggregation(spark):
+    """The per-key counts must partial-aggregate map-side (two
+    HashAggregates per branch), and nothing in the plan sorts the
+    full table."""
+    plan = _plan(spark, "key_skew_profile", execute=True)
+    assert plan.count("HashAggregate") >= 4

@@ -111,6 +111,41 @@ def test_running_totals_stateful(spark, landing):
     assert b == s
 
 
+def test_latest_state_stream_equals_batch_dedup(spark, landing):
+    """Streaming latest-record-wins == the batch dedup_latest_event
+    query on the same events: for every (user_id, event_type) the final
+    emission must carry the same winning event_id and value."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    out = W.run_to_memory(
+        spark,
+        W.latest_state_stream(W.stream_events(spark, landing)),
+        mode="update",
+    )
+    # update-mode memory sink appends every emission; the per-key winner
+    # evolves monotonically in (ts, event_id), so the final emission is
+    # the max by that tuple
+    w = F.struct("latest_ts_us", "latest_event_id")
+    final = (
+        out.groupBy("user_id", "event_type")
+        .agg(F.max_by("latest_event_id", w).alias("latest_event_id"),
+             F.max_by("latest_value", w).alias("latest_value"))
+    )
+    batch = plans.CATALOG["dedup_latest_event"].fn(spark, SF_SMALL)
+    b = {
+        (r["user_id"], r["event_type"]): (r["latest_event_id"], round(r["latest_value"], 2))
+        for r in batch.collect()
+    }
+    s = {
+        (r["user_id"], r["event_type"]): (r["latest_event_id"], round(r["latest_value"], 2))
+        for r in final.collect()
+    }
+    assert b == s
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """§2.9 late-data semantics: with a 1-hour watermark and append mode,
     events arriving after the watermark passed their window are DROPPED.
