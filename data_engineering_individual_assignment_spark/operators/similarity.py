@@ -60,6 +60,86 @@ def brute_force_topk(
     )
 
 
+def block_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via PER-PARTITION BLOCK scoring — the same
+    semantics as ``brute_force_topk`` (ties on neighbor_id ascending,
+    self-matches excluded) under the physical strategy that scales:
+
+    - the query set is collected once (small by contract — a query
+      batch, not a table) and broadcast as one float64 matrix;
+    - each corpus partition computes Q @ C.T as a single BLAS gemm in
+      mapInPandas and keeps only its local top-k per query, so the
+      Arrow boundary moves |corpus| rows in and q*k rows OUT per
+      partition — no |corpus| x |queries| pair relation ever exists
+      (brute_force_topk shuffles exactly that);
+    - a final window over the q * k * n_partitions candidates (tiny)
+      picks the global top-k.
+
+    At 100 TB: one corpus scan, zero corpus shuffle, candidate reduce
+    bounded by partitions — the standard exact-kNN fan-in design.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rnk int, cos_sim double"
+        )
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((q_ids, Qn))
+
+    def score_block(batches):
+        ids, Qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            sims = Qm @ Cn.T  # (q, rows) one gemm per Arrow batch
+            cids = pdf["neighbor_id"].to_numpy()
+            take = min(len(cids), k + 1)  # +1 absorbs a self-match
+            for qi in range(len(ids)):
+                s = sims[qi]
+                # partial top-take, then deterministic (-sim, id) order
+                cand = np.argpartition(-s, take - 1)[:take] if len(s) > take else np.arange(len(s))
+                order = cand[np.lexsort((cids[cand], -s[cand]))]
+                keep = order[cids[order] != ids[qi]][:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[qi],
+                        "neighbor_id": cids[keep],
+                        "cos_sim": s[keep],
+                    }
+                )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    local = c.mapInPandas(
+        score_block, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -685,3 +685,118 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "ngram_novelty",
+    sql=r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    rows_ AS (
+        SELECT doc_id, unnest(shingles) AS g FROM sh),
+    df_ AS (
+        SELECT g, count(*) AS n_docs FROM rows_ GROUP BY g)
+    SELECT r.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (d.n_docs = 1) AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (d.n_docs = 1) AS DOUBLE) / count(*), 6)
+               AS novelty
+    FROM rows_ r JOIN df_ d USING (g)
+    GROUP BY r.doc_id
+    ORDER BY doc_id
+    """,
+    doc="cross-document n-gram NOVELTY per doc: the fraction of a "
+    "document's distinct 3-shingles that appear in NO other document — "
+    "the inter-doc repetition signal that catches boilerplate and "
+    "template farms near-dup pair mining misses (a doc can be 30% "
+    "boilerplate without any single pair clearing a Jaccard threshold). "
+    "Two digest-keyed aggregations (document frequency on the 8-byte "
+    "shingle hash, then per-doc roll-up) — no pair join, linear at "
+    "100 TB. Low-novelty docs are downweighted or dropped in the mix.",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = dedup.hashed_shingle_rows(d, "text", "doc_id", k=3).distinct()
+    dfreq = rows.groupBy("shingle_h").agg(F.count("*").alias("n_docs"))
+    return (
+        rows.join(dfreq, "shingle_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "length_outlier_flags",
+    sql=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents),
+    bounds AS (
+        SELECT quantile_cont(n_tokens, 0.05) AS lo,
+               quantile_cont(n_tokens, 0.995) AS hi
+        FROM tok)
+    SELECT t.doc_id, t.lang, t.n_tokens,
+           round(b.lo, 4) AS p5_tokens,
+           round(b.hi, 4) AS p995_tokens,
+           CASE WHEN t.n_tokens < b.lo THEN 'too_short'
+                WHEN t.n_tokens > b.hi THEN 'too_long'
+                ELSE 'keep' END AS flag
+    FROM tok t CROSS JOIN bounds b
+    ORDER BY doc_id
+    """,
+    doc="corpus-relative length outlier filter: flag docs below the 5th "
+    "or above the 99.5th token-length percentile — the distribution-"
+    "aware truncation/fragment gate (absolute cutoffs misfire across "
+    "domains; percentiles adapt per corpus). The two exact percentiles "
+    "reduce to ONE broadcast row joined back to the scan — a 1-row "
+    "broadcast nested loop, not a repartition; percentile_approx is the "
+    "drop-in at 100 TB.",
+)
+def length_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.size(TX.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    bounds = tok.agg(
+        F.percentile("n_tokens", F.lit(0.05)).alias("lo"),
+        F.percentile("n_tokens", F.lit(0.995)).alias("hi"),
+    )
+    return (
+        tok.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("lo", 4).alias("p5_tokens"),
+            F.round("hi", 4).alias("p995_tokens"),
+            F.when(F.col("n_tokens") < F.col("lo"), "too_short")
+            .when(F.col("n_tokens") > F.col("hi"), "too_long")
+            .otherwise("keep")
+            .alias("flag"),
+        )
+        .orderBy("doc_id")
+    )

@@ -309,9 +309,9 @@ def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
-@register(
-    "ann_brute_force",
-    sql="""
+# shared by ann_brute_force and ann_block_topk: both are EXACT top-5
+# cosine search — same answer, different physical strategy
+_ANN_ORACLE_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
                FROM embeddings WHERE vec_id < 10),
     scored AS (
@@ -328,7 +328,12 @@ def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     QUALIFY rnk <= 5
     ORDER BY query_id, rnk
-    """,
+    """
+
+
+@register(
+    "ann_brute_force",
+    sql=_ANN_ORACLE_SQL,
     doc="exact cosine top-5 for the 10 lowest-id query vectors: broadcast "
     "query set, single corpus scan, per-query window rank. The exact-ANN "
     "baseline; ann_ivf is the approximate scale path.",
@@ -337,6 +342,22 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "ann_block_topk",
+    sql=_ANN_ORACLE_SQL,
+    doc="exact cosine top-5 via per-partition BLOCK scoring (mapInPandas "
+    "gemm over each corpus partition, local top-k, tiny global reduce): "
+    "the same answer as ann_brute_force with no |corpus| x |queries| "
+    "pair relation — one corpus scan, zero corpus shuffle, the physical "
+    "strategy that survives a 100 TB corpus. Same oracle as "
+    "ann_brute_force (both exact).",
+)
+def ann_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.block_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
 @register(

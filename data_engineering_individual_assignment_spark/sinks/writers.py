@@ -154,3 +154,14 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     re-reads; gzip chosen for interchange).  No coalesce — a corpus
     export should write one part per task."""
     df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC export with zstd compression (splittable, better ratio than
+    the zlib default).  Optional single-column partitioning for
+    downstream partition pruning — same layout contract as the parquet
+    warehouse writer."""
+    w = df.write.mode("overwrite").option("compression", "zstd")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)

@@ -127,3 +127,19 @@ def read_jsonl(
     Lines that fail to parse surface in ``_corrupt_record`` when the
     schema includes it (PERMISSIVE default) rather than killing the job."""
     return spark.read.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """ORC scan — the other columnar warehouse interchange format Spark
+    ships natively (Hive-ecosystem tables arrive as ORC as often as
+    parquet).  Same optimizer benefits as parquet: column pruning,
+    predicate pushdown, and (with spark.sql.orc.filterPushdown, on by
+    default) row-group skipping via min/max stripes.  Schema optional:
+    ORC footers carry types, and unlike CSV/JSON there is no extra
+    inference scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

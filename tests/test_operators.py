@@ -205,6 +205,23 @@ def test_ivf_recall(spark):
     assert len(approx) == len(exact)  # same shape: 5 per query
 
 
+def test_block_topk_equals_brute_force(spark):
+    """The per-partition block strategy is the same EXACT operator as
+    the pair-join strategy: identical (query, neighbor, rank, sim) rows,
+    including the neighbor-id tie-break and self-match exclusion."""
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        block_topk,
+        brute_force_topk,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").repartition(7)  # force >1 block
+    q = emb.filter(F.col("vec_id") < 10)
+    a = sorted(tuple(r) for r in brute_force_topk(emb, q, k=5).collect())
+    b = sorted(tuple(r) for r in block_topk(emb, q, k=5).collect())
+    assert a == b
+
+
 # --------------------------------------------------------------------------
 # Embedding near-dup: exact finds planted pairs; hyperplane LSH recalls them
 # --------------------------------------------------------------------------

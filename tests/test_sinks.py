@@ -157,3 +157,27 @@ def test_scan_stats_manifest(spark, tmp_path):
     hi = max(r.o_orderkey_max for r in stats)
     row = li.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
     assert (lo, hi) == (row[0], row[1])
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC write -> read preserves schema and values, and a filtered
+    re-read pushes the predicate into the ORC scan."""
+    from data_engineering_individual_assignment_spark.sinks.writers import write_orc
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        load_table,
+        read_orc,
+    )
+    from .conftest import SF_SMALL
+
+    src = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    filtered = back.filter(back.o_orderkey < 100)
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1].split("]")[0]
+    assert filtered.count() == src.filter(src.o_orderkey < 100).count()
