@@ -1,0 +1,102 @@
+"""Iterative graph algorithms over pair/edge relations.
+
+``pagerank`` complements the connected-components operators in
+``dedup`` (pair_clusters / star_clusters): components tell you WHICH
+docs form a near-dup cluster; PageRank over the similarity graph ranks
+centrality WITHIN the corpus — e.g. picking the canonical
+representative of a template family, or weighting documents by how
+"hub-like" their duplication neighborhood is.
+
+Design for scale: each iteration is one join (edges ⋈ ranks, both hash
+partitioned on the same key) + one aggregation; the rank relation is a
+(node, rank) pair — never materialized per-edge beyond the shuffle.  A
+fixed small iteration count keeps the plan finite and the operator
+oracle-able (the DuckDB twin unrolls the same iterations as CTEs);
+convergence-driven runs would localCheckpoint per round like
+``dedup.pair_clusters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph given as (src, dst) pairs:
+    each pair contributes both directions, so every node in the graph
+    has out-degree >= 1 and no dangling-mass correction is needed.
+
+    Returns (doc_id, rank) for every node appearing in a pair, with
+    rank rounded to 6 places; ranks start uniform at 1/N and follow
+    r = (1-d)/N + d * sum(r_in / deg_in) for ``iterations`` rounds —
+    deterministic arithmetic, so the result is differential-testable
+    against an engine that unrolls the same recurrence.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    # materialize the (possibly expensive) pair relation ONCE: without
+    # this every rank reference re-expands the upstream plan — 3 lazy
+    # iterations replicate a jaccard-join subtree ~2^3 times and the
+    # driver OOMs compiling it (same lesson as dedup.pair_clusters)
+    edges_p = edges.persist()
+    n_edges = edges_p.count()
+    # size every loop shuffle to the GRAPH (checkpoints drop Catalyst
+    # partitioning info; without this each round shuffles at the session
+    # default — 200-wide for a 50-edge graph)
+    parts = max(1, min(256, 2 * n_edges // 50_000 + 1))
+    sym = (
+        edges_p.unionByName(
+            edges_p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(parts, "src")
+        .localCheckpoint()
+    )
+    edges_p.unpersist()
+    degrees = (
+        sym.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .repartition(parts, "src")
+        .localCheckpoint()
+    )
+    # N is a 1-row frame joined in by broadcast — no driver action
+    n_nodes = degrees.agg(F.count("*").cast("double").alias("n"))
+
+    ranks = degrees.crossJoin(F.broadcast(n_nodes)).select(
+        "src", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = (
+            sym.join(ranks.repartition(parts, "src"), "src")
+            .join(degrees, "src")
+            .repartition(parts, "dst")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
+        )
+        ranks = (
+            degrees.join(contribs.repartition(parts, "src"), "src", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "src",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if i < iterations - 1:
+            # truncate lineage between rounds; the last round stays lazy
+            # so callers can keep composing the plan
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        F.col("src").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )

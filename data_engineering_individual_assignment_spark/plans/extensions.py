@@ -912,3 +912,72 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
     return dedup.star_clusters(pairs).orderBy("doc_id")
+
+
+def _pagerank_iter_cte(i: int) -> str:
+    prev = f"r{i-1}"
+    return f"""
+    c{i} AS (
+        SELECT e.dst AS src, sum(r.rank / dd.deg) AS inflow
+        FROM edges e
+        JOIN {prev} r ON e.src = r.src
+        JOIN deg dd ON e.src = dd.src
+        GROUP BY e.dst),
+    r{i} AS (
+        SELECT d.src,
+               0.15 / nn.n + 0.85 * coalesce(c.inflow, 0.0) AS rank
+        FROM deg d
+        CROSS JOIN nn
+        LEFT JOIN c{i} c ON d.src = c.src)"""
+
+
+_PAGERANK_SQL = (
+    r"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT d.src, 1.0 / nn.n AS rank FROM deg d CROSS JOIN nn),"""
+    + ",".join(_pagerank_iter_cte(i) for i in range(1, 4))
+    + """
+    SELECT src AS doc_id, round(rank, 6) AS rank
+    FROM r3
+    ORDER BY doc_id
+    """
+)
+
+
+@register(
+    "pagerank_near_dup",
+    sql=_PAGERANK_SQL,
+    doc="iterative PageRank (3 unrolled rounds, d=0.85) over the "
+    "undirected exact near-dup graph: centrality WITHIN duplication "
+    "neighborhoods — e.g. canonical-representative choice for template "
+    "families, where connected components only say who's together. "
+    "Each round is one edges-ranks hash join + one aggregation; the "
+    "oracle unrolls the identical recurrence as chained CTEs, so the "
+    "float trajectory itself is differential-tested.",
+)
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
+    return graph.pagerank(pairs, iterations=3, damping=0.85).orderBy("doc_id")

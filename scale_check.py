@@ -128,6 +128,11 @@ def main() -> None:
                 "scaling_exponent": round(exponent, 2),
             }
         print(json.dumps(report, indent=2))
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING_RUN.json"),
+            "w",
+        ) as f:
+            json.dump(report, f, indent=2)
     finally:
         shutil.rmtree(dst, ignore_errors=True)
         spark.stop()

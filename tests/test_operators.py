@@ -379,3 +379,19 @@ def test_star_clusters_long_chain_logarithmic_rounds(spark):
     assert set(out) == set(range(100, 130))
     assert set(out.values()) == {100}
     assert LAST_ROUNDS["star_clusters"] <= 7
+
+
+def test_pagerank_mass_and_centrality(spark):
+    """On a star graph a-b, a-c, a-d: total rank mass stays 1 (undirected
+    graph has no dangling leak) and the hub out-ranks the leaves, which
+    tie exactly by symmetry."""
+    from data_engineering_individual_assignment_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["rank"] for r in pagerank(pairs, iterations=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out[1] > out[2]
+    assert out[2] == out[3] == out[4]
