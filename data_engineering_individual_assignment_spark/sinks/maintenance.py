@@ -85,3 +85,51 @@ def scan_stats(
         .agg(*aggs)
         .orderBy("file")
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 8,
+    bits: int = 10,
+) -> None:
+    """Z-ORDER clustered rewrite: sort rows along a Morton (bit-
+    interleaved) curve over two columns before writing, so EVERY file's
+    min/max range is narrow in BOTH dimensions — parquet row-group /
+    file skipping then prunes on either predicate, which a plain sort
+    gives only for its leading column.  This is the multi-dimensional
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER BY) expressed
+    with stock Spark.
+
+    Each column is rank-bucketed into 2^bits quantile buckets via
+    ntile over a global sort — exact and deterministic; at 100 TB swap
+    in approxQuantile cut points + width_bucket to avoid the global
+    windows (the curve needs only approximate ranks).  The z-value
+    interleaves the two bucket ids bit-by-bit; repartitionByRange on it
+    gives each output file a contiguous curve segment.
+    """
+    from pyspark.sql import Window
+
+    cx, cy = cols
+    nt = 1 << bits
+    bucketed = df.withColumn(
+        "__bx", F.ntile(nt).over(Window.orderBy(cx)) - 1
+    ).withColumn("__by", F.ntile(nt).over(Window.orderBy(cy)) - 1)
+    z = None
+    for b in range(bits):
+        contrib = (
+            F.shiftleft(F.shiftright("__bx", b).bitwiseAND(F.lit(1)), 2 * b)
+            .bitwiseOR(
+                F.shiftleft(F.shiftright("__by", b).bitwiseAND(F.lit(1)), 2 * b + 1)
+            )
+        )
+        z = contrib if z is None else z.bitwiseOR(contrib)
+    (
+        bucketed.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__bx", "__by", "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -43,6 +43,7 @@ QUERIES = [
     "dedup_latest_event",
     "minhash_estimate_accuracy",
     "key_skew_profile",
+    "pagerank_near_dup",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")

@@ -181,3 +181,45 @@ def test_orc_round_trip(spark, tmp_path):
     )
     assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1].split("]")[0]
     assert filtered.count() == src.filter(src.o_orderkey < 100).count()
+
+
+def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
+    """After a z-order rewrite on (o_custkey, o_totalprice), the per-file
+    min/max span of EACH column must shrink well below the full range on
+    average — that's the property file/row-group skipping prunes on.  A
+    single-column sort would narrow only its leading column."""
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        scan_stats,
+        zorder_write,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from .conftest import SF_SMALL
+
+    src = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16  # 4 fixed curve bits -> 2 per dimension
+    path = str(tmp_path / "orders_z")
+    zorder_write(src, path, ("o_custkey", "o_totalprice"), n_files=n_files)
+
+    stats = scan_stats(spark, path, ["o_custkey", "o_totalprice"]).collect()
+    assert len(stats) == n_files
+    lo_k, hi_k = src.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo_p, hi_p = src.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+
+    def avg_span(rows, col, full):
+        spans = [(r[f"{col}_max"] - r[f"{col}_min"]) / full for r in rows]
+        return sum(spans) / len(spans)
+
+    span_k = avg_span(stats, "o_custkey", hi_k - lo_k)
+    span_p = avg_span(stats, "o_totalprice", hi_p - lo_p)
+    # 16 curve segments fix the top 4 z-bits = 2 bits per dimension:
+    # each file's expected span is ~1/4 per column (a random layout
+    # gives ~1.0, a 1-d sort gives ~1/16 on one column and ~1.0 on the
+    # OTHER — z-order is the only layout that narrows both)
+    assert span_k < 0.5, span_k
+    assert span_p < 0.5, span_p
+    # round-trip integrity: same rows, no helper columns leaked
+    back = spark.read.parquet(path)
+    assert back.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
+    assert back.count() == src.count()
