@@ -981,3 +981,134 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
     return graph.pagerank(pairs, iterations=3, damping=0.85).orderBy("doc_id")
+
+
+@register(
+    "variant_event_props",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4)    AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="semi-structured props via the VARIANT type (Spark 4): "
+    "parse_json once into a variant column, typed variant_get "
+    "extraction, then a plain aggregation — the open-schema ingest "
+    "pattern that replaces per-field from_json casts when event "
+    "payloads evolve. Oracle extracts the same path with DuckDB's "
+    "JSON functions.",
+)
+def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "udtf_word_ngrams",
+    sql=r"""
+    WITH g AS (
+        SELECT doc_id,
+               [{'pos': i - 1, 'gram': array_to_string(toks[i:i+2], ' ')}
+                for i in range(1, greatest(len(toks) - 2, 1) + 1)] AS ps
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents
+              WHERE doc_id < 40)
+        WHERE len(toks) >= 3),
+    un AS (SELECT doc_id, unnest(ps) AS p FROM g)
+    SELECT doc_id,
+           CAST(p.pos AS INT) AS pos,
+           p.gram AS gram
+    FROM un
+    ORDER BY doc_id, pos
+    """,
+    doc="Python UDTF (SURVEY §2.10 UDTF surface, Spark 4 @udtf API): "
+    "per-row 1:N fan-out of word 3-grams with ordinal positions via a "
+    "LATERAL table function. Deliberately the API-parity twin of the "
+    "JVM-side shingle builders (operators/dedup.hashed_shingle_rows) — "
+    "a row-at-a-time Python UDTF is the SLOW path at 100 TB; this "
+    "query pins its semantics against the oracle so the fast paths "
+    "have a documented reference implementation.",
+)
+def udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class WordNgrams:
+        def eval(self, text: str):
+            toks = [t for t in re.split(r"\s+", text.strip().lower()) if t != ""]
+            for i in range(len(toks) - 2):
+                yield i, " ".join(toks[i : i + 3])
+
+    name = "word_ngrams_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    spark.udtf.register(name, WordNgrams)
+    view = "docs_" + name
+    _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).createOrReplaceTempView(
+        view
+    )
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.pos, s.gram
+        FROM {view} d, LATERAL {name}(d.text) s
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@register(
+    "top_doc_per_source",
+    sql="""
+    WITH ranked AS (
+        SELECT source, n_chars, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               count(*)     OVER (PARTITION BY source) AS n_docs,
+               max(n_chars) OVER (PARTITION BY source) AS max_chars
+        FROM documents)
+    SELECT source,
+           CAST(n_docs AS BIGINT)    AS n_docs,
+           CAST(max_chars AS BIGINT) AS max_chars,
+           CAST(doc_id AS BIGINT)    AS top_doc_id
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY source
+    """,
+    doc="window-free top-1 per group via ARGMAX AGGREGATION "
+    "(max_by over a (n_chars, -doc_id) struct — deterministic "
+    "tie-break to the smallest doc_id): one partial+final aggregate, "
+    "no per-group sort, no row_number window. The 100 TB-preferred "
+    "shape for top-1 semantics; rank_orders_per_customer keeps the "
+    "window form for k>1.",
+)
+def top_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            )
+            .cast("bigint")
+            .alias("top_doc_id"),
+        )
+        .orderBy("source")
+    )
