@@ -35,9 +35,16 @@ def asof_join(
     tie_break: str | None = None,
     how: str = "left",
     right_cols: list[str] | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the single right row with
     the greatest ``right_ts`` <= ``left_ts`` within the matching by-key.
+
+    ``tolerance`` (e.g. ``"30 DAYS"``): maximum staleness — a match
+    older than ``left_ts - tolerance`` is treated as NO match (nulled
+    under ``how='left'``, dropped under ``'inner'``), the kdb/pandas
+    ``merge_asof(tolerance=...)`` semantics.  Applied after the carry,
+    so it adds zero shuffles.
 
     ``right_cols`` prunes the right payload carried through the window
     (default: every right column) — at scale, carry only what you need.
@@ -102,6 +109,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        stale = F.col("__last_r").isNotNull() & (
+            F.col("__ts") - F.col("__last_r").getField(right_ts)
+            > F.expr(f"INTERVAL {tolerance}")
+        )
+        carried = carried.withColumn(
+            "__last_r",
+            F.when(stale, F.lit(None).cast(r_tagged.schema["__r"].dataType)).otherwise(
+                F.col("__last_r")
+            ),
+        )
     matched = carried.filter(F.col("__side") == 1)
     if how == "inner":
         matched = matched.filter(F.col("__last_r").isNotNull())

@@ -664,6 +664,49 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_tolerance",
+    sql="""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= e.ts
+         AND o.o_orderdate >= e.ts - INTERVAL 9000 DAY)
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           round(coalesce(o_totalprice, 0.0), 2) AS last_order_price
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+    doc="as-of join with TOLERANCE (max staleness — the kdb/merge_asof "
+    "tolerance semantics): a most-recent order older than 9000 days "
+    "before the event is NO match (the synthetic orders end ~22-29 "
+    "years before the events, so this cutoff genuinely splits the "
+    "match set). Same union-merge "
+    "carry-forward plan as asof_join_events_orders; the staleness "
+    "filter applies after the carry, adding zero shuffles.",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    joined = joins.asof_join(
+        e, o,
+        left_ts="ts", right_ts="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+        left_id="event_id", tie_break="o_orderkey",
+        tolerance="9000 DAYS",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.round(F.coalesce("o_totalprice", F.lit(0.0)), 2).alias("last_order_price"),
+    ).orderBy("event_id")
+
+
+@register(
     "sessionize_events",
     sql="""
     WITH flagged AS (

@@ -395,3 +395,33 @@ def test_pagerank_mass_and_centrality(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-4
     assert out[1] > out[2]
     assert out[2] == out[3] == out[4]
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """tolerance='1 HOUR': a right row more than an hour older than the
+    left timestamp must not match; a fresh one still does."""
+    from data_engineering_individual_assignment_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0), 7),
+         (2, dt.datetime(2024, 1, 1, 12, 0), 8)],
+        "id long, ts timestamp, k long",
+    )
+    right = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1, 11, 30), 100.0),   # 30 min old: fresh
+         (8, dt.datetime(2024, 1, 1, 9, 0), 200.0)],    # 3 h old: stale
+        "k long, rts timestamp, payload double",
+    )
+    out = {r["id"]: r["payload"] for r in joins.asof_join(
+        left, right, left_ts="ts", right_ts="rts",
+        left_by="k", right_by="k", left_id="id",
+        right_cols=["payload"], tolerance="1 HOUR",
+    ).collect()}
+    assert out == {1: 100.0, 2: None}
+    # inner mode drops the stale row entirely
+    inner = joins.asof_join(
+        left, right, left_ts="ts", right_ts="rts",
+        left_by="k", right_by="k", left_id="id",
+        right_cols=["payload"], tolerance="1 HOUR", how="inner",
+    ).collect()
+    assert [r["id"] for r in inner] == [1]
