@@ -689,3 +689,96 @@ def star_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         E.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("cluster_id"))
     return children.unionByName(roots)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter prefilter (runtime-filter pattern, pure JVM expressions)
+# --------------------------------------------------------------------------
+def bloom_membership(
+    small_hashes: DataFrame,
+    hash_col: str,
+    probe_col,
+    n_hash: int = 5,
+    bits_per_item: int = 16,
+):
+    """Build a Bloom filter over ``small_hashes[hash_col]`` (int64) and
+    return a Column testing ``probe_col`` membership — the runtime-filter
+    pattern with the bitset inlined as a literal array, evaluated inside
+    whole-stage codegen (getbit + shifts; no UDF, no Python boundary).
+
+    The small side is collected ONCE as bit positions (n_items × n_hash
+    ints — by contract a benchmark/eval set, KBs against a 100 TB
+    corpus).  m is a power of two at ~bits_per_item per item: ~0.6% fp
+    rate at 16 bits/5 hashes.  False positives only — callers must
+    verify candidates exactly; false negatives are impossible, so a
+    bloom-prefiltered exact operator returns identical results.
+    """
+    spark = small_hashes.sparkSession
+    n_items = small_hashes.select(hash_col).distinct().count()
+    m = 64
+    while m < n_items * bits_per_item:
+        m *= 2
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(hash_col), F.lit(i)), F.lit(m)).cast("long")
+        for i in range(n_hash)
+    ]
+    positions = (
+        small_hashes.select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in positions:
+        p = r["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # int64 two's complement for the Spark literal
+    longs = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bitset = F.array(*[F.lit(w).cast("long") for w in longs])
+
+    test = None
+    for i in range(n_hash):
+        pos = F.pmod(F.xxhash64(probe_col, F.lit(i)), F.lit(m)).cast("long")
+        elem = F.element_at(bitset, (F.shiftright(pos, 6) + 1).cast("int"))
+        bit = pos.bitwiseAND(F.lit(63)).cast("int")
+        t = F.call_function("getbit", elem, bit) == 1
+        test = t if test is None else (test & t)
+    return test
+
+
+def contamination_pairs_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """``contamination_pairs`` with a BLOOM PREFILTER on the corpus
+    shingle stream: the benchmark's shingle hashes become a literal
+    bitset; corpus shingles failing the membership test are dropped
+    BEFORE the join.  At 100 TB this is the runtime-filter shape that
+    keeps the join input proportional to the contaminated volume (vs
+    the full exploded corpus); the exact equi-join afterwards removes
+    bloom false positives, so results are identical to the unfiltered
+    operator.
+    """
+
+    def exploded(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            doc_shingles(df, text_col, id_col, k)
+            .select(F.col("doc_id").alias(out_id), F.explode("shingles").alias("g"))
+            .select(out_id, F.xxhash64("g").alias("shingle_h"))
+        )
+
+    bench = exploded(benchmark, "bench_id")
+    member = bloom_membership(
+        bench.select("shingle_h").distinct(), "shingle_h", F.col("shingle_h")
+    )
+    return (
+        exploded(corpus, "doc_id")
+        .filter(member)
+        .join(F.broadcast(bench), "shingle_h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

