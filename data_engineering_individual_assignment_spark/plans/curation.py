@@ -828,3 +828,60 @@ def length_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mix_temperature_weights",
+    sql=r"""
+    WITH tok AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY lang),
+    tot AS (
+        SELECT sum(n_tokens) AS t_all, sum(pow(n_tokens, 0.7)) AS z
+        FROM tok)
+    SELECT lang, n_docs, n_tokens,
+           round(n_tokens / t.t_all, 6)            AS natural_p,
+           round(pow(n_tokens, 0.7) / t.z, 6)      AS sample_p,
+           round((pow(n_tokens, 0.7) / t.z)
+                 / (n_tokens / t.t_all), 4)        AS upsample_factor
+    FROM tok CROSS JOIN tot t
+    ORDER BY lang
+    """,
+    doc="temperature-scaled data-mix weights (alpha=0.7, the "
+    "multilingual-sampling exponent): per-language token counts -> "
+    "natural frequency p_l, flattened sampling probability "
+    "p_l^a/sum(p^a), and the implied up/downsampling factor. One "
+    "aggregation + one broadcast 1-row total — the planning step whose "
+    "output feeds weighted_mix's keep-rates. Deterministic arithmetic, "
+    "oracle-checked.",
+)
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(TX.tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = tok.agg(
+        F.sum("n_tokens").alias("t_all"),
+        F.sum(F.pow("n_tokens", F.lit(0.7))).alias("z"),
+    )
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t_all"), 6).alias("natural_p"),
+            F.round(F.pow("n_tokens", F.lit(0.7)) / F.col("z"), 6).alias("sample_p"),
+            F.round(
+                (F.pow("n_tokens", F.lit(0.7)) / F.col("z"))
+                / (F.col("n_tokens") / F.col("t_all")),
+                4,
+            ).alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )

@@ -292,6 +292,76 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def latest_state_stream_tws(events: DataFrame) -> DataFrame:
+    """``latest_state_stream`` on the MODERN stateful API
+    (transformWithStateInPandas, Spark 4): a StatefulProcessor with a
+    typed ValueState replaces the raw (get, update) tuple juggling of
+    applyInPandasWithState — named state variables, explicit init/close
+    lifecycle, and (on a real cluster) the RocksDB state store with
+    changelog checkpointing.  Same semantics as the legacy twin; the
+    test pins both against the batch dedup_latest_event answer.
+
+    RUNTIME DEPENDENCY: the TWS Python worker speaks protobuf to the
+    JVM state server — ``google.protobuf`` must be installed on workers
+    (it ships with any real PySpark deployment; this container lacks
+    it, so the test import-skips — same gating policy as demojize)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("latest_ts_us", T.LongType()),
+        T.StructField("latest_event_id", T.LongType()),
+        T.StructField("latest_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    class LatestProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState("latest", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = self._latest.get() if self._latest.exists() else None
+            for pdf in rows:
+                ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+                for i in range(len(pdf)):
+                    cand = (
+                        int(ts_us[i]),
+                        int(pdf["event_id"].iloc[i]),
+                        float(pdf["value"].iloc[i]),
+                    )
+                    if best is None or cand[:2] > tuple(best)[:2]:
+                        best = cand
+            self._latest.update(tuple(best))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_type": [key[1]],
+                    "latest_ts_us": [best[0]],
+                    "latest_event_id": [best[1]],
+                    "latest_value": [best[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id", "event_type").transformWithStateInPandas(
+        statefulProcessor=LatestProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # --------------------------------------------------------------------------
 # Stream-static decontamination (documents stream vs broadcast benchmark)
 # --------------------------------------------------------------------------

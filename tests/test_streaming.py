@@ -336,3 +336,37 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
     )
     # sanity: the store actually filtered something OR kept everything
     assert stream_out.count() <= batch_new.count()
+
+
+def test_latest_state_tws_equals_batch_dedup(spark, landing):
+    """The transformWithStateInPandas variant must produce the same
+    final per-key winners as the batch query (and hence as the legacy
+    applyInPandasWithState twin).  TWS's Python worker needs protobuf
+    (ships with real deployments; absent in this container -> skip)."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    out = W.run_to_memory(
+        spark,
+        W.latest_state_stream_tws(W.stream_events(spark, landing)),
+        mode="update",
+    )
+    w = F.struct("latest_ts_us", "latest_event_id")
+    final = (
+        out.groupBy("user_id", "event_type")
+        .agg(F.max_by("latest_event_id", w).alias("latest_event_id"),
+             F.max_by("latest_value", w).alias("latest_value"))
+    )
+    batch = plans.CATALOG["dedup_latest_event"].fn(spark, SF_SMALL)
+    b = {
+        (r["user_id"], r["event_type"]): (r["latest_event_id"], round(r["latest_value"], 2))
+        for r in batch.collect()
+    }
+    s = {
+        (r["user_id"], r["event_type"]): (r["latest_event_id"], round(r["latest_value"], 2))
+        for r in final.collect()
+    }
+    assert b == s
