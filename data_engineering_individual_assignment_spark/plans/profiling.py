@@ -368,3 +368,43 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile(e, "user_id", "events.user_id"))
         .orderBy("keyspace")
     )
+
+
+@register(
+    "hll_error_report",
+    sql=None,  # approx_count_distinct is engine-specific: rows-only check
+    doc="sketch accountability for HyperLogLog: per-event-type exact "
+    "distinct user counts vs approx_count_distinct at two precisions "
+    "(rsd 5% and 1%), with measured relative error — the calibration "
+    "report you run before trusting sketches at 100 TB (where the "
+    "exact count is a full shuffle you pay once to validate, then "
+    "retire). Rows-only: HLL registers are engine-specific, but the "
+    "unit test pins |rel_err| within 3x the configured rsd.",
+)
+def hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_rsd05"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_rsd01"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_rsd05",
+            "approx_rsd01",
+            F.round(
+                (F.col("approx_rsd05") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err_rsd05"),
+            F.round(
+                (F.col("approx_rsd01") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err_rsd01"),
+        )
+        .orderBy("event_type")
+    )

@@ -279,3 +279,15 @@ def test_contamination_bloom_is_jvm_only_and_equal(spark):
         for r in plans.CATALOG["contamination_bloom"].fn(spark, SF_SMALL).collect()
     )
     assert a == b
+
+
+def test_hll_error_within_bounds(spark):
+    """The HLL calibration report's measured relative error must sit
+    within 3x the configured rsd at both precisions."""
+    from data_engineering_individual_assignment_spark import plans
+
+    rows = plans.CATALOG["hll_error_report"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["rel_err_rsd05"]) <= 0.15, r
+        assert abs(r["rel_err_rsd01"]) <= 0.03, r
