@@ -1155,3 +1155,82 @@ def top_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "recursive_multi_hop",
+    sql=r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+    walk(a, b, depth) AS (
+        SELECT a, b, 1 FROM edges
+        UNION ALL
+        SELECT w.a, e.b, w.depth + 1
+        FROM walk w JOIN edges e ON w.b = e.a
+        WHERE w.depth < 3)
+    SELECT a AS doc_id,
+           CAST(least(a, min(b)) AS BIGINT)  AS min_reach_3hop,
+           CAST(count(DISTINCT b) AS BIGINT) AS n_reach_3hop
+    FROM walk
+    GROUP BY a
+    ORDER BY doc_id
+    """,
+    doc="RECURSIVE CTE (new SQL surface in Spark 4): bounded 3-hop "
+    "reachability over the near-dup pair graph via WITH RECURSIVE ... "
+    "UNION ALL (Spark's recursion doesn't support UNION-distinct yet, "
+    "so the depth bound guarantees termination on the cyclic symmetric "
+    "graph). The edge relation is computed by the DataFrame "
+    "prefix-filter join, checkpointed, and handed to SQL as a view — "
+    "the declarative twin of the iterative pair_clusters/star_clusters "
+    "operators; both engines run the same recursion.",
+)
+def recursive_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    d = _t(spark, sf_dir, "documents")
+    # materialize the pair computation once: every recursion step
+    # references the edge view, and an un-checkpointed view would
+    # re-expand the jaccard subtree per round
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    dedup.release_intermediates()
+    view = "nd_pairs_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM {view}
+            UNION ALL
+            SELECT doc_b, doc_a FROM {view}),
+        walk(a, b, depth) AS (
+            SELECT a, b, 1 FROM edges
+            UNION ALL
+            SELECT w.a, e.b, w.depth + 1
+            FROM walk w JOIN edges e ON w.b = e.a
+            WHERE w.depth < 3)
+        SELECT a AS doc_id,
+               CAST(least(a, min(b)) AS BIGINT)  AS min_reach_3hop,
+               CAST(count(DISTINCT b) AS BIGINT) AS n_reach_3hop
+        FROM walk
+        GROUP BY a
+        ORDER BY doc_id
+        """
+    )

@@ -145,3 +145,45 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format(nxt, fmt), F.lit("current")).alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "forward_fill_last_purchase",
+    sql="""
+    SELECT event_id, user_id,
+           round(coalesce(last_value(
+               CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0), 2)
+               AS last_purchase_value
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="forward-fill (last-observation-carried-forward) via "
+    "last_value IGNORE NULLS: every event annotated with the user's "
+    "most recent purchase value at that point in time (-1 sentinel "
+    "before the first purchase). One key-partitioned window — the "
+    "sparse-to-dense state propagation used for feature backfill; "
+    "the as-of join covers the two-table variant of the same need.",
+)
+def forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.coalesce(
+                    F.last(purchase_val, ignorenulls=True).over(w), F.lit(-1.0)
+                ),
+                2,
+            ).alias("last_purchase_value"),
+        )
+        .orderBy("event_id")
+    )

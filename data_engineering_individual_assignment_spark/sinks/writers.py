@@ -165,3 +165,27 @@ def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None
     if partition_by:
         w = w.partitionBy(partition_by)
     w.orc(path)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "Column"] | None = None,
+) -> dict:
+    """Write parquet while capturing ingest metrics IN THE SAME PASS via
+    the Observation API — no second scan, no count() re-run (at 100 TB
+    a post-write `spark.read.parquet(path).count()` audit is a whole
+    extra job; observe() accumulates on the executors during the write
+    itself and is exactly-once per action).
+
+    ``metrics`` maps names to aggregate Columns (default: row count).
+    Returns the observed values as a dict after the write completes.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = metrics or {"n_rows": F.count(F.lit(1))}
+    obs = Observation("write_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode("overwrite").parquet(path)
+    return obs.get

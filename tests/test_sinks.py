@@ -223,3 +223,25 @@ def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.columns == ["o_orderkey", "o_custkey", "o_totalprice"]
     assert back.count() == src.count()
+
+
+def test_observed_write_metrics_match_data(spark, tmp_path):
+    """observe() must report the written row count and value sum from
+    the write pass itself — equal to what a (more expensive) re-read
+    audit would find."""
+    from data_engineering_individual_assignment_spark.sinks.writers import (
+        observed_write,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    src = load_table(spark, SF_SMALL, "orders")
+    path = str(tmp_path / "orders_observed")
+    got = observed_write(
+        src, path,
+        {"n_rows": F.count(F.lit(1)), "total_price": F.round(F.sum("o_totalprice"), 2)},
+    )
+    back = spark.read.parquet(path)
+    assert got["n_rows"] == back.count()
+    assert got["total_price"] == round(
+        back.agg(F.sum("o_totalprice")).first()[0], 2
+    )
