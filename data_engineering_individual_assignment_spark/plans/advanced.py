@@ -600,3 +600,77 @@ def summary_stats_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) AS (col, n, mean, std, min_v, max_v)"
         )
     )
+
+
+@register(
+    "pipe_syntax_pricing",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT)       AS n,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(avg(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    WHERE l_quantity < 40
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="SQL PIPE SYNTAX (|>, new surface in Spark 4): the pricing "
+    "roll-up written as a linear FROM |> WHERE |> AGGREGATE |> ORDER "
+    "pipeline — compiles to the identical plan as the nested form "
+    "(same scan pushdown, same partial aggregation), pinned by the "
+    "standard-SQL oracle.",
+)
+def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    view = "lineitem_pipe_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE l_quantity < 40
+        |> AGGREGATE CAST(count(*) AS BIGINT)       AS n,
+                     round(sum(l_quantity), 2)      AS sum_qty,
+                     round(avg(l_extendedprice), 4) AS avg_price
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty, avg_price
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
+    "collation_case_insensitive",
+    sql="""
+    WITH mixed AS (
+        SELECT source, lang FROM documents
+        UNION ALL
+        SELECT source, upper(lang) FROM documents)
+    SELECT source,
+           CAST(count(DISTINCT lang) AS BIGINT)        AS n_raw,
+           CAST(count(DISTINCT lower(lang)) AS BIGINT) AS n_ci
+    FROM mixed
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="COLLATION-aware semantics (Spark 4 UTF8_LCASE): distinct "
+    "counts over a deliberately case-mixed relation — the collated "
+    "count collapses case variants where the raw binary collation "
+    "doesn't. The oracle expresses the same semantics via lower() "
+    "(collations are engine-specific; UTF8_LCASE == lowercase-fold "
+    "for this ASCII domain, which is exactly what the comparison "
+    "pins).",
+)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "lang")
+    mixed = d.unionAll(d.select("source", F.upper("lang").alias("lang")))
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.countDistinct("lang").cast("bigint").alias("n_raw"),
+            F.countDistinct(F.expr("lang COLLATE UTF8_LCASE"))
+            .cast("bigint")
+            .alias("n_ci"),
+        )
+        .orderBy("source")
+    )
