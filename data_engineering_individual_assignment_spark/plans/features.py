@@ -478,3 +478,78 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "embedding_drift_report",
+    sql="""
+    WITH halves AS (
+        SELECT vec_id % 2 AS batch,
+               unnest(embedding::DOUBLE[]) AS v,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings),
+    stats AS (
+        SELECT dim, batch,
+               avg(v) AS mu,
+               stddev_samp(v) AS sd,
+               count(*) AS n
+        FROM halves
+        GROUP BY dim, batch),
+    wide AS (
+        SELECT a.dim,
+               a.mu AS mu_a, b.mu AS mu_b,
+               a.sd AS sd_a, b.sd AS sd_b,
+               a.n AS n_a, b.n AS n_b
+        FROM stats a JOIN stats b ON a.dim = b.dim
+        WHERE a.batch = 0 AND b.batch = 1)
+    SELECT CAST(dim AS INT) AS dim,
+           round(mu_a, 6) AS mu_a,
+           round(mu_b, 6) AS mu_b,
+           round(abs(mu_a - mu_b), 6) AS mean_shift,
+           round(abs(mu_a - mu_b)
+                 / sqrt(sd_a * sd_a / n_a + sd_b * sd_b / n_b), 4) AS z_score
+    FROM wide
+    ORDER BY dim
+    """,
+    doc="embedding DISTRIBUTION DRIFT between two ingestion batches "
+    "(vec_id parity as the batch stand-in): per-dimension means of "
+    "each half plus a two-sample z-score of the shift — the check that "
+    "catches a silently retrained/misversioned embedding model before "
+    "it poisons an ANN index. One posexplode + one grouped aggregation "
+    "per half, joined on dim (64 rows) — linear scan, tiny reduce.",
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        (F.col("vec_id") % 2).alias("batch"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v"),
+    )
+    stats = halves.groupBy("dim", "batch").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_samp("v").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    a = stats.filter(F.col("batch") == 0).select(
+        "dim", F.col("mu").alias("mu_a"), F.col("sd").alias("sd_a"), F.col("n").alias("n_a")
+    )
+    b = stats.filter(F.col("batch") == 1).select(
+        "dim", F.col("mu").alias("mu_b"), F.col("sd").alias("sd_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "dim")
+        .select(
+            F.col("dim").cast("int"),
+            F.round("mu_a", 6).alias("mu_a"),
+            F.round("mu_b", 6).alias("mu_b"),
+            F.round(F.abs(F.col("mu_a") - F.col("mu_b")), 6).alias("mean_shift"),
+            F.round(
+                F.abs(F.col("mu_a") - F.col("mu_b"))
+                / F.sqrt(
+                    F.col("sd_a") * F.col("sd_a") / F.col("n_a")
+                    + F.col("sd_b") * F.col("sd_b") / F.col("n_b")
+                ),
+                4,
+            ).alias("z_score"),
+        )
+        .orderBy("dim")
+    )
