@@ -1,0 +1,300 @@
+"""Training-run preparation operators: the steps between a curated
+corpus and a training dataloader — sequence packing, retrieval scoring
+(BM25), quantized similarity search, and deterministic corpus splits.
+
+These extend SURVEY §2.11 on the training side of the pipeline (the
+curation side lives in plans/curation.py).  Scale notes per query; the
+shared theme is that every plan is a map pass plus small-key
+aggregations, with any global constant (corpus size, average document
+length) reduced to a 1-row broadcast — no operator materializes a
+corpus-sized intermediate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import similarity
+from ..sources.readers import load_table
+from .catalog import register
+
+_SEQ_LEN = 64  # tokens per packed training sequence
+_N_SHARDS = 4
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+@register(
+    "sequence_packing",
+    sql=rf"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+               len({_TOKS}) AS n_tokens
+        FROM documents),
+    pos AS (
+        SELECT shard, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                    AS BIGINT) AS end_tok
+        FROM t WHERE n_tokens >= 1),
+    spans AS (
+        SELECT shard, end_tok - n_tokens AS start_tok, end_tok,
+               unnest(range((end_tok - n_tokens) // {_SEQ_LEN},
+                            (end_tok - 1) // {_SEQ_LEN} + 1)) AS seq_id
+        FROM pos)
+    SELECT CAST(shard AS BIGINT)  AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN start_tok // {_SEQ_LEN} < seq_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_carryover,
+           CAST(sum(least(end_tok, (seq_id + 1) * {_SEQ_LEN})
+                    - greatest(start_tok, seq_id * {_SEQ_LEN}))
+                AS BIGINT) AS n_tokens_filled
+    FROM spans
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """,
+    doc="concat-and-chop sequence packing (the GPT-style training "
+    "dataloader layout): per shard, documents are concatenated in "
+    "doc_id order into one token stream and chopped into fixed "
+    f"{_SEQ_LEN}-token sequences; the manifest reports, per sequence, "
+    "how many documents contribute, how many were carried over a "
+    "sequence boundary (attention-mask fragmentation), and the fill. "
+    "The running offset is a windowed cumsum PARTITIONED BY SHARD — at "
+    "100 TB the shard count scales with the cluster and no single "
+    "partition ever sees the whole corpus (a global cumsum would).",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    L = _SEQ_LEN
+    docs = d.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= 1)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    pos = docs.withColumn("end_tok", F.sum("n_tokens").over(w)).withColumn(
+        "start_tok", F.col("end_tok") - F.col("n_tokens")
+    )
+    spans = pos.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_tok") / L),
+                F.floor((F.col("end_tok") - 1) / L),
+            )
+        ),
+    )
+    return (
+        spans.groupBy(
+            F.col("shard").cast("bigint").alias("shard"),
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.floor(F.col("start_tok") / L) < F.col("seq_id"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_carryover"),
+            F.sum(
+                F.least(F.col("end_tok"), (F.col("seq_id") + 1) * L)
+                - F.greatest(F.col("start_tok"), F.col("seq_id") * L)
+            )
+            .cast("bigint")
+            .alias("n_tokens_filled"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_topk",
+    sql=rf"""
+    WITH dl AS (
+        SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl),
+    tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        WHERE tok IN ({_TERM_LIST})
+        GROUP BY doc_id, tok),
+    idf AS (
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((stats.n_docs - idf.df + 0.5) / (idf.df + 0.5) + 1)
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)) AS s
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN idf ON tf.tok = idf.tok
+        CROSS JOIN stats)
+    SELECT doc_id, round(sum(s), 4) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 keyword retrieval (Robertson/Sparck-Jones, k1=1.2 b=0.75) "
+    "for a fixed query over the corpus: tf per (doc, term) from a "
+    "filtered token explode, df per term and the (N, avgdl) corpus "
+    "constants as tiny broadcast relations, score as a pure column "
+    "expression, TakeOrdered top-10.  avgdl is computed as an exact "
+    "integer sum over a double division so the constant is "
+    "bit-identical across engines.  At 100 TB: the only corpus-sized "
+    "relation is the term-filtered explode (terms are selective), "
+    "everything it joins against is broadcast.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", TX.token_count("text").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    idf = tf.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+            * F.col("tf")
+            * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("_s", 4).alias("bm25"))
+    )
+
+
+_Q_SQL = """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    quant AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(
+                   x * (127.0 / greatest(list_max(list_transform(v, y -> abs(y))),
+                                         1e-300)) + 0.5) AS BIGINT)) AS q
+        FROM base),
+    q AS (SELECT vec_id AS query_id, q AS qq FROM quant WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.qq, c.q)
+                 / sqrt(greatest(list_dot_product(q.qq, q.qq)
+                                 * list_dot_product(c.q, c.q), 1)) AS q_cos
+        FROM quant c JOIN q ON c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY q_cos DESC, neighbor_id ASC) AS INT) AS rnk,
+           round(q_cos, 6) AS q_cos
+    FROM scored
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "ann_int8_topk",
+    sql=_Q_SQL,
+    doc="top-5 cosine search over int8-QUANTIZED vectors (symmetric "
+    "per-vector scale = 127/max|x|, floor(x*scale+0.5) codes): the "
+    "memory-bound scale path — 8x smaller corpus residency than "
+    "float64 and EXACT integer dot products, which is why this "
+    "approximate method is fully oracle-checkable while float ANN "
+    "needs rounding slack.  Same broadcast-queries/one-corpus-scan "
+    "plan as ann_brute_force; recall vs the exact float path is "
+    "pinned in tests.  operators/similarity.py:quantize_int8.",
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.quantized_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+@register(
+    "corpus_split_manifest",
+    sql="""
+    WITH tagged AS (
+        SELECT source,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+               CAST('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100 AS h
+        FROM documents)
+    SELECT source,
+           CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM tagged
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    doc="deterministic train/valid/test split manifest (90/5/5): the "
+    "split key is md5(source:doc_id) so membership is stable under "
+    "corpus growth and reshuffling — adding documents never moves an "
+    "existing document across splits (rand()-based splits do, leaking "
+    "eval data into training).  Portable md5 arithmetic makes the "
+    "assignment itself oracle-checked, not just the counts.  Map pass "
+    "+ tiny (source, split) aggregate at any corpus size.",
+)
+def corpus_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "source", "doc_id")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        d.select(
+            "source",
+            TX.token_count("text").cast("long").alias("n_tokens"),
+            h.alias("h"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.when(F.col("h") < 90, "train")
+            .when(F.col("h") < 95, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "split")
+    )

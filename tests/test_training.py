@@ -1,0 +1,164 @@
+"""Semantic invariants for the training-prep batch (plans/training.py)
+— properties the DuckDB differential can't express: packing fill
+conservation, quantized-ANN recall vs the exact path, split stability
+under corpus growth.  Cross-engine value checks live in
+tests/test_queries_oracle.py like every other catalog query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_individual_assignment_spark import plans
+from data_engineering_individual_assignment_spark.operators import similarity
+from data_engineering_individual_assignment_spark.plans.training import (
+    _N_SHARDS,
+    _SEQ_LEN,
+)
+from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+from .conftest import SF_SMALL
+
+
+def _q(spark, name):
+    return plans.CATALOG[name].fn(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------- packing
+def test_sequence_packing_fill_and_carryover(spark):
+    df = _q(spark, "sequence_packing").collect()
+    per_shard: dict[int, list] = {}
+    for r in df:
+        per_shard.setdefault(r.shard, []).append(r)
+    assert set(per_shard) == set(range(_N_SHARDS))
+    for shard, rows in per_shard.items():
+        rows.sort(key=lambda r: r.seq_id)
+        # seq ids are dense from 0
+        assert [r.seq_id for r in rows] == list(range(len(rows)))
+        # every sequence except the shard's last is exactly full
+        for r in rows[:-1]:
+            assert r.n_tokens_filled == _SEQ_LEN, (shard, r)
+        assert 1 <= rows[-1].n_tokens_filled <= _SEQ_LEN
+        # carryover: every sequence after the first starts mid-document
+        # or on a boundary; carryover is 0 or 1 by construction (only
+        # one document can straddle the left edge)
+        for r in rows:
+            assert r.n_carryover in (0, 1)
+        assert rows[0].n_carryover == 0
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    """Total filled tokens across sequences == total corpus tokens
+    (nothing dropped, nothing double-counted)."""
+    df = _q(spark, "sequence_packing")
+    packed = df.agg(F.sum("n_tokens_filled").alias("s")).first().s
+    docs = load_table(spark, SF_SMALL, "documents")
+    total = (
+        docs.select(F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"))
+        .filter(F.col("n") >= 1)
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert packed == total
+
+
+# ------------------------------------------------------------------ bm25
+def test_bm25_scores_positive_and_sorted(spark):
+    rows = _q(spark, "bm25_topk").collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_more_matching_terms_scores_higher(spark):
+    """A planted doc containing all three query terms outranks one with
+    a single term, document lengths equal."""
+    d = spark.createDataFrame(
+        [
+            (1, "spark join window pad pad pad"),
+            (2, "spark pad pad pad pad pad"),
+            (3, "nothing here at all pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    import data_engineering_individual_assignment_spark.plans.training as T
+
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*T._BM25_TERMS))
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    counts = {r.doc_id: r["count"] for r in tf}
+    assert counts.get(1, 0) == 3 and counts.get(2, 0) == 1 and 3 not in counts
+
+
+# ------------------------------------------------------------- int8 ANN
+def test_quantize_int8_codes_bounded(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = similarity.quantize_int8(emb, "embedding", "q")
+    mx = q.select(
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("m")
+    ).agg(F.max("m")).first()[0]
+    assert mx <= 127
+    # at least one dimension per vector hits full scale (|q| == 127)
+    full = q.select(
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("m")
+    ).filter(F.col("m") == 127)
+    assert full.count() == emb.count()
+
+
+def test_ann_int8_recall_vs_exact(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.quantized_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall  # int8 on 64 dims barely perturbs ranks
+
+
+# ------------------------------------------------------------------ split
+def test_corpus_split_fractions(spark):
+    df = _q(spark, "corpus_split_manifest")
+    tot = df.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    by = {r.split: r.n for r in tot}
+    n = sum(by.values())
+    assert set(by) <= {"train", "valid", "test"}
+    assert by["train"] / n > 0.8  # 90% nominal, small-sample slack
+    assert (by.get("valid", 0) + by.get("test", 0)) / n < 0.2
+
+
+def test_corpus_split_stable_under_growth(spark):
+    """Membership depends only on (source, doc_id): recomputing on a
+    corpus with extra documents never reassigns an existing one."""
+    d = load_table(spark, SF_SMALL, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "source", "doc_id")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base = {r.doc_id: r.h for r in d.select("doc_id", h.alias("h")).collect()}
+    grown = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 10**6).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    after = {
+        r.doc_id: r.h
+        for r in grown.select("doc_id", h.alias("h")).collect()
+        if r.doc_id < 10**6
+    }
+    assert base == after
