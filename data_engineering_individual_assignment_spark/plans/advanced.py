@@ -674,3 +674,175 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "lateral_topk_per_group",
+    sql="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c.c_acctbal DESC, c.c_custkey
+                  LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+    """,
+    doc="correlated LATERAL subquery with LIMIT (Spark 4 lateral-join "
+    "decorrelation): top-2 customers by balance per nation written the "
+    "SQL-standard way instead of a window.  Catalyst decorrelates the "
+    "lateral into a ranked join — same physical shape as the "
+    "row_number formulation, so the per-group semantics carry to any "
+    "group count.  Deterministic tie-break on c_custkey.",
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    suffix = re.sub(r"\W", "_", sf_dir).strip("_")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView(f"nation_lat_{suffix}")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_lat_{suffix}")
+    return spark.sql(
+        f"""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_lat_{suffix} n,
+             LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+                      FROM customer_lat_{suffix} c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c.c_acctbal DESC, c.c_custkey
+                      LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+        """
+    )
+
+
+@register(
+    "null_safe_join",
+    sql="""
+    WITH a AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY 1),
+    b AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer GROUP BY 1)
+    SELECT coalesce(a.seg, '<null>') AS seg, a.n_customers, b.total_bal
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    ORDER BY seg
+    """,
+    doc="null-safe equality join (<=> / IS NOT DISTINCT FROM): two "
+    "aggregates keyed on a deliberately-nulled segment join back "
+    "together WITHOUT dropping the NULL group, which a plain equi-join "
+    "silently would — the classic silent-data-loss bug in key-nullable "
+    "warehouse joins.  Null-safe equality still hash-partitions (NULL "
+    "is one key), so the join stays a shuffle/broadcast hash join, not "
+    "a nested loop.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "seg", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    a = c.groupBy("seg").agg(F.count("*").cast("bigint").alias("n_customers"))
+    b = c.groupBy("seg").agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    return (
+        a.join(b, a["seg"].eqNullSafe(b["seg"]))
+        .select(
+            F.coalesce(a["seg"], F.lit("<null>")).alias("seg"),
+            "n_customers",
+            "total_bal",
+        )
+        .orderBy("seg")
+    )
+
+
+@register(
+    "try_arithmetic",
+    sql="""
+    WITH t AS (
+        SELECT o_orderkey,
+               o_totalprice / nullif(o_custkey % 3, 0) AS safe_div,
+               TRY_CAST(o_orderpriority AS INT)        AS bad_cast,
+               CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                    ELSE 9223372036854775807 END       AS overflow_add
+        FROM orders)
+    SELECT CAST(count(*) AS BIGINT)                      AS n_rows,
+           CAST(count(*) - count(safe_div) AS BIGINT)    AS n_div_null,
+           CAST(count(bad_cast) AS BIGINT)               AS n_cast_ok,
+           CAST(count(*) - count(overflow_add) AS BIGINT) AS n_overflow_null,
+           round(sum(safe_div), 2)                       AS sum_safe_div
+    FROM t
+    """,
+    doc="ANSI-safe try_* arithmetic (try_divide / try_cast / try_add): "
+    "under ANSI mode these return NULL instead of raising, which is "
+    "what a 100 TB batch needs — one malformed row must not kill a "
+    "12-hour job.  try_add is probed at int64 max so the overflow "
+    "path is exercised, not just divide-by-zero.  The oracle expresses "
+    "identical semantics with nullif/TRY_CAST/CASE.",
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.try_divide("o_totalprice", F.col("o_custkey") % 3).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.try_add(
+            F.lit(9223372036854775807), (F.col("o_orderkey") % 2).cast("long")
+        ).alias("overflow_add"),
+    )
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("safe_div")).cast("bigint").alias("n_div_null"),
+        F.count("bad_cast").cast("bigint").alias("n_cast_ok"),
+        (F.count("*") - F.count("overflow_add"))
+        .cast("bigint")
+        .alias("n_overflow_null"),
+        F.round(F.sum("safe_div"), 2).alias("sum_safe_div"),
+    )
+
+
+@register(
+    "xml_event_props",
+    sql="""
+    WITH x AS (
+        SELECT '<e><t>' || event_type || '</t><id>' || CAST(event_id AS VARCHAR)
+               || '</id></e>' AS xml
+        FROM events),
+    parsed AS (
+        SELECT regexp_extract(xml, '<t>([^<]*)</t>', 1) AS t,
+               CAST(regexp_extract(xml, '<id>([0-9]*)</id>', 1) AS BIGINT) AS id
+        FROM x)
+    SELECT t AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(id) AS BIGINT)  AS id_sum
+    FROM parsed
+    GROUP BY t
+    ORDER BY t
+    """,
+    doc="XML ingestion surface (from_xml, new in Spark 4): events "
+    "rendered to XML fragments and parsed back through a typed schema, "
+    "then aggregated — proves the schema-projected XML path "
+    "round-trips.  from_xml is a JVM-side expression (no UDF); the "
+    "oracle parses the same fragments with regexes since DuckDB has "
+    "no XML type.",
+)
+def xml_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    xml = e.select(
+        F.concat(
+            F.lit("<e><t>"),
+            "event_type",
+            F.lit("</t><id>"),
+            F.col("event_id").cast("string"),
+            F.lit("</id></e>"),
+        ).alias("xml")
+    )
+    parsed = xml.select(
+        F.from_xml("xml", "t string, id long").alias("s")
+    ).select("s.t", "s.id")
+    return (
+        parsed.groupBy(F.col("t").alias("event_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
