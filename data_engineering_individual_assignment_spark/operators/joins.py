@@ -36,9 +36,13 @@ def asof_join(
     how: str = "left",
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the single right row with
-    the greatest ``right_ts`` <= ``left_ts`` within the matching by-key.
+    """As-of join: for each left row, the single nearest right row within
+    the matching by-key — ``direction='backward'`` (default) picks the
+    greatest ``right_ts`` <= ``left_ts``; ``'forward'`` picks the
+    smallest ``right_ts`` >= ``left_ts`` (pandas ``merge_asof``
+    directions; both inclusive at equality).
 
     ``tolerance`` (e.g. ``"30 DAYS"``): maximum staleness — a match
     older than ``left_ts - tolerance`` is treated as NO match (nulled
@@ -59,13 +63,20 @@ def asof_join(
     100 TB-safe exact form; ``asof_join_pandas`` below trades it for
     arrow-batched merge_asof when pandas-side logic is wanted.
 
-    ``tie_break``: right column whose ascending order decides equal-
-    ``right_ts`` winners (the LAST in (ts, tie_break) order wins —
-    i.e. max tie_break at the max eligible ts).  ``left_id`` is retained
-    for API compatibility and must be non-null per row.  ``how='left'``
-    keeps unmatched left rows with null right columns; ``'inner'``
-    drops them.
+    ``tie_break``: right column that decides equal-``right_ts`` winners
+    (backward: max tie_break at the max eligible ts; forward: min
+    tie_break at the min eligible ts).  ``left_id`` is retained for API
+    compatibility and must be non-null per row.  ``how='left'`` keeps
+    unmatched left rows with null right columns; ``'inner'`` drops them.
+
+    The forward direction is the SAME single-shuffle carry plan run in
+    reverse scan order: sort each by-key descending on ts, and the
+    last-non-null carry then holds the nearest FOLLOWING right row —
+    no extra exchange, no plan change beyond the sort direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     needed = set(right_cols or right.columns) | {right_ts, right_by}
     if tie_break:
         needed.add(tie_break)
@@ -97,12 +108,15 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left.columns],
     ).unionByName(l_tagged)
 
-    # at equal ts: right rows (side 0) sort before left rows (side 1) so
-    # same-timestamp right rows are eligible; among same-ts right rows the
-    # greatest tie_break sorts last and wins the carry
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    # at equal ts: right rows (side 0) sort before left rows (side 1) in
+    # SCAN order so same-timestamp right rows are eligible; among same-ts
+    # right rows the winner must sort last in scan order (the carry keeps
+    # the last non-null): backward = greatest tie_break, forward (scan
+    # runs ts-descending) = smallest tie_break
+    order = [F.col("__ts").desc() if fwd else F.col("__ts").asc(), F.col("__side").asc()]
     if tie_break:
-        order.append(F.col("__r").getField(tie_break).asc_nulls_first())
+        tb = F.col("__r").getField(tie_break)
+        order.append(tb.desc_nulls_first() if fwd else tb.asc_nulls_first())
     w = (
         Window.partitionBy("__by")
         .orderBy(*order)
@@ -110,10 +124,12 @@ def asof_join(
     )
     carried = unioned.withColumn("__last_r", F.last("__r", ignorenulls=True).over(w))
     if tolerance is not None:
-        stale = F.col("__last_r").isNotNull() & (
-            F.col("__ts") - F.col("__last_r").getField(right_ts)
-            > F.expr(f"INTERVAL {tolerance}")
+        gap = (
+            F.col("__last_r").getField(right_ts) - F.col("__ts")
+            if fwd
+            else F.col("__ts") - F.col("__last_r").getField(right_ts)
         )
+        stale = F.col("__last_r").isNotNull() & (gap > F.expr(f"INTERVAL {tolerance}"))
         carried = carried.withColumn(
             "__last_r",
             F.when(stale, F.lit(None).cast(r_tagged.schema["__r"].dataType)).otherwise(
@@ -137,9 +153,12 @@ def asof_join_pandas(
     left_by: str,
     right_by: str,
     right_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Scale-path as-of join: both sides are hash-partitioned on the
     by-key, then ``pd.merge_asof`` runs once per co-grouped key pair.
+    ``direction`` is passed through to ``merge_asof``
+    (``backward``/``forward``, inclusive at equality).
 
     Output schema: all left columns + ``right_cols`` (nullable).
     ``right_ts`` must be distinct from every left column name.
@@ -172,13 +191,18 @@ def asof_join_pandas(
             for c in right_cols:
                 lpdf[c] = None
             return pd.concat([lpdf, null_left])[out_cols] if not null_left.empty else lpdf[out_cols]
-        rpdf = rpdf.sort_values(right_ts)
+        # secondary sort on the payload makes equal-ts winners deterministic:
+        # merge_asof keeps the LAST equal-ts row going backward and the
+        # FIRST going forward, so (ts, id)-ascending order picks max-id
+        # backward / min-id forward — matching the declarative twin's
+        # tie_break semantics
+        rpdf = rpdf.sort_values([right_ts, *right_cols], kind="mergesort")
         merged = pd.merge_asof(
             lpdf,
             rpdf[[right_ts, *right_cols]],
             left_on=left_ts,
             right_on=right_ts,
-            direction="backward",
+            direction=direction,
         )
         if not null_left.empty:
             merged = pd.concat([merged[out_cols], null_left[out_cols]])
@@ -189,3 +213,57 @@ def asof_join_pandas(
         .cogroup(right_slim.groupBy(right_by))
         .applyInPandas(merge_groups, schema=out_schema)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    band: int,
+) -> DataFrame:
+    """Banded interval-overlap join: all (left, right) pairs whose
+    inclusive intervals ``[l_start, l_end]`` and ``[r_start, r_end]``
+    overlap (``l_start <= r_end AND r_start <= l_end``).  Bounds are
+    numeric (e.g. epoch-micros longs); column names must be disjoint
+    across the two inputs.
+
+    Scale design: a naive theta join is a broadcast-nested-loop —
+    O(|L|*|R|) comparisons regardless of overlap density.  Banding maps
+    each interval to the ``band``-sized buckets it touches (``explode
+    (sequence(start div band, end div band))``), turns the join into an
+    EQUI join on the bucket id (hash-partitionable, AQE-skew-splittable),
+    and re-checks the exact predicate.  Each overlapping pair is emitted
+    in exactly ONE bucket — the one containing the overlap's start,
+    ``greatest(l_start, r_start) div band`` — so no distinct pass is
+    needed.  Cost is O(touched buckets + true pairs); pick ``band``
+    near the typical interval length so intervals touch O(1) buckets.
+    """
+    lb = left.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} div {band}"), F.expr(f"{l_end} div {band}")
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} div {band}"), F.expr(f"{r_end} div {band}")
+            )
+        ),
+    )
+    pairs = lb.join(rb, "__band").where(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        # emit-once rule: only the bucket holding the overlap's start
+        & (
+            F.col("__band")
+            == F.expr(f"greatest({l_start}, {r_start}) div {band}")
+        )
+    )
+    return pairs.drop("__band")

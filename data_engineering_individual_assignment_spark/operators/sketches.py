@@ -1,0 +1,84 @@
+"""Distributed heavy-hitters: per-partition Misra-Gries summaries merged
+into a candidate set, then one exact verification pass restricted to the
+candidates.
+
+Why a sketch at all: the direct ``groupBy(item).count()`` over a 100 TB
+corpus shuffles one record per DISTINCT item — billions of keys for
+n-grams/URLs — and the aggregation hash tables spill.  Misra-Gries
+bounds the state to ``k`` counters per partition, the merged candidate
+set to ``partitions * k`` rows (kilobytes), and the exact pass then
+aggregates only rows whose item survives a broadcast semi-join — the
+hash table is candidate-sized, never vocabulary-sized.
+
+Guarantee (Misra-Gries 1982; merge form Agarwal et al., "Mergeable
+Summaries", PODS 2012): a partition summary with ``k`` counters
+undercounts any item by at most ``n_p / k``.  Summing partial counts
+item-wise, the total undercount is at most ``sum(n_p) / k = n / k``, so
+every item with true frequency > ``n / k`` has a merged estimate > 0 and
+is in the candidate set.  The exact pass therefore returns EXACTLY the
+``freq > n/k`` item set regardless of partitioning — deterministic
+output from a partition-dependent sketch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partials(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summary: at most ``k`` (item,
+    lower-bound count) rows per partition, via Arrow-batched
+    ``mapInPandas``.  The batched decrement subtracts the (size-k)-th
+    smallest counter value from everything and drops the non-positive
+    remainder — equivalent to running the classic one-at-a-time
+    decrement, vectorized."""
+    import pandas as pd
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counter: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counter[item] = counter.get(item, 0) + int(c)
+            if len(counter) > k:
+                vals = sorted(counter.values())
+                m = vals[len(counter) - k - 1]
+                counter = {i: c - m for i, c in counter.items() if c > m}
+        yield pd.DataFrame(
+            {"item": list(counter.keys()), "c": list(counter.values())}
+        )
+
+    return df.select(F.col(col).alias(col)).mapInPandas(
+        summarize, schema="item string, c long"
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
+    """All items of ``df[col]`` with exact frequency > n/k, computed via
+    MG candidates + one candidate-restricted exact pass.
+
+    Output: ``item``, ``cnt`` (exact), ``share`` (cnt/n, 6 dp) —
+    deterministic for any partitioning (see module docstring).
+    """
+    candidates = (
+        mg_partials(df, col, k).select("item").distinct()
+    )
+    total = df.select(F.count(col).alias("n"))
+    exact = (
+        df.join(
+            F.broadcast(candidates), df[col] == candidates["item"], "leftsemi"
+        )
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("n"))
+        .select(
+            "item",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )

@@ -1,0 +1,501 @@
+"""Corpus / warehouse diagnostics batch: blocked fuzzy entity
+resolution, cascaded multi-resolution rollups, robust (MAD) outlier
+gating, per-source KL-divergence drift, and top-p (nucleus) corpus
+selection.
+
+These widen the engine surface past SURVEY §2 in the direction a
+training-data pipeline needs (reference has no analogs; the batch
+parallels the curation/features modules).
+
+Scale design notes (the 100 TB story per query):
+- ``fuzzy_match_part_names``: entity resolution is done on the DISTINCT
+  value relation, not the row relation — canonicalize first (one
+  linear agg), fuzzy-join the tiny distinct set under a blocking key,
+  then the match table is broadcast back if row-level linkage is
+  needed.  The quadratic step only ever sees |distinct values|, which
+  is vocabulary-bound, not corpus-bound.
+- ``rollup_multires``: the hour rollup re-aggregates the MINUTE
+  partials and the day rollup re-aggregates the HOUR partials (sums
+  and counts — re-aggregatable moments, never avg), so the raw event
+  scan happens exactly once regardless of how many resolutions are
+  materialized.  This is the hypertable continuous-aggregate cascade.
+- ``robust_outliers_mad``: two small per-key aggregations (median,
+  then median absolute deviation) each reduce to |event_type| rows and
+  broadcast back — no sort of the full relation, no window over it.
+- ``kl_divergence_sources``: two linear token aggregations sharing one
+  explode; the join is on token (vocabulary-sized relation), and the
+  per-source / corpus totals are 1-row-per-group broadcasts.
+- ``nucleus_corpus_selection``: one window per source ordered by
+  (score desc, doc_id) — a single exchange on source; the 0.8 token
+  budget is evaluated from the running sum, no second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy entity resolution (levenshtein over the distinct-value set)
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_match_part_names",
+    sql="""
+    WITH names AS (
+        SELECT p_name, CAST(count(*) AS BIGINT) AS n_rows,
+               split_part(p_name, ' ', 1) AS blk
+        FROM part GROUP BY p_name),
+    pairs AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.n_rows AS rows_a, b.n_rows AS rows_b
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3)
+    SELECT name_a, name_b, dist, rows_a, rows_b
+    FROM pairs ORDER BY name_a, name_b
+    """,
+    doc="blocked fuzzy entity resolution: canonicalize to the DISTINCT "
+    "name relation (vocabulary-sized), block on the first token, and "
+    "levenshtein-link within blocks (dist <= 3).  The quadratic "
+    "candidate step never touches the row relation — at 100 TB the "
+    "distinct agg is the only corpus-scale pass and the match table "
+    "broadcasts back for row linkage.",
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_rows").alias("rows_a"),
+        "blk",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_rows").alias("rows_b"),
+        "blk",
+    )
+    pairs = (
+        a.join(F.broadcast(b), on="blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("dist") <= 3)
+    )
+    return pairs.select("name_a", "name_b", "dist", "rows_a", "rows_b").orderBy(
+        "name_a", "name_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup cascade (minute -> hour -> day, partial reuse)
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_multires",
+    sql="""
+    WITH minutes AS (
+        SELECT event_type, date_trunc('minute', ts) AS bucket,
+               CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_v
+        FROM events GROUP BY event_type, bucket),
+    hours AS (
+        SELECT event_type, date_trunc('hour', bucket) AS bucket,
+               CAST(sum(n) AS BIGINT) AS n, sum(sum_v) AS sum_v
+        FROM minutes GROUP BY event_type, date_trunc('hour', bucket)),
+    days AS (
+        SELECT event_type, date_trunc('day', bucket) AS bucket,
+               CAST(sum(n) AS BIGINT) AS n, sum(sum_v) AS sum_v
+        FROM hours GROUP BY event_type, date_trunc('day', bucket))
+    SELECT 'hour' AS resolution, event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n, round(sum_v, 2) AS sum_value
+    FROM hours
+    UNION ALL
+    SELECT 'day' AS resolution, event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n, round(sum_v, 2) AS sum_value
+    FROM days
+    ORDER BY resolution, event_type, bucket
+    """,
+    doc="hypertable-style continuous-aggregate cascade: the hour rollup "
+    "re-aggregates MINUTE partials and the day rollup re-aggregates "
+    "HOUR partials (sum/count moments, never avg — avg is not "
+    "re-aggregatable), so the raw scan happens once for all "
+    "resolutions.  At 100 TB each cascade level shrinks the relation "
+    "by the bucket ratio before the next shuffle.",
+)
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    minutes = events.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_v"))
+    hours = minutes.groupBy(
+        "event_type", F.date_trunc("hour", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
+    days = hours.groupBy(
+        "event_type", F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
+
+    def fmt(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            # emit the re-aggregatable moment (sum), not sum/n: the
+            # quotient can land exactly on a rounding boundary
+            # (e.g. 3609.66/64 = 56.4009375) where sub-ulp summation
+            # noise flips the 6th decimal across engines; the sum stays
+            # on the inputs' 2-decimal grid, where rounding is safe
+            F.round(F.col("sum_v"), 2).alias("sum_value"),
+        )
+
+    return fmt(hours, "hour").unionAll(fmt(days, "day")).orderBy(
+        "resolution", "event_type", "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier gate: median absolute deviation (MAD) z-scores
+# ---------------------------------------------------------------------------
+@register(
+    "robust_outliers_mad",
+    sql="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med_v
+        FROM events GROUP BY event_type),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type),
+    scored AS (
+        SELECT e.event_type,
+               0.6745 * (e.value - m.med_v) / nullif(d.mad_v, 0) AS rz
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(avg(CASE WHEN abs(rz) > 3.5 THEN 1.0 ELSE 0.0 END), 6)
+               AS outlier_share,
+           round(max(abs(rz)), 6) AS max_abs_rz
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    doc="robust outlier gate: per-type median + median-absolute-deviation "
+    "(exact, interpolated percentiles in both engines), modified "
+    "z = 0.6745*(v-med)/MAD, flag |z| > 3.5 (Iglewicz-Hoaglin).  Two "
+    "small per-key aggs broadcast back onto the scan — no global sort "
+    "or window over the event relation.",
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_v")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med_v), 0.5)").alias("mad_v"))
+    )
+    scored = (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "rz",
+            F.lit(0.6745)
+            * (F.col("value") - F.col("med_v"))
+            / F.nullif(F.col("mad_v"), F.lit(0.0)),
+        )
+    )
+    # when/otherwise (not a bare boolean cast): rz is NULL where MAD = 0,
+    # and the oracle's CASE sends NULL to the ELSE branch — a null-skipping
+    # avg would diverge on the share denominator
+    flag = F.when(F.abs("rz") > 3.5, F.lit(1)).otherwise(F.lit(0))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(flag).alias("n_outliers"),
+            F.round(F.avg(flag.cast("double")), 6).alias("outlier_share"),
+            F.round(F.max(F.abs("rz")), 6).alias("max_abs_rz"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus unigram distribution
+# ---------------------------------------------------------------------------
+@register(
+    "kl_divergence_sources",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    src_tok AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok),
+    src_tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS tot
+        FROM src_tok GROUP BY source),
+    corpus_tok AS (
+        SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM src_tok GROUP BY tok),
+    corpus_tot AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot FROM corpus_tok)
+    SELECT s.source,
+           t.tot AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           round(sum((s.c * 1.0 / t.tot)
+                     * ln((s.c * 1.0 / t.tot)
+                          / (k.cc * 1.0 / x.ctot))), 6) AS kl_vs_corpus
+    FROM src_tok s
+    JOIN src_tot t USING (source)
+    JOIN corpus_tok k USING (tok)
+    CROSS JOIN corpus_tot x
+    GROUP BY s.source, t.tot
+    ORDER BY s.source
+    """,
+    doc="data-mix drift diagnostic: KL(source unigram dist || corpus "
+    "unigram dist) per source, exact.  One explode feeds both "
+    "aggregations; the join is on token (vocabulary-sized), totals are "
+    "1-row-per-group broadcasts.  A source whose KL jumps batch-over-"
+    "batch changed its token distribution (new crawler, new template).",
+)
+def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    src_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    src_tot = src_tok.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus_tok = src_tok.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus_tok.agg(F.sum("cc").alias("ctot"))
+    p = F.col("c") / F.col("tot")
+    q = F.col("cc") / F.col("ctot")
+    return (
+        src_tok.join(F.broadcast(src_tot), "source")
+        .join(corpus_tok, "tok")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source", "tot")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("tot").alias("n_tokens"),
+            "n_distinct_tokens",
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-p (nucleus) corpus selection per source
+# ---------------------------------------------------------------------------
+@register(
+    "nucleus_corpus_selection",
+    sql=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len({_TOKS}) AS n_tokens,
+               round(len(list_distinct({_TOKS})) * 1.0
+                     / len({_TOKS}), 6) AS score
+        FROM documents),
+    ranked AS (
+        SELECT source, doc_id, n_tokens, score,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY score DESC, doc_id) AS cum_tokens,
+               sum(n_tokens) OVER (PARTITION BY source) AS tot_tokens
+        FROM scored),
+    kept AS (
+        SELECT * FROM ranked
+        WHERE cum_tokens - n_tokens < 0.8 * tot_tokens)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           round(sum(n_tokens) * 1.0 / max(tot_tokens), 6) AS token_share,
+           round(min(score), 6) AS min_score_kept
+    FROM kept GROUP BY source ORDER BY source
+    """,
+    doc="top-p (nucleus) corpus selection: per source, keep the "
+    "highest-quality documents (distinct-token ratio as the score, "
+    "doc_id tie-break) until the running token budget reaches 80% of "
+    "the source's tokens — the data-mix analog of nucleus sampling.  "
+    "One window exchange per source; the budget test uses the running "
+    "sum, no second pass.",
+)
+def nucleus_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("source")
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "tot_tokens", F.sum("n_tokens").over(wtot)
+    )
+    kept = ranked.where(
+        F.col("cum_tokens") - F.col("n_tokens") < 0.8 * F.col("tot_tokens")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.round(
+                F.sum("n_tokens") / F.max("tot_tokens").cast("double"), 6
+            ).alias("token_share"),
+            F.round(F.min("score"), 6).alias("min_score_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: next purchase after each view
+# ---------------------------------------------------------------------------
+@register(
+    "asof_forward_next_purchase",
+    sql="""
+    WITH v AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (
+        SELECT event_id AS p_event_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+    ranked AS (
+        SELECT v.event_id, v.user_id, v.ts, p.p_event_id, p.p_ts,
+               row_number() OVER (PARTITION BY v.event_id
+                   ORDER BY p.p_ts ASC, p.p_event_id ASC) AS rn
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id AND p.p_ts >= v.ts)
+    SELECT event_id, user_id,
+           p_event_id AS next_purchase_id,
+           CAST((epoch_us(p_ts) - epoch_us(ts)) // 1000000 AS BIGINT)
+               AS wait_seconds
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+    doc="FORWARD as-of join (operators/joins.asof_join direction="
+    "'forward'): each view event linked to the user's next purchase at "
+    "or after view time — time-to-convert.  Same single-shuffle "
+    "union-merge carry plan as the backward form, scanned ts-descending; "
+    "the oracle is the range-join + row_number pick.",
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import joins
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = joins.asof_join(
+        views,
+        purchases,
+        left_ts="ts",
+        right_ts="p_ts",
+        left_by="user_id",
+        right_by="p_user",
+        left_id="event_id",
+        tie_break="p_event_id",
+        right_cols=["p_event_id", "p_ts"],
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("p_event_id").alias("next_purchase_id"),
+        F.expr("(unix_micros(cast(p_ts as timestamp)) - unix_micros(cast(ts as timestamp))) div 1000000").alias(
+            "wait_seconds"
+        ),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Banded interval-overlap join: error bursts inside signup windows
+# ---------------------------------------------------------------------------
+@register(
+    "interval_overlap_errors",
+    sql="""
+    WITH s AS (
+        SELECT event_id AS s_id, ts AS s_ts,
+               epoch_us(ts) AS a0, epoch_us(ts) + 300000000 AS a1
+        FROM events WHERE event_type = 'signup'),
+    e AS (
+        SELECT event_id AS e_id,
+               epoch_us(ts) AS b0, epoch_us(ts) + 60000000 AS b1
+        FROM events WHERE event_type = 'error'),
+    pairs AS (
+        SELECT s.s_id, s.s_ts, e.e_id
+        FROM s JOIN e ON s.a0 <= e.b1 AND e.b0 <= s.a1)
+    SELECT strftime(date_trunc('hour', s_ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT s_id) AS BIGINT) AS n_signups,
+           CAST(count(DISTINCT e_id) AS BIGINT) AS n_errors
+    FROM pairs GROUP BY hour ORDER BY hour
+    """,
+    doc="banded interval-overlap join (operators/joins."
+    "interval_overlap_join): every error window [ts, ts+1m] overlapping "
+    "a signup onboarding window [ts, ts+5m], rolled up per signup hour.  "
+    "Banding (10-minute buckets) turns the theta join into an EQUI join "
+    "on bucket id with an emit-once rule (the bucket holding the "
+    "overlap's start) — no distinct pass, no broadcast-nested-loop; the "
+    "oracle runs the naive theta join.",
+)
+def interval_overlap_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        F.col("ts").alias("s_ts"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("a0"),
+        (F.expr("unix_micros(cast(ts as timestamp))") + F.lit(300_000_000)).alias("a1"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("b0"),
+        (F.expr("unix_micros(cast(ts as timestamp))") + F.lit(60_000_000)).alias("b1"),
+    )
+    pairs = interval_overlap_join(
+        s, e, "a0", "a1", "b0", "b1", band=600_000_000
+    )
+    return (
+        pairs.groupBy(
+            F.date_format(F.date_trunc("hour", "s_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("s_id").alias("n_signups"),
+            F.countDistinct("e_id").alias("n_errors"),
+        )
+        .orderBy("hour")
+    )

@@ -1,0 +1,179 @@
+"""Semantic invariants for the diagnostics batch (plans/diagnostics.py)
+— properties the DuckDB differential can't express: blocking soundness
+of the fuzzy matcher, rollup cascade conservation, MAD gate bounds,
+KL non-negativity, nucleus budget semantics.  Cross-engine value checks
+live in tests/test_queries_oracle.py like every other catalog query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_individual_assignment_spark import plans
+from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+from .conftest import SF_SMALL
+
+
+def _q(spark, name):
+    return plans.CATALOG[name].fn(spark, SF_SMALL)
+
+
+def test_fuzzy_match_pairs_share_block_and_respect_threshold(spark):
+    rows = _q(spark, "fuzzy_match_part_names").collect()
+    assert rows, "vocabulary-bound name set always yields some close pairs"
+    for r in rows:
+        assert 0 < r.dist <= 3  # name_a < name_b excludes dist 0 self-pairs
+        # blocking key soundness: both names start with the same token
+        assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]
+        assert r.name_a < r.name_b  # canonical orientation, no mirrored dupes
+
+
+def test_fuzzy_match_row_counts_cover_the_part_table(spark):
+    """rows_a/rows_b come from the distinct-value canonicalization —
+    each must equal the true per-name row count in part."""
+    part = load_table(spark, SF_SMALL, "part")
+    truth = dict(
+        part.groupBy("p_name").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    for r in _q(spark, "fuzzy_match_part_names").collect():
+        assert truth[r.name_a] == r.rows_a
+        assert truth[r.name_b] == r.rows_b
+
+
+def test_rollup_cascade_conserves_counts_and_sums(spark):
+    """Day rows re-aggregate hour partials: per (event_type, day) the
+    hour rows must sum exactly to the day row — and the day total must
+    equal a direct count over the raw events."""
+    df = _q(spark, "rollup_multires")
+    hours = df.where(F.col("resolution") == "hour").withColumn(
+        "day", F.substring("bucket", 1, 10)
+    )
+    days = df.where(F.col("resolution") == "day").withColumn(
+        "day", F.substring("bucket", 1, 10)
+    )
+    rolled = hours.groupBy("event_type", "day").agg(F.sum("n").alias("n_from_hours"))
+    joined = rolled.join(days, ["event_type", "day"]).collect()
+    assert joined
+    for r in joined:
+        assert r.n_from_hours == r.n
+    total_days = days.agg(F.sum("n")).first()[0]
+    assert total_days == load_table(spark, SF_SMALL, "events").count()
+
+
+def test_mad_outlier_share_is_a_small_fraction(spark):
+    for r in _q(spark, "robust_outliers_mad").collect():
+        assert r.n_events > 0
+        assert 0 <= r.n_outliers <= r.n_events
+        # |z| > 3.5 on a unimodal value distribution must be rare
+        assert r.outlier_share <= 0.05
+
+
+def test_kl_divergence_is_nonnegative_and_vocab_bound(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .distinct()
+        .count()
+    )
+    rows = _q(spark, "kl_divergence_sources").collect()
+    assert rows
+    for r in rows:
+        assert r.kl_vs_corpus >= 0  # Gibbs' inequality
+        assert r.n_distinct_tokens <= vocab
+        assert r.n_tokens >= r.n_distinct_tokens
+
+
+def test_nucleus_selection_hits_the_token_budget(spark):
+    """Every source keeps at least one doc; the kept token share must
+    reach the 0.8 budget and overshoot only by < one document (the
+    first-crossing rule)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    n_sources = docs.select("source").distinct().count()
+    rows = _q(spark, "nucleus_corpus_selection").collect()
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r.n_docs_kept >= 1
+        assert r.token_share >= 0.8  # budget reached (first crossing kept)
+        assert 0 < r.min_score_kept <= 1.0
+
+
+def _signup_error_intervals(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("a0"),
+        (F.expr("unix_micros(cast(ts as timestamp))") + F.lit(300_000_000)).alias("a1"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("b0"),
+        (F.expr("unix_micros(cast(ts as timestamp))") + F.lit(60_000_000)).alias("b1"),
+    )
+    return s, e
+
+
+def test_banded_interval_join_equals_naive_theta_join(spark):
+    """The banding + emit-once rule must produce EXACTLY the naive
+    theta-join pair set — no duplicates, no losses — for any band size,
+    including bands smaller than the intervals (multi-bucket spans)."""
+    from data_engineering_individual_assignment_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    s, e = _signup_error_intervals(spark)
+    naive = {
+        (r.s_id, r.e_id)
+        for r in s.join(
+            e, (F.col("a0") <= F.col("b1")) & (F.col("b0") <= F.col("a1"))
+        ).collect()
+    }
+    assert naive  # fixture produces overlaps
+    for band in (600_000_000, 120_000_000):  # 10 min and 2 min buckets
+        banded = [
+            (r.s_id, r.e_id)
+            for r in interval_overlap_join(
+                s, e, "a0", "a1", "b0", "b1", band=band
+            ).collect()
+        ]
+        assert len(banded) == len(set(banded)), "emit-once rule violated"
+        assert set(banded) == naive
+
+
+def test_forward_asof_agrees_with_pandas_twin(spark):
+    from data_engineering_individual_assignment_spark.operators import joins
+
+    ev = load_table(spark, SF_SMALL, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    declarative = joins.asof_join(
+        views, purchases,
+        left_ts="ts", right_ts="p_ts",
+        left_by="user_id", right_by="p_user",
+        left_id="event_id", tie_break="p_event_id",
+        right_cols=["p_event_id"], direction="forward",
+    )
+    pandas_twin = joins.asof_join_pandas(
+        views, purchases,
+        left_ts="ts", right_ts="p_ts",
+        left_by="user_id", right_by="p_user",
+        right_cols=["p_event_id"], direction="forward",
+    )
+    d = {r.event_id: r.p_event_id for r in declarative.collect()}
+    p = {r.event_id: r.p_event_id for r in pandas_twin.collect()}
+    assert d == p
+    assert any(v is not None for v in d.values())
+
+
+def test_forward_asof_never_matches_the_past(spark):
+    df = _q(spark, "asof_forward_next_purchase")
+    rows = df.collect()
+    matched = [r for r in rows if r.next_purchase_id is not None]
+    assert matched
+    for r in matched:
+        assert r.wait_seconds >= 0
