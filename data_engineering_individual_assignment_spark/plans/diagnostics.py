@@ -499,3 +499,39 @@ def interval_overlap_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact verification pass
+# ---------------------------------------------------------------------------
+@register(
+    "heavy_hitter_tokens",
+    sql=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS item FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    cnts AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY item)
+    SELECT item, cnt, round(cnt * 1.0 / n, 6) AS share
+    FROM cnts CROSS JOIN tot
+    WHERE cnt * 64 > n
+    ORDER BY item
+    """,
+    doc="distributed heavy hitters (operators/sketches.py): per-partition "
+    "Misra-Gries summaries (<= k counters each, mapInPandas) merged into "
+    "a candidate set, then ONE exact pass restricted to candidates via "
+    "broadcast semi-join.  The MG merge guarantee (undercount <= n/k) "
+    "makes the freq > n/64 output exact and partitioning-independent, "
+    "which is why a plain GROUP BY oracle checks it.  At 100 TB the "
+    "win is state size: the exact agg's hash table is candidate-sized "
+    "(partitions*k rows), never vocabulary-sized.",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("item")
+    )
+    return heavy_hitters_exact(toks, "item", k=64).orderBy("item")

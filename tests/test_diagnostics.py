@@ -177,3 +177,42 @@ def test_forward_asof_never_matches_the_past(spark):
     assert matched
     for r in matched:
         assert r.wait_seconds >= 0
+
+
+def test_misra_gries_guarantee_under_eviction(spark):
+    """Planted Zipf-ish stream with k far below the vocabulary: every
+    item with true freq > n/k must survive (MG merge guarantee), each
+    partition summary must hold <= k counters, and the exact pass must
+    equal the naive group-by — for several adversarial partitionings."""
+    from data_engineering_individual_assignment_spark.operators.sketches import (
+        heavy_hitters_exact,
+        mg_partials,
+    )
+
+    # 3 heavy items (freq 3000/2000/1000) over a 500-item noise tail:
+    # deterministic construction, no rand()
+    rows = (
+        [("hot-a",)] * 3000
+        + [("hot-b",)] * 2000
+        + [("hot-c",)] * 1000
+        + [(f"tail-{i % 500}",) for i in range(4000)]
+    )
+    n, k = len(rows), 8
+    truth = {"hot-a": 3000, "hot-b": 2000, "hot-c": 1000}
+    expected = {i for i, c in truth.items() if c * k > n}
+    assert expected == {"hot-a", "hot-b"}  # n/k = 1250: hot-c (1000) is below
+
+    for parts in (1, 4, 32):
+        df = spark.createDataFrame(rows, "item string").repartition(parts)
+        partials = mg_partials(df, "item", k)
+        per_part = (
+            partials.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert per_part <= k, "summary exceeded k counters"
+        got = {r.item: r.cnt for r in heavy_hitters_exact(df, "item", k).collect()}
+        assert set(got) == expected
+        for item, cnt in got.items():
+            assert cnt == truth[item]  # exact verification pass
