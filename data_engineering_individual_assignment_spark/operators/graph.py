@@ -100,3 +100,89 @@ def pagerank(
     return ranks.select(
         F.col("src").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
+
+
+def triangle_stats(
+    pairs: DataFrame, src_col: str = "doc_a", dst_col: str = "doc_b"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over the
+    undirected graph given as canonical (src < dst) pairs.
+
+    Returns ONE row: ``n_edges``, ``n_triangles``, ``n_wedges``
+    (open+closed 2-paths, sum deg*(deg-1)/2) and ``clustering``
+    (3*triangles/wedges, 6 dp; null when wedge-free).
+
+    Scale design (Suri & Vassilvitskii, "Counting triangles and the
+    curse of the last reducer", WWW 2011): edges are ORIENTED from the
+    lower to the higher endpoint in the total order (degree, id).  Every
+    node's out-degree is then O(sqrt(m)) even on power-law graphs, so
+    the wedge self-join — the quadratic step — fans out per-node by
+    out-degree², bounded by m^1.5 total instead of sum(deg²) (which a
+    single celebrity node makes quadratic).  Wedge closure is one more
+    hash join against the canonical edge set; each triangle is counted
+    exactly once, at its order-minimal vertex.
+    """
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("a"), F.col(dst_col).cast("long").alias("b")
+    ).where(F.col("a") < F.col("b"))
+    # materialize once (tracked, so bench/callers can release it): the
+    # pair relation is typically an expensive similarity join, referenced
+    # 4 times below (same lesson as pagerank)
+    from .dedup import _persist
+
+    edges = _persist(edges)
+    n_edges_row = edges.agg(F.count("*").cast("long").alias("n_edges"))
+
+    degrees = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedge_row = degrees.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+
+    # orient by the (deg, id) total order: u -> v iff (deg_u, u) < (deg_v, v)
+    da = degrees.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = degrees.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("u"), F.col("e.hi").alias("w"))
+    )
+    # wedges at the order-minimal vertex: (u->v, u->w), v != w, canonicalized
+    o1 = oriented.select("u", F.col("w").alias("v1"))
+    o2 = oriented.select("u", F.col("w").alias("v2"))
+    open_wedges = o1.join(o2, "u").where(F.col("v1") < F.col("v2"))
+    closed = open_wedges.join(
+        edges.select(
+            F.least("a", "b").alias("v1"), F.greatest("a", "b").alias("v2")
+        ),
+        ["v1", "v2"],
+        "leftsemi",
+    )
+    tri_row = closed.agg(F.count("*").cast("long").alias("n_triangles"))
+
+    return (
+        n_edges_row.crossJoin(F.broadcast(tri_row))
+        .crossJoin(F.broadcast(wedge_row))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

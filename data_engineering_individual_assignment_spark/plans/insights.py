@@ -1,0 +1,356 @@
+"""Warehouse-insights batch: market-basket affinity, RFM segmentation,
+CUSUM change-point scan, lag-1 autocorrelation, duplicate-multiplicity
+accounting, and the vocabulary coverage curve.
+
+Scale notes (the 100 TB story per query):
+- ``market_basket_lift``: the pair space is TYPE-pair sized (vocabulary
+  x vocabulary), never row-sized — the per-order self-join fans out by
+  (distinct types per order)^2, bounded by basket width, and all
+  support totals are tiny broadcasts.
+- ``rfm_segments``: one linear agg to customer grain, then three
+  ntile windows over the (already customer-sized) relation; ties
+  broken on the key so the quartile edges are deterministic.
+- ``cusum_changepoint`` / ``autocorr_daily``: events collapse to
+  (type, day) grain first — windows and correlations run over the
+  day-sized relation, never the raw log.
+- ``dup_multiplicity_histogram``: two cascaded count aggregations over
+  16-byte digests; output is histogram-sized.
+- ``vocab_coverage_curve``: one token agg (vocabulary-sized), one
+  global-order window over the vocabulary relation — acceptable
+  because vocabularies are millions, not corpus-scale; the output is
+  three rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import register
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+@register(
+    "market_basket_lift",
+    sql="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_type AS t
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM basket),
+    singles AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM basket GROUP BY t),
+    pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM basket a JOIN basket b
+          ON a.okey = b.okey AND a.t < b.t
+        GROUP BY a.t, b.t)
+    SELECT p.type_a, p.type_b, p.n_both,
+           sa.c AS n_a, sb.c AS n_b,
+           round(p.n_both * 1.0 * n.n / (sa.c * sb.c), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.t = p.type_a
+    JOIN singles sb ON sb.t = p.type_b
+    CROSS JOIN n_orders n
+    ORDER BY type_a, type_b
+    """,
+    doc="market-basket affinity: for each pair of part types co-ordered "
+    "in one order, support and lift = P(ab)/(P(a)P(b)).  The pair "
+    "relation is type-pair sized; per-order fan-out is basket-width "
+    "squared; singles and the order total broadcast back.",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("t"))
+        .distinct()
+    )
+    n_orders = basket.select(
+        F.countDistinct("okey").cast("long").alias("n")
+    )
+    singles = basket.groupBy("t").agg(F.count("*").alias("c"))
+    a = basket.select("okey", F.col("t").alias("type_a"))
+    b = basket.select("okey", F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = singles.select(F.col("t").alias("type_a"), F.col("c").alias("n_a"))
+    sb = singles.select(F.col("t").alias("type_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "rfm_segments",
+    sql="""
+    WITH cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS freq,
+               sum(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
+               ntile(4) OVER (ORDER BY monetary, o_custkey) AS m
+        FROM cust)
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary quartiles "
+    "(ntile with key tie-break for determinism), segment cell counts.  "
+    "One linear agg to customer grain; the three global ntile windows "
+    "run over the customer-sized relation — at 100 TB replace with "
+    "percentile-bucket joins to avoid the single-partition sort.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "cusum_changepoint",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, day),
+    stats AS (
+        SELECT event_type, avg(cnt) AS mean_cnt FROM daily
+        GROUP BY event_type),
+    walk AS (
+        SELECT d.event_type, d.day,
+               sum(d.cnt - s.mean_cnt) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day) AS cusum
+        FROM daily d JOIN stats s USING (event_type)),
+    ranked AS (
+        SELECT event_type, day, cusum,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(cusum) DESC, day) AS rn
+        FROM walk)
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS changepoint_day,
+           round(cusum, 4) AS cusum_at_peak
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+    """,
+    doc="CUSUM change-point scan: per event type, the cumulative sum of "
+    "daily-count deviations from the mean; the |CUSUM| peak marks the "
+    "most likely level-shift day (Page 1954).  Events collapse to day "
+    "grain before any window — the walk runs over ~30 rows per type.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(F.avg("cnt").alias("mean_cnt"))
+    walk = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum",
+        F.sum(F.col("cnt") - F.col("mean_cnt")).over(
+            Window.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ranked = walk.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs("cusum").desc(), F.col("day")
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.round("cusum", 4).alias("cusum_at_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "autocorr_daily",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, day),
+    lagged AS (
+        SELECT event_type, cnt,
+               lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        FROM daily)
+    SELECT event_type,
+           CAST(count(prev) AS BIGINT) AS n_days,
+           round(corr(cnt, prev), 6) AS lag1_autocorr
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="lag-1 autocorrelation of daily event counts per type — the "
+    "burstiness / weekly-pattern screen.  Day-grain first; corr is one "
+    "aggregation over the day-sized relation (both engines use sample "
+    "correlation).",
+)
+def autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    lagged = daily.withColumn(
+        "prev",
+        F.lag("cnt").over(Window.partitionBy("event_type").orderBy("day")),
+    ).where(F.col("prev").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("prev").alias("n_days"),
+            F.round(F.corr("cnt", "prev"), 6).alias("lag1_autocorr"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dup_multiplicity_histogram",
+    sql="""
+    WITH digests AS (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS d
+        FROM documents),
+    clusters AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS multiplicity
+        FROM digests GROUP BY d)
+    SELECT multiplicity,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(multiplicity) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY multiplicity ORDER BY multiplicity
+    """,
+    doc="duplicate-multiplicity accounting: the cluster-size histogram "
+    "of exact-dup groups (how much of the corpus is 1x, 2x, 10x "
+    "duplicated) — the number that decides whether dedup is worth a "
+    "full pass.  Two cascaded digest aggregations; output is "
+    "histogram-sized.",
+)
+def dup_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    digests = docs.select(
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("d")
+    )
+    clusters = digests.groupBy("d").agg(F.count("*").alias("multiplicity"))
+    return (
+        clusters.groupBy("multiplicity")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("multiplicity").alias("n_docs"),
+        )
+        .orderBy("multiplicity")
+    )
+
+
+@register(
+    "vocab_coverage_curve",
+    sql=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    cnts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnts),
+    ranked AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, tok) AS rn,
+               sum(c) OVER (ORDER BY c DESC, tok) AS cum
+        FROM cnts),
+    thresholds AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                                  CAST(0.99 AS DOUBLE)]) AS threshold)
+    SELECT t.threshold,
+           CAST(min(CASE WHEN r.cum >= t.threshold * x.n THEN r.rn END)
+                AS BIGINT) AS k_tokens,
+           round(min(CASE WHEN r.cum >= t.threshold * x.n THEN r.cum END)
+                 * 1.0 / max(x.n), 6) AS share_at_k
+    FROM thresholds t CROSS JOIN ranked r CROSS JOIN tot x
+    GROUP BY t.threshold ORDER BY t.threshold
+    """,
+    doc="vocabulary coverage curve: the smallest top-k token set covering "
+    "50/90/99% of corpus tokens (tokenizer sizing / OOV budgeting).  "
+    "One vocabulary-sized agg, one global-order window over the "
+    "vocabulary relation, three output rows.",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnts.agg(F.sum("c").alias("n"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = cnts.select(
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    thresholds = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("threshold")
+    )
+    return (
+        thresholds.crossJoin(ranked)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.col("threshold") * F.col("n"), F.col("rn"))
+            ).alias("k_tokens"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.col("threshold") * F.col("n"),
+                        F.col("cum"),
+                    )
+                )
+                / F.max("n").cast("double"),
+                6,
+            ).alias("share_at_k"),
+        )
+        .orderBy("threshold")
+    )

@@ -143,3 +143,15 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text shards: one row per line (``value`` string) plus the
+    originating file path — the landing format for line-oriented corpus
+    dumps.  ``spark.read.text`` splits large files on line boundaries,
+    so shards parallelize without a pre-split step."""
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path).withColumn(
+        "source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )

@@ -44,6 +44,17 @@ QUERIES = [
     "minhash_estimate_accuracy",
     "key_skew_profile",
     "pagerank_near_dup",
+    "fuzzy_match_part_names",
+    "rollup_multires",
+    "kl_divergence_sources",
+    "nucleus_corpus_selection",
+    "interval_overlap_errors",
+    "asof_forward_next_purchase",
+    "heavy_hitter_tokens",
+    "triangle_census_near_dup",
+    "market_basket_lift",
+    "cusum_changepoint",
+    "vocab_coverage_curve",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")

@@ -216,3 +216,30 @@ def test_misra_gries_guarantee_under_eviction(spark):
         assert set(got) == expected
         for item, cnt in got.items():
             assert cnt == truth[item]  # exact verification pass
+
+
+def test_triangle_stats_on_planted_graphs(spark):
+    """Known censuses: K5 (10 triangles), a star (0 triangles, all
+    wedges), and K4 plus a pendant edge — each triangle counted exactly
+    once despite the degree-ordered re-orientation."""
+    from data_engineering_individual_assignment_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    def census(edges):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return triangle_stats(df).first()
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    r = census(k5)
+    assert (r.n_edges, r.n_triangles, r.n_wedges) == (10, 10, 30)
+    assert r.clustering == 1.0
+
+    star = [(0, i) for i in range(1, 9)]  # hub 0, 8 leaves
+    r = census(star)
+    assert (r.n_edges, r.n_triangles, r.n_wedges) == (8, 0, 28)
+    assert r.clustering == 0.0
+
+    k4_pendant = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    r = census(k4_pendant)
+    assert r.n_triangles == 4  # C(4,3), pendant adds none

@@ -1,0 +1,77 @@
+"""Semantic invariants for the insights batch (plans/insights.py).
+Cross-engine value checks live in tests/test_queries_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_individual_assignment_spark import plans
+from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+from .conftest import SF_SMALL
+
+
+def _q(spark, name):
+    return plans.CATALOG[name].fn(spark, SF_SMALL)
+
+
+def test_market_basket_support_bounds(spark):
+    rows = _q(spark, "market_basket_lift").collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b  # canonical orientation
+        assert 0 < r.n_both <= min(r.n_a, r.n_b)  # support containment
+        assert r.lift > 0
+
+
+def test_rfm_segments_cover_every_customer(spark):
+    df = _q(spark, "rfm_segments")
+    total = df.agg(F.sum("n_customers")).first()[0]
+    n_cust = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == n_cust
+    for r in df.collect():
+        assert 1 <= r.r <= 4 and 1 <= r.f <= 4 and 1 <= r.m <= 4
+
+
+def test_dup_histogram_conserves_documents(spark):
+    df = _q(spark, "dup_multiplicity_histogram")
+    total_docs = df.agg(F.sum("n_docs")).first()[0]
+    assert total_docs == load_table(spark, SF_SMALL, "documents").count()
+    for r in df.collect():
+        assert r.n_docs == r.multiplicity * r.n_clusters
+
+
+def test_vocab_coverage_curve_is_monotone(spark):
+    rows = sorted(_q(spark, "vocab_coverage_curve").collect(),
+                  key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == [0.5, 0.9, 0.99]
+    ks = [r.k_tokens for r in rows]
+    assert ks == sorted(ks)  # higher coverage needs no fewer tokens
+    for r in rows:
+        assert r.share_at_k >= r.threshold  # first-crossing rule
+
+
+def test_cusum_peak_is_on_an_observed_day(spark):
+    days = {
+        (r.event_type, r.day.strftime("%Y-%m-%d"))
+        for r in load_table(spark, SF_SMALL, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    }
+    rows = _q(spark, "cusum_changepoint").collect()
+    assert rows
+    for r in rows:
+        assert (r.event_type, r.changepoint_day) in days
+
+
+def test_autocorr_within_unit_interval(spark):
+    for r in _q(spark, "autocorr_daily").collect():
+        assert r.n_days > 0
+        if r.lag1_autocorr is not None:
+            assert -1.0 <= r.lag1_autocorr <= 1.0
