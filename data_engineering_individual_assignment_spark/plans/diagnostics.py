@@ -593,3 +593,49 @@ def triangle_census_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
     return graph.triangle_stats(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode: WAV payload synthesis -> RIFF parse -> DSP features
+# ---------------------------------------------------------------------------
+@register(
+    "audio_wav_features",
+    sql=None,  # FFT-based features are not SQL-expressible; analytic
+    # ground-truth is pinned in tests/test_diagnostics.py (dominant
+    # frequency == synthesized frequency, RMS == amp/sqrt(2), ZCR == 2f/sr)
+    doc="REAL multimodal decode path: deterministic 16-bit PCM WAV "
+    "payloads (one pure sine per document, freq keyed by doc_id) are "
+    "built as actual RIFF containers, decoded with the stdlib wave "
+    "codec inside mapInPandas (operators/multimodal.decode_wav_features)"
+    ", and reduced to per-frequency corpus stats.  Payload bytes stay "
+    "columnar on executors; corrupt assets degrade to decode_ok=false "
+    "rows instead of failing the pass.  This is the working reference "
+    "implementation behind the image/video NotImplementedError seam.",
+)
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_wav_features, synth_wav_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(256)
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                synth_wav_bytes(250.0 * (1 + int(d) % 8)) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    feats = decode_wav_features(wavs)
+    return (
+        feats.where(F.col("decode_ok"))
+        .groupBy("dominant_freq_hz")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("zero_cross_rate"), 4).alias("avg_zcr"),
+            F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+        )
+        .orderBy("dominant_freq_hz")
+    )

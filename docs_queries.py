@@ -25,8 +25,11 @@ def main() -> None:
     by_mod: dict[str, list] = {}
     for q in plans.CATALOG.values():
         by_mod.setdefault(q.fn.__module__.rsplit(".", 1)[-1], []).append(q)
-    for mod in ["relational", "reference", "analytics", "scalar", "advanced",
-                "extensions", "curation", "features"]:
+    preferred = ["relational", "reference", "analytics", "scalar", "advanced",
+                 "extensions", "curation", "features", "tpch", "timeseries",
+                 "profiling", "training", "diagnostics", "insights"]
+    mods = preferred + sorted(set(by_mod) - set(preferred))
+    for mod in mods:
         qs = by_mod.get(mod, [])
         lines += [f"## plans/{mod}.py ({len(qs)} queries)", "",
                   "| query | check | what it pins |", "|---|---|---|"]

@@ -243,3 +243,42 @@ def test_triangle_stats_on_planted_graphs(spark):
     k4_pendant = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
     r = census(k4_pendant)
     assert r.n_triangles == 4  # C(4,3), pendant adds none
+
+
+def test_wav_decode_matches_analytic_ground_truth(spark):
+    """The WAV path is a REAL codec: synthesized sine payloads decode to
+    their analytic DSP features — dominant FFT bin == synthesized
+    frequency, RMS == amplitude/sqrt(2), zero-crossing rate == 2f/sr —
+    and a corrupt payload degrades to decode_ok=false, not a task
+    failure."""
+    import math
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_wav_features,
+        synth_wav_bytes,
+    )
+
+    cases = [(1, 250.0), (2, 1000.0), (3, 2000.0)]
+    rows = [(i, bytearray(synth_wav_bytes(f))) for i, f in cases]
+    rows.append((99, bytearray(b"not a wav at all")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_wav_features(df).collect()}
+
+    for i, f in cases:
+        r = got[i]
+        assert r.decode_ok
+        assert r.sample_rate == 8000 and r.n_samples == 800
+        assert r.dominant_freq_hz == f  # exact bin: f * n/sr is integral
+        assert abs(r.rms - 0.5 / math.sqrt(2)) < 0.01
+        assert abs(r.zero_cross_rate - 2 * f / 8000) < 0.02
+        assert abs(r.duration_s - 0.1) < 1e-9
+    bad = got[99]
+    assert bad.decode_ok is False and bad.rms is None
+
+
+def test_audio_wav_features_query_buckets_by_frequency(spark):
+    df = _q(spark, "audio_wav_features")
+    rows = df.collect()
+    freqs = [r.dominant_freq_hz for r in rows]
+    assert freqs == [250.0 * k for k in range(1, 9)]
+    assert sum(r.n_assets for r in rows) == 256
