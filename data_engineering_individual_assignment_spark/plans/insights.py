@@ -354,3 +354,49 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "trimmed_mean_values",
+    sql="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(avg(value), 4) AS mean_value,
+           round(avg(value) FILTER (WHERE rn > n // 10
+                                      AND rn <= n - n // 10), 4)
+               AS trimmed_mean
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    doc="GROUPED_AGG pandas UDF (UDAF API surface, functions/stats."
+    "trimmed_mean_udaf): per-type 10%-trimmed mean of event values next "
+    "to the plain mean.  Order-statistic aggregates have no mergeable "
+    "partials, so the whole group ships to one task — fine for "
+    "well-distributed keys, never for skew keys.  The oracle slices by "
+    "RANK (count-based trim), which matches the numpy sort-and-slice "
+    "exactly even with ties at the trim boundary.",
+)
+def trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stats import trimmed_mean_udaf
+
+    events = load_table(spark, sf_dir, "events")
+    tm = trimmed_mean_udaf(0.1)
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT): run the JVM aggregates
+    # and the UDAF as two aggregations over the same grouping and join
+    # the (group-key-sized) results
+    jvm = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+    )
+    udaf = events.groupBy("event_type").agg(
+        F.round(tm(F.col("value")), 4).alias("trimmed_mean")
+    )
+    return jvm.join(udaf, "event_type").select(
+        "event_type", "n_events", "mean_value", "trimmed_mean"
+    ).orderBy("event_type")

@@ -187,3 +187,58 @@ def forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "ewma_daily",
+    sql="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(ts AS DATE)) AS rn
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    walk AS (
+        SELECT event_type, rn, day, cnt, CAST(cnt AS DOUBLE) AS ewma
+        FROM daily WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.day, d.cnt,
+               0.3 * d.cnt + 0.7 * w.ewma
+        FROM daily d JOIN walk w
+          ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+           round(ewma, 4) AS ewma
+    FROM walk ORDER BY event_type, day
+    """,
+    doc="exponentially-weighted moving average of daily counts per type "
+    "(alpha=0.3, adjust-free recursion s_i = a*x_i + (1-a)*s_{i-1}) via "
+    "grouped-map applyInPandas — the recursion is sequential per key, so "
+    "it runs pandas-side after one exchange on the key; day-grain input "
+    "keeps each group tiny.  The oracle executes the SAME recursion as a "
+    "recursive CTE, so the float trajectory itself is differential-"
+    "tested (identical operation order on both engines).",
+)
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        pdf["ewma"] = (
+            pdf["cnt"].astype("float64").ewm(alpha=0.3, adjust=False).mean()
+        ).round(4)
+        return pdf
+
+    out = daily.groupBy("event_type").applyInPandas(
+        smooth, schema="event_type string, day date, cnt bigint, ewma double"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "ewma",
+    ).orderBy("event_type", "day")

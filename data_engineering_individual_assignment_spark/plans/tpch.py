@@ -641,3 +641,137 @@ def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "small_order_parts",
+    sql="""
+    WITH per_part AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey)
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN per_part p ON p.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * p.avg_qty
+    """,
+    doc="Q17 shape (small-quantity-order revenue): the classic CORRELATED "
+    "scalar subquery 'quantity < 0.5 * (SELECT avg(quantity) ... same "
+    "part)' decorrelated into one per-part aggregate joined back — one "
+    "extra linear agg + an equi join instead of a per-row subquery "
+    "execution.  The join key is the part key, so both sides hash-"
+    "partition; nothing is broadcast-sized-dependent.",
+)
+def small_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "nation_value_concentration",
+    sql="""
+    WITH nation_value AS (
+        SELECT s.s_nationkey,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS value
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY s.s_nationkey),
+    total AS (SELECT sum(value) AS tot FROM nation_value)
+    SELECT n.n_name,
+           round(v.value, 2) AS value,
+           round(v.value / t.tot, 6) AS share
+    FROM nation_value v
+    JOIN nation n ON n.n_nationkey = v.s_nationkey
+    CROSS JOIN total t
+    WHERE v.value > 0.03 * t.tot
+    ORDER BY value DESC, n_name
+    """,
+    doc="Q11 shape (value concentration vs a GLOBAL scalar): group sums "
+    "filtered against a fraction of the grand total — the scalar "
+    "subquery becomes a 1-row broadcast crossJoin, so the HAVING-vs-"
+    "global pattern costs one extra row of shuffle, not a second scan.",
+)
+def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nv = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_nationkey")
+        .agg(F.sum(value).alias("value"))
+    )
+    total = nv.agg(F.sum("value").alias("tot"))
+    return (
+        nv.join(
+            F.broadcast(nation), nv["s_nationkey"] == nation["n_nationkey"]
+        )
+        .crossJoin(F.broadcast(total))
+        .where(F.col("value") > 0.03 * F.col("tot"))
+        .select(
+            "n_name",
+            F.round("value", 2).alias("value"),
+            F.round(F.col("value") / F.col("tot"), 6).alias("share"),
+        )
+        .orderBy(F.desc("value"), "n_name")
+    )
+
+
+@register(
+    "min_cost_supplier",
+    sql="""
+    WITH supp_cost AS (
+        SELECT l_partkey, l_suppkey,
+               avg(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+        SELECT sc.l_partkey, sc.l_suppkey, sc.unit_cost,
+               row_number() OVER (PARTITION BY sc.l_partkey
+                   ORDER BY sc.unit_cost, sc.l_suppkey) AS rn
+        FROM supp_cost sc)
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(r.unit_cost, 4) AS unit_cost, s.s_acctbal
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.l_partkey
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1 AND p.p_size = 11
+    ORDER BY s.s_acctbal DESC, p.p_partkey
+    LIMIT 20
+    """,
+    doc="Q2 shape (min-cost supplier per part): the correlated "
+    "'cost = (SELECT min(cost) ... same part)' subquery decorrelated "
+    "into a per-(part,supplier) aggregate + per-part row_number pick "
+    "with a deterministic tie-break, then dimension joins broadcast.  "
+    "LIMIT folds into TakeOrderedAndProject after the final sort keys.",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    sc = (
+        li.where(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = sc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(
+            F.broadcast(part.where(F.col("p_size") == 11)),
+            best["l_partkey"] == part["p_partkey"],
+        )
+        .join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+            "s_acctbal",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(20)
+    )

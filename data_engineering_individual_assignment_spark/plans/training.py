@@ -298,3 +298,100 @@ def corpus_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@register(
+    "kfold_ols_cv",
+    sql="""
+    WITH pts AS (
+        SELECT l_orderkey % 4 AS fold,
+               l_quantity AS x, l_extendedprice AS y
+        FROM lineitem),
+    fs AS (
+        SELECT fold, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pts GROUP BY fold),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n, sum(sx) AS sx, sum(sy) AS sy,
+               sum(sxx) AS sxx, sum(sxy) AS sxy
+        FROM fs),
+    coef AS (
+        SELECT f.fold,
+               ((t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+               / ((t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n))
+                   AS b1,
+               ((t.sy - f.sy)
+                - (((t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy) / (t.n - f.n))
+                   / ((t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx) / (t.n - f.n)))
+                  * (t.sx - f.sx)) / (t.n - f.n) AS b0
+        FROM fs f CROSS JOIN tot t),
+    ev AS (
+        SELECT p.fold, CAST(count(*) AS BIGINT) AS n_test,
+               avg((p.y - c.b0 - c.b1 * p.x) * (p.y - c.b0 - c.b1 * p.x))
+                   AS mse
+        FROM pts p JOIN coef c USING (fold) GROUP BY p.fold)
+    SELECT CAST(e.fold AS BIGINT) AS fold, e.n_test,
+           round(c.b1, 6) AS slope, round(c.b0, 4) AS intercept,
+           round(sqrt(e.mse), 2) AS rmse
+    FROM ev e JOIN coef c USING (fold)
+    ORDER BY fold
+    """,
+    doc="k-fold cross-validated OLS (U2 eval-harness depth) in TWO scans "
+    "for ALL folds: per-fold sufficient statistics (n, Sx, Sy, Sxx, Sxy) "
+    "in one aggregation, each fold's TRAIN coefficients derived from the "
+    "COMPLEMENT (totals minus fold) — no per-fold re-scan — then one "
+    "evaluation pass scores every fold with its own broadcast "
+    "coefficients.  The leave-fold-out-from-sufficient-stats trick is "
+    "what makes k-fold free at 100 TB: cost is independent of k.",
+)
+def kfold_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") % 4).alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    fs = pts.groupBy("fold").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = fs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    cn = F.col("tn") - F.col("n")
+    csx = F.col("tsx") - F.col("sx")
+    csy = F.col("tsy") - F.col("sy")
+    csxx = F.col("tsxx") - F.col("sxx")
+    csxy = F.col("tsxy") - F.col("sxy")
+    b1 = (csxy - csx * csy / cn) / (csxx - csx * csx / cn)
+    coef = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        b1.alias("b1"),
+        ((csy - b1 * csx) / cn).alias("b0"),
+    )
+    resid = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
+    ev = (
+        pts.join(F.broadcast(coef), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.avg(resid * resid).alias("mse"),
+            F.first("b1").alias("b1"),
+            F.first("b0").alias("b0"),
+        )
+    )
+    return ev.select(
+        "fold",
+        "n_test",
+        F.round("b1", 6).alias("slope"),
+        F.round("b0", 4).alias("intercept"),
+        F.round(F.sqrt("mse"), 2).alias("rmse"),
+    ).orderBy("fold")

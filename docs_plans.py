@@ -27,6 +27,16 @@ SHOW = {
     "transform (no Window, so the corpus side never shuffles before the "
     "join), benchmark shingles broadcast, count aggregate only over "
     "matched rows.",
+    "interval_overlap_errors": "Banded interval join: the theta predicate "
+    "becomes an EQUI join on exploded bucket ids (SortMergeJoin/"
+    "ShuffledHashJoin, hash-partitionable) + exact re-check — no "
+    "BroadcastNestedLoopJoin anywhere in the plan.",
+    "heavy_hitter_tokens": "Misra-Gries candidates from mapInPandas "
+    "partials; the exact pass is a broadcast left-semi join followed by a "
+    "hash aggregate whose state is candidate-sized.",
+    "asof_forward_next_purchase": "Forward as-of: the identical "
+    "single-exchange union-merge carry plan as the backward form, with the "
+    "per-key sort running time-descending.",
 }
 
 

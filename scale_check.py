@@ -94,6 +94,17 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
             if name in extra:
                 k2, s2 = extra[name]
                 part = part.withColumn(k2, F.col(k2) + F.lit(i * s2))
+            if name == "documents" and i > 0:
+                # remap replica i's tokens into a disjoint vocabulary
+                # (suffix every token): intra-replica similarity structure
+                # is preserved exactly, but replicas are NOT near-dups of
+                # each other — otherwise every doc gains factor-1 exact
+                # copies and the TRUE pair/cluster/graph answer grows
+                # quadratically in the factor, which would measure output
+                # size, not operator scaling
+                part = part.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
+                )
             parts.append(part)
         out = parts[0]
         for p in parts[1:]:

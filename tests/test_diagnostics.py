@@ -282,3 +282,14 @@ def test_audio_wav_features_query_buckets_by_frequency(spark):
     freqs = [r.dominant_freq_hz for r in rows]
     assert freqs == [250.0 * k for k in range(1, 9)]
     assert sum(r.n_assets for r in rows) == 256
+
+
+def test_banded_interval_join_plans_as_equi_join(spark):
+    """The banding rewrite must remove the BroadcastNestedLoopJoin a raw
+    theta join would plan: the physical plan joins on the bucket id
+    (hash-partitionable equi join) and re-checks the interval predicate
+    as a post-join filter."""
+    df = _q(spark, "interval_overlap_errors")
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "broadcastnestedloopjoin" not in plan
+    assert "cartesianproduct" not in plan

@@ -75,3 +75,20 @@ def test_autocorr_within_unit_interval(spark):
         assert r.n_days > 0
         if r.lag1_autocorr is not None:
             assert -1.0 <= r.lag1_autocorr <= 1.0
+
+
+def test_trimmed_mean_udaf_ignores_planted_outliers(spark):
+    """UDAF semantics: 10% trim drops a planted 1e9 outlier entirely,
+    while the plain mean is dragged by it."""
+    from data_engineering_individual_assignment_spark.functions.stats import (
+        trimmed_mean_udaf,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 20)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    tm = trimmed_mean_udaf(0.1)
+    got = df.groupBy("k").agg(tm(F.col("v")).alias("t")).first().t
+    # sorted values 1..19, 1e9; trim k=2 -> interior = 3..18 -> mean 10.5
+    assert abs(got - 10.5) < 1e-9
+    plain = df.agg(F.avg("v")).first()[0]
+    assert plain > 1e7

@@ -162,3 +162,36 @@ def test_corpus_split_stable_under_growth(spark):
         if r.doc_id < 10**6
     }
     assert base == after
+
+
+def test_kfold_cv_folds_partition_the_data(spark):
+    """The 4 folds cover every row exactly once; each fold's
+    leave-fold-out coefficients hover near the full-data fit (the folds
+    are random-ish modulo splits of one homogeneous relation)."""
+    from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    from .conftest import SF_SMALL
+
+    rows = plans.CATALOG["kfold_ols_cv"].fn(spark, SF_SMALL).collect()
+    assert [r.fold for r in rows] == [0, 1, 2, 3]
+    total = sum(r.n_test for r in rows)
+    assert total == load_table(spark, SF_SMALL, "lineitem").count()
+    for r in rows:
+        assert r.rmse > 0
+    # the complement-sufficient-stats algebra must equal a direct OLS fit
+    # on the train subset (all rows with fold != 0)
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    train = li.where((F.col("l_orderkey") % 4) != 0).select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    direct = train.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("b1"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+    ).first()
+    fold0 = rows[0]
+    assert abs(fold0.slope - direct.b1) < 1e-3
+    assert abs(fold0.intercept - (direct.my - direct.b1 * direct.mx)) < 1e-2
