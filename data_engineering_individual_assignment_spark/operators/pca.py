@@ -1,0 +1,86 @@
+"""Distributed PCA over an embedding column.
+
+The scalable decomposition: the d x d Gram matrix (and the mean vector)
+is computed as PARTITION-WISE numpy partials inside mapInPandas —
+each task emits one (count, sum-vector, flattened X'X) row — and those
+d²-sized partials reduce to a single driver-side matrix whose size is
+independent of the row count.  The eigendecomposition then runs on the
+driver over a 64x64 array (microseconds); the resulting components
+broadcast back as literal arrays and the projection is a JVM
+higher-order expression (zip_with + aggregate), so scoring the corpus
+is a map-only pass with no Python.
+
+This is the textbook split for 100 TB PCA: O(n·d²) distributed work,
+O(d²) driver state, O(d·k) broadcast — nothing driver-side scales
+with n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """One row per Arrow batch: (n, sum_vec, flattened gram X'X)."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(
+        part, schema="n long, s array<double>, g array<double>"
+    )
+
+
+def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
+    """Returns (eigenvalues desc, components [k][dim], mean vector) as
+    plain Python lists.  The reduce collects only d²-sized partials."""
+    import numpy as np
+
+    parts = gram_partials(df, vec_col, dim).collect()
+    n = sum(p.n for p in parts)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for p in parts:
+        s += np.asarray(p.s)
+        g += np.asarray(p.g).reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    # sign convention: make each component's largest-|coord| entry
+    # positive so the fit is deterministic run-to-run
+    comps = []
+    for i in order:
+        v = vecs[:, i]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v.tolist())
+    return [float(vals[i]) for i in order], comps, mean.tolist()
+
+
+def project(df: DataFrame, vec_col: str, components, mean) -> DataFrame:
+    """Adds pc0..pc{k-1} columns via JVM zip_with/aggregate expressions —
+    the scoring pass never crosses the Python boundary."""
+    out = df
+    mean_arr = F.array(*[F.lit(float(x)) for x in mean])
+    centered = F.zip_with(F.col(vec_col), mean_arr, lambda x, m: x - m)
+    for i, comp in enumerate(components):
+        comp_arr = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(centered, comp_arr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"pc{i}", dot)
+    return out

@@ -400,3 +400,49 @@ def trimmed_mean_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jvm.join(udaf, "event_type").select(
         "event_type", "n_events", "mean_value", "trimmed_mean"
     ).orderBy("event_type")
+
+
+@register(
+    "embedding_pca_variance",
+    sql=None,  # eigendecomposition is not SQL-expressible; invariants
+    # (eigenvalue ordering, orthonormality, variance-match, reconstruction
+    # bound) are pinned in tests/test_insights.py against numpy ground truth
+    doc="distributed PCA (operators/pca.py): the 64x64 Gram matrix is "
+    "reduced from partition-wise numpy partials (d^2-sized, independent "
+    "of row count), eigendecomposed on the driver, and the corpus is "
+    "projected with JVM zip_with/aggregate expressions — no Python in "
+    "the scoring pass.  Output: per-component explained-variance shares "
+    "+ per-label PC centroids (labels separate along the top "
+    "components if the embedding space is label-structured).",
+)
+def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    vals, comps, mean = pca.fit_pca(emb, "embedding", dim=dim, k=4)
+    total_var = sum(vals) if sum(vals) else 1.0
+    projected = pca.project(emb, "embedding", comps, mean)
+    per_label = projected.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[F.round(F.avg(f"pc{i}"), 4).alias(f"centroid_pc{i}") for i in range(2)],
+    )
+    shares = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "component int, eigenvalue double"
+    ).select(
+        "component",
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round(F.col("eigenvalue") / F.lit(total_var), 6).alias("var_share"),
+    )
+    # one result relation: component rows then per-label centroid rows
+    comp_rows = shares.select(
+        F.concat(F.lit("component_"), F.col("component")).alias("entity"),
+        F.col("eigenvalue").alias("metric_a"),
+        F.col("var_share").alias("metric_b"),
+    )
+    label_rows = per_label.select(
+        F.concat(F.lit("label_"), F.col("label")).alias("entity"),
+        F.col("centroid_pc0").alias("metric_a"),
+        F.col("centroid_pc1").alias("metric_b"),
+    )
+    return comp_rows.unionByName(label_rows).orderBy("entity")

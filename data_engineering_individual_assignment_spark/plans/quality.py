@@ -212,3 +212,91 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"))
         .orderBy("change")
     )
+
+
+@register(
+    "ab_test_conversion",
+    sql="""
+    WITH counts AS (
+        SELECT user_id, user_id % 2 AS bucket,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purch
+        FROM events GROUP BY user_id),
+    med AS (SELECT quantile_cont(n_purch, 0.5) AS m FROM counts),
+    users AS (
+        SELECT user_id, bucket,
+               CASE WHEN n_purch > m THEN 1 ELSE 0 END AS converted
+        FROM counts CROSS JOIN med),
+    arms AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
+        FROM users GROUP BY bucket),
+    wide AS (
+        SELECT
+            max(CASE WHEN bucket = 0 THEN n END) AS n_a,
+            max(CASE WHEN bucket = 1 THEN n END) AS n_b,
+            max(CASE WHEN bucket = 0 THEN conv END) AS conv_a,
+            max(CASE WHEN bucket = 1 THEN conv END) AS conv_b
+        FROM arms)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a * 1.0 / n_a, 6) AS p_a,
+           round(conv_b * 1.0 / n_b, 6) AS p_b,
+           round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat,
+           abs((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+               / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+    FROM wide
+    """,
+    doc="two-proportion z-test (experimentation readout): users bucketed "
+    "by key parity; 'conversion' = per-user purchase count above the "
+    "global median (a median split keeps both arms non-degenerate at "
+    "any scale — 'any purchase' saturates to p=1 on a dense event log "
+    "and zeroes the pooled variance).  Pooled z and the 5% two-sided "
+    "verdict; one user-grain agg + a 1-row broadcast median + a 2-row "
+    "arm agg.",
+)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purch")
+    ).withColumn("bucket", F.col("user_id") % 2)
+    med = counts.agg(F.expr("percentile(n_purch, 0.5)").alias("m"))
+    users = counts.crossJoin(F.broadcast(med)).withColumn(
+        "converted", (F.col("n_purch") > F.col("m")).cast("int")
+    )
+    arms = users.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("bucket") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("bucket") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("bucket") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    # every ratio needs an explicit double: long/long is INTEGER division
+    # under ANSI mode, which silently floors p to 0 and then divides by a
+    # zero pooled variance
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool
+        * (1 - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -92,3 +92,42 @@ def test_trimmed_mean_udaf_ignores_planted_outliers(spark):
     assert abs(got - 10.5) < 1e-9
     plain = df.agg(F.avg("v")).first()[0]
     assert plain > 1e7
+
+
+def test_pca_invariants_against_numpy_ground_truth(spark):
+    """Distributed gram-partial PCA must reproduce numpy's exact
+    covariance eigenstructure: descending eigenvalues, unit-norm
+    orthogonal components, projected variance == eigenvalue, and
+    decorrelated projections."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators import pca
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    vals, comps, mean = pca.fit_pca(emb, "embedding", dim=64, k=4)
+
+    assert vals == sorted(vals, reverse=True)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)  # orthonormal
+
+    # exact numpy reference on the collected matrix (500 x 64 — test-only)
+    X = np.vstack([r.embedding for r in emb.select("embedding").collect()])
+    ref_cov = np.cov(X.T, bias=True)
+    ref_vals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1][:4]
+    assert np.allclose(vals, ref_vals, atol=1e-9)
+
+    proj = pca.project(emb, "embedding", comps, mean)
+    stats = proj.agg(
+        F.var_pop("pc0"), F.var_pop("pc1"), F.covar_pop("pc0", "pc1")
+    ).first()
+    assert abs(stats[0] - vals[0]) < 1e-9
+    assert abs(stats[1] - vals[1]) < 1e-9
+    assert abs(stats[2]) < 1e-9  # decorrelated
+
+
+def test_ab_test_pooled_z_is_finite_and_consistent(spark):
+    r = _q(spark, "ab_test_conversion").first()
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 < r.p_a < 1 and 0 < r.p_b < 1  # median split: non-degenerate
+    assert r.z_stat is not None
+    assert r.significant == (abs(r.z_stat) > 1.96)
