@@ -240,6 +240,12 @@ def interval_overlap_join(
     ``greatest(l_start, r_start) div band`` — so no distinct pass is
     needed.  Cost is O(touched buckets + true pairs); pick ``band``
     near the typical interval length so intervals touch O(1) buckets.
+
+    Negative coordinates are correct but slightly unbalanced: ``div``
+    truncates toward zero (not floor), so the bucket containing zero is
+    2x wide.  Both the explode and the emit-once rule use the same
+    monotone bucket function, so coverage and exactly-once emission
+    hold for any sign; epoch-micros inputs are always positive anyway.
     """
     lb = left.withColumn(
         "__band",

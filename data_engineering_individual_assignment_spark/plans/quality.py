@@ -300,3 +300,74 @@ def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "benford_price_screen",
+    sql="""
+    WITH digits AS (
+        SELECT CAST(floor(o_totalprice
+                          / power(10, floor(log10(o_totalprice))))
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+    spine AS (SELECT unnest(range(1, 10)) AS digit),
+    full_obs AS (
+        SELECT s.digit,
+               coalesce(o.n_obs, 0) AS n_obs,
+               log10(1 + 1.0 / s.digit) AS benford_p
+        FROM spine s LEFT JOIN obs o USING (digit)),
+    scored AS (
+        SELECT f.digit, f.n_obs,
+               round(f.n_obs * 1.0 / t.n, 6) AS obs_share,
+               round(f.benford_p, 6) AS benford_share,
+               (f.n_obs - t.n * f.benford_p)
+               * (f.n_obs - t.n * f.benford_p) / (t.n * f.benford_p)
+                   AS chi2_term
+        FROM full_obs f CROSS JOIN tot t)
+    SELECT CAST(digit AS BIGINT) AS digit, n_obs, obs_share, benford_share,
+           round(sum(chi2_term) OVER (), 4) AS chi2_total
+    FROM scored ORDER BY digit
+    """,
+    doc="Benford first-digit screen over order prices: observed "
+    "first-digit shares vs the Benford expectation log10(1+1/d) with "
+    "the chi-square statistic (8 dof; > 15.5 rejects at 5%) — the "
+    "classic synthetic-data / fraud smell test.  One digit-extraction "
+    "scan + a 9-row aggregate; the spine left-join keeps absent digits "
+    "as zero counts so the statistic is well-defined on any data.",
+)
+def benford_price_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    obs = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    full_obs = (
+        spine.join(obs, "digit", "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+        .withColumn("benford_p", F.log10(1 + F.lit(1.0) / F.col("digit")))
+    )
+    scored = full_obs.crossJoin(F.broadcast(tot)).withColumn(
+        "chi2_term",
+        F.pow(F.col("n_obs") - F.col("n") * F.col("benford_p"), 2)
+        / (F.col("n") * F.col("benford_p")),
+    )
+    return scored.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_share"),
+        F.round("benford_p", 6).alias("benford_share"),
+        F.round(F.sum("chi2_term").over(Window.partitionBy()), 4).alias(
+            "chi2_total"
+        ),
+    ).orderBy("digit")

@@ -242,3 +242,67 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "ewma",
     ).orderBy("event_type", "day")
+
+
+@register(
+    "temporal_state_join",
+    sql="""
+    WITH status AS (
+        SELECT user_id, event_type AS status, ts, event_id
+        FROM events WHERE event_type IN ('signup', 'error')),
+    purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'),
+    ranked AS (
+        SELECT p.event_id, p.value, s.status,
+               row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY s.ts DESC, s.event_id DESC) AS rn
+        FROM purchases p
+        LEFT JOIN status s
+          ON s.user_id = p.user_id AND s.ts <= p.ts)
+    SELECT coalesce(status, 'none') AS status,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS total_value
+    FROM ranked WHERE rn = 1
+    GROUP BY coalesce(status, 'none')
+    ORDER BY status
+    """,
+    doc="temporal (point-in-interval) dimension join: each purchase "
+    "joined to the account status (signup/error SCD2 state) VALID AT "
+    "purchase time.  A validity-interval join against an SCD2 dimension "
+    "is exactly a backward as-of join on (key, valid_from) — so the "
+    "plan is the single-shuffle union-merge carry, not a range join; "
+    "the oracle runs the naive interval containment + row_number pick.",
+)
+def temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import joins
+
+    e = load_table(spark, sf_dir, "events")
+    status = e.where(F.col("event_type").isin("signup", "error")).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("s_event_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = joins.asof_join(
+        purchases,
+        status,
+        left_ts="ts",
+        right_ts="s_ts",
+        left_by="user_id",
+        right_by="s_user",
+        left_id="event_id",
+        tie_break="s_event_id",
+        right_cols=["status"],
+    )
+    return (
+        j.groupBy(F.coalesce("status", F.lit("none")).alias("status"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("status")
+    )

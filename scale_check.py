@@ -55,6 +55,16 @@ QUERIES = [
     "market_basket_lift",
     "cusum_changepoint",
     "vocab_coverage_curve",
+    "ewma_daily",
+    "expectation_suite",
+    "snapshot_diff",
+    "ab_test_conversion",
+    "trimmed_mean_values",
+    "kfold_ols_cv",
+    "temporal_state_join",
+    "small_order_parts",
+    "min_cost_supplier",
+    "embedding_pca_variance",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")

@@ -47,3 +47,16 @@ def test_ewma_recursion_matches_hand_rolled_series(spark):
         for r in evs[1:]:
             s = 0.3 * r.cnt + 0.7 * s
             assert abs(r.ewma - round(s, 4)) < 5e-4
+
+
+def test_benford_screen_is_a_proper_distribution(spark):
+    import math
+
+    rows = _q(spark, "benford_price_screen").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.benford_share - math.log10(1 + 1 / r.digit)) < 1e-6
+    chi2 = {r.chi2_total for r in rows}
+    assert len(chi2) == 1 and chi2.pop() >= 0
