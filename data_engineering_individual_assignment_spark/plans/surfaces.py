@@ -1,0 +1,189 @@
+"""Modern engine surfaces, batch 2 (the batch-1 surfaces — VARIANT,
+pipe syntax, collations, recursive CTE, UDTF, Observation — live in
+plans/advanced.py and plans/extensions.py):
+
+- hidden ``_metadata`` file-source columns (file provenance without a
+  side-channel manifest),
+- Spark 4 SQL session variables (DECLARE / SET VAR / EXECUTE IMMEDIATE),
+- Spark 4 SQL scripting (BEGIN ... WHILE ... END compound statements),
+- plus a Zipf-law fit of the token distribution (the tokenizer-design
+  diagnostic), which is plain SQL but belongs to the same
+  "engine-evidence" family.
+
+Scale notes: the provenance and Zipf queries are single linear
+aggregations; the session-variable and scripting queries move CONTROL
+FLOW to the engine, not data — each loop iteration is an ordinary
+Catalyst-planned aggregate, so the loop body scales like any query and
+the loop count is logarithmic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table, register_temp_views
+from .catalog import register
+
+_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+@register(
+    "file_provenance_counts",
+    sql="""
+    SELECT 'documents.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents
+    """,
+    doc="file provenance via the hidden _metadata struct on file "
+    "sources (file_name / row_index) — per-file row accounting with NO "
+    "side-channel manifest and no input_file_name() UDF.  The testdata "
+    "table is a single file, so the oracle pins the constant; the "
+    "multi-file behavior (per-shard counts matching a written layout) "
+    "is pinned in tests/test_surfaces.py.",
+)
+def file_provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("_metadata.file_name").alias("file_name"), "doc_id")
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("file_name")
+    )
+
+
+@register(
+    "session_variable_threshold",
+    sql="""
+    WITH thr AS (SELECT avg(o_totalprice) AS t FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_above,
+           round(min(o_totalprice), 2) AS min_above,
+           round((SELECT t FROM thr), 2) AS threshold
+    FROM orders CROSS JOIN thr
+    WHERE o_totalprice > thr.t
+    """,
+    doc="SQL session variables (Spark 4): DECLARE OR REPLACE VARIABLE + "
+    "SET VAR from a scalar subquery, then EXECUTE IMMEDIATE a query "
+    "that references the variable — the parameterized-SQL workflow "
+    "without string interpolation.  The variable is a 1-row constant "
+    "folded into the plan (the scan filter is ordinary pushdown); the "
+    "oracle inlines the same scalar subquery.",
+)
+def session_variable_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, "orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE graft_price_thr DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        "SET VAR graft_price_thr = (SELECT avg(o_totalprice) FROM orders)"
+    )
+    return spark.sql(
+        """EXECUTE IMMEDIATE
+        'SELECT CAST(count(*) AS BIGINT) AS n_above,
+                round(min(o_totalprice), 2) AS min_above,
+                round(graft_price_thr, 2) AS threshold
+         FROM orders WHERE o_totalprice > graft_price_thr'"""
+    )
+
+
+@register(
+    "sql_scripting_coverage_search",
+    sql="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rn,
+               sum(o_totalprice) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS cum
+        FROM orders),
+    tot AS (SELECT sum(o_totalprice) AS t,
+                   CAST(count(*) AS BIGINT) AS n FROM orders),
+    m AS (SELECT min(rn) AS m FROM ranked CROSS JOIN tot
+          WHERE cum >= 0.5 * t),
+    k AS (SELECT CAST(power(2, ceil(log2(m))) AS BIGINT) AS k FROM m)
+    SELECT k.k AS k_orders,
+           round((SELECT max(cum) FROM ranked WHERE rn <= k.k)
+                 / (SELECT t FROM tot), 6) AS coverage
+    FROM k
+    """,
+    doc="SQL scripting (Spark 4 BEGIN/WHILE/END): a compound statement "
+    "doubles k until the top-k orders cover half of total revenue — "
+    "engine-side control flow where each iteration is an ordinary "
+    "Catalyst-planned TakeOrdered aggregate, so the loop adds "
+    "O(log answer) query executions and zero driver-side data "
+    "movement.  The oracle derives the same power-of-two analytically "
+    "from the revenue cumsum.",
+)
+def sql_scripting_coverage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        BEGIN
+          -- INT, not BIGINT: LIMIT only accepts integer-typed expressions
+          DECLARE k INT DEFAULT 1;
+          DECLARE cov DOUBLE DEFAULT 0.0;
+          DECLARE tot DOUBLE DEFAULT 0.0;
+          SET tot = (SELECT sum(o_totalprice) FROM orders);
+          SET cov = (SELECT sum(p) / tot FROM (
+              SELECT o_totalprice AS p FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 1));
+          WHILE cov < 0.5 DO
+            SET k = k * 2;
+            SET cov = (SELECT sum(p) / tot FROM (
+                SELECT o_totalprice AS p FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT k));
+          END WHILE;
+          SELECT CAST(k AS BIGINT) AS k_orders, round(cov, 6) AS coverage;
+        END
+        """
+    )
+
+
+@register(
+    "zipf_fit_tokens",
+    sql=f"""
+    WITH cnts AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY tok),
+    ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY c DESC, tok)) AS lx,
+               ln(c) AS ly
+        FROM cnts)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(-(covar_pop(lx, ly) / var_pop(lx)), 6) AS zipf_alpha,
+           round(corr(lx, ly) * corr(lx, ly), 6) AS r_squared
+    FROM ranked
+    """,
+    doc="Zipf-law fit of the token frequency distribution: OLS slope of "
+    "ln(freq) on ln(rank) over the vocabulary relation (alpha ~ 1 for "
+    "natural language; far off for synthetic/templated corpora — a "
+    "tokenizer-design and data-quality diagnostic).  One vocabulary-"
+    "sized agg + one closed-form regression aggregate.",
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = cnts.select(
+        F.log(F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))).alias(
+            "lx"
+        ),
+        F.log("c").alias("ly"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(-(F.covar_pop("lx", "ly") / F.var_pop("lx")), 6).alias("zipf_alpha"),
+        F.round(F.pow(F.corr("lx", "ly"), 2), 6).alias("r_squared"),
+    )
