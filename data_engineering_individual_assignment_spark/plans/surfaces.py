@@ -187,3 +187,70 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-(F.covar_pop("lx", "ly") / F.var_pop("lx")), 6).alias("zipf_alpha"),
         F.round(F.pow(F.corr("lx", "ly"), 2), 6).alias("r_squared"),
     )
+
+
+@register(
+    "arrow_native_token_median",
+    sql=f"""
+    WITH counts AS (
+        SELECT source, len({_TOKS}) AS n_tokens FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_tokens, 0.5), 1) AS median_tokens
+    FROM counts GROUP BY source ORDER BY source
+    """,
+    doc="pure-Arrow UDF path (Spark 4 mapInArrow + applyInArrow): token "
+    "counts computed with pyarrow.compute kernels (split_pattern + "
+    "list_value_length — no pandas materialization), then an exact "
+    "per-source median via a grouped applyInArrow that sorts inside "
+    "Arrow.  The Arrow path skips the pandas conversion entirely — "
+    "the lowest-overhead Python boundary Spark offers; like every "
+    "order statistic, the median group ships whole to one task, so "
+    "the group key must be well-distributed.",
+)
+def arrow_native_token_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = batch.column(1)
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(pc.utf8_trim_whitespace(text)), r"\s+"
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.cast(pc.list_value_length(toks), pa.int64())],
+                names=["source", "n_tokens"],
+            )
+
+    counted = docs.mapInArrow(count_tokens, schema="source string, n_tokens long")
+
+    # no annotations: PySpark resolves the UDF flavor from the signature
+    # hints, and unresolvable string annotations (PEP 563) break that
+    # inspection with an opaque eval_type error
+    def group_median(key, table):
+        v = pc.array_sort_indices(table.column("n_tokens"))
+        s = pc.take(table.column("n_tokens"), v)
+        n = len(s)
+        if n % 2:
+            med = s[n // 2].as_py() * 1.0
+        else:
+            med = (s[n // 2 - 1].as_py() + s[n // 2].as_py()) / 2.0
+        return pa.Table.from_arrays(
+            [
+                pa.array([key[0].as_py() if hasattr(key[0], "as_py") else key[0]]),
+                pa.array([n], type=pa.int64()),
+                pa.array([round(med, 1)], type=pa.float64()),
+            ],
+            names=["source", "n_docs", "median_tokens"],
+        )
+
+    return (
+        counted.groupBy("source")
+        .applyInArrow(
+            group_median, schema="source string, n_docs long, median_tokens double"
+        )
+        .orderBy("source")
+    )
