@@ -24,6 +24,12 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# The DuckDB-oracle twin of ``tokens()`` below — ONE canonical constant so
+# a tokenization change cannot silently diverge between the Spark plans and
+# the SQL oracles that check them.
+TOKS_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
 def tokens(c: Column | str) -> Column:
     """Whitespace tokenization of lower-cased text -> array<string>.
     Trim first so no empty leading/trailing tokens appear (keeps Spark and

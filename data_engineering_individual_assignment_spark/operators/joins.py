@@ -154,11 +154,18 @@ def asof_join_pandas(
     right_by: str,
     right_cols: list[str],
     direction: str = "backward",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Scale-path as-of join: both sides are hash-partitioned on the
     by-key, then ``pd.merge_asof`` runs once per co-grouped key pair.
     ``direction`` is passed through to ``merge_asof``
     (``backward``/``forward``, inclusive at equality).
+
+    ``tie_break``: the right column that decides equal-``right_ts``
+    winners, mirroring ``asof_join``'s semantics (backward: max,
+    forward: min).  When omitted, ties fall back to ``right_cols``
+    order — a caller pairing this with the declarative twin should
+    always pass the same ``tie_break``.
 
     Output schema: all left columns + ``right_cols`` (nullable).
     ``right_ts`` must be distinct from every left column name.
@@ -171,7 +178,10 @@ def asof_join_pandas(
         + [T.StructField(c, r_fields[c].dataType, True) for c in right_cols]
     )
     out_cols = [f.name for f in out_schema.fields]
-    right_slim = right.select(right_by, right_ts, *right_cols)
+    slim_cols = list(right_cols)
+    if tie_break and tie_break not in slim_cols:
+        slim_cols.append(tie_break)  # the sort key must ride along
+    right_slim = right.select(right_by, right_ts, *slim_cols)
 
     def merge_groups(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
@@ -191,12 +201,12 @@ def asof_join_pandas(
             for c in right_cols:
                 lpdf[c] = None
             return pd.concat([lpdf, null_left])[out_cols] if not null_left.empty else lpdf[out_cols]
-        # secondary sort on the payload makes equal-ts winners deterministic:
-        # merge_asof keeps the LAST equal-ts row going backward and the
-        # FIRST going forward, so (ts, id)-ascending order picks max-id
-        # backward / min-id forward — matching the declarative twin's
-        # tie_break semantics
-        rpdf = rpdf.sort_values([right_ts, *right_cols], kind="mergesort")
+        # secondary sort makes equal-ts winners deterministic: merge_asof
+        # keeps the LAST equal-ts row going backward and the FIRST going
+        # forward, so (ts, tie)-ascending order picks max-tie backward /
+        # min-tie forward — matching the declarative twin's tie_break
+        tie_cols = [tie_break] if tie_break else list(right_cols)
+        rpdf = rpdf.sort_values([right_ts, *tie_cols], kind="mergesort")
         merged = pd.merge_asof(
             lpdf,
             rpdf[[right_ts, *right_cols]],

@@ -22,13 +22,19 @@ from pyspark.sql import functions as F
 
 
 def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """One row per Arrow batch: (n, sum_vec, flattened gram X'X)."""
+    """One row per Arrow batch: (n, sum_vec, flattened gram X'X).
+    ``dim`` is validated against the actual vector width so a mismatch
+    fails loudly at the partial, not as an opaque reshape later."""
     import numpy as np
     import pandas as pd
 
     def part(batches):
         for pdf in batches:
             X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"embedding width {X.shape[1]} != declared dim {dim}"
+                )
             yield pd.DataFrame(
                 {
                     "n": [X.shape[0]],
@@ -43,8 +49,12 @@ def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
 
 def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
-    """Returns (eigenvalues desc, components [k][dim], mean vector) as
-    plain Python lists.  The reduce collects only d²-sized partials."""
+    """Returns (eigenvalues desc, components [k][dim], mean vector,
+    trace) as plain Python values.  The trace (total variance, sum of
+    ALL eigenvalues) is what explained-variance shares must divide by —
+    dividing by the top-k sum would always report shares summing to 1
+    no matter how little the PCs explain.  The reduce collects only
+    d²-sized partials."""
     import numpy as np
 
     parts = gram_partials(df, vec_col, dim).collect()
@@ -57,6 +67,7 @@ def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)  # ascending
+    trace = float(vals.sum())
     order = np.argsort(vals)[::-1][:k]
     # sign convention: make each component's largest-|coord| entry
     # positive so the fit is deterministic run-to-run
@@ -66,7 +77,7 @@ def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
         if v[int(np.argmax(np.abs(v)))] < 0:
             v = -v
         comps.append(v.tolist())
-    return [float(vals[i]) for i in order], comps, mean.tolist()
+    return [float(vals[i]) for i in order], comps, mean.tolist(), trace
 
 
 def project(df: DataFrame, vec_col: str, components, mean) -> DataFrame:

@@ -28,27 +28,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_partials(df: DataFrame, col: str, k: int) -> DataFrame:
+def mg_partials(
+    df: DataFrame, col: str, k: int, with_totals: bool = False
+) -> DataFrame:
     """Per-partition Misra-Gries summary: at most ``k`` (item,
     lower-bound count) rows per partition, via Arrow-batched
     ``mapInPandas``.  The batched decrement subtracts the (size-k)-th
     smallest counter value from everything and drops the non-positive
     remainder — equivalent to running the classic one-at-a-time
-    decrement, vectorized."""
+    decrement, vectorized.
+
+    ``with_totals=True`` appends one sentinel row per partition
+    (``item`` NULL, ``c`` = non-null rows seen) so callers get the
+    exact total WITHOUT a second corpus scan."""
     import pandas as pd
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counter: dict = {}
+        seen = 0
         for pdf in batches:
-            for item, c in pdf[col].value_counts().items():
+            vc = pdf[col].value_counts()
+            seen += int(vc.sum())
+            for item, c in vc.items():
                 counter[item] = counter.get(item, 0) + int(c)
             if len(counter) > k:
                 vals = sorted(counter.values())
                 m = vals[len(counter) - k - 1]
                 counter = {i: c - m for i, c in counter.items() if c > m}
-        yield pd.DataFrame(
-            {"item": list(counter.keys()), "c": list(counter.values())}
-        )
+        items = list(counter.keys())
+        cnts = list(counter.values())
+        if with_totals:
+            items.append(None)
+            cnts.append(seen)
+        yield pd.DataFrame({"item": items, "c": cnts})
 
     return df.select(F.col(col).alias(col)).mapInPandas(
         summarize, schema="item string, c long"
@@ -62,10 +74,18 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     Output: ``item``, ``cnt`` (exact), ``share`` (cnt/n, 6 dp) —
     deterministic for any partitioning (see module docstring).
     """
+    from .dedup import _persist
+
+    # one corpus scan produces BOTH the candidates and the exact total
+    # (sentinel rows); the partial relation is partitions*(k+1) rows, so
+    # persisting it to serve two consumers costs kilobytes
+    partials = _persist(mg_partials(df, col, k, with_totals=True))
     candidates = (
-        mg_partials(df, col, k).select("item").distinct()
+        partials.where(F.col("item").isNotNull()).select("item").distinct()
     )
-    total = df.select(F.count(col).alias("n"))
+    total = partials.where(F.col("item").isNull()).agg(
+        F.sum("c").alias("n")
+    )
     exact = (
         df.join(
             F.broadcast(candidates), df[col] == candidates["item"], "leftsemi"

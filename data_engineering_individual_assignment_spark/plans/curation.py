@@ -118,7 +118,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+from ..functions.text import TOKS_SQL as _TOKS  # noqa: E402
 _SQUEEZED = r"regexp_replace(trim(lower(text)), '\s+', '', 'g')"
 
 

@@ -35,10 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..sources.readers import load_table
 from .catalog import register
 
-_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+from ..functions.text import TOKS_SQL as _TOKS  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +275,7 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        F.explode(TX.tokens("text")).alias("tok"),
     )
     src_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
     src_tot = src_tok.groupBy("source").agg(F.sum("c").alias("tot"))
@@ -338,7 +339,7 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def nucleus_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = TX.tokens("text")
     scored = docs.select(
         "doc_id",
         "source",
@@ -532,7 +533,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("item")
+        F.explode(TX.tokens("text")).alias("item")
     )
     return heavy_hitters_exact(toks, "item", k=64).orderBy("item")
 

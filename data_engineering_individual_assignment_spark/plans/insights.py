@@ -26,10 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..sources.readers import load_table
 from .catalog import register
 
-_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+from ..functions.text import TOKS_SQL as _TOKS  # noqa: E402
 
 
 @register(
@@ -318,7 +319,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cnts = (
         docs.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+            F.explode(TX.tokens("text")).alias("tok")
         )
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
@@ -420,8 +421,8 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = 64
-    vals, comps, mean = pca.fit_pca(emb, "embedding", dim=dim, k=4)
-    total_var = sum(vals) if sum(vals) else 1.0
+    vals, comps, mean, trace = pca.fit_pca(emb, "embedding", dim=dim, k=4)
+    total_var = trace or 1.0  # trace = TOTAL variance, not the top-k sum
     projected = pca.project(emb, "embedding", comps, mean)
     per_label = projected.groupBy("label").agg(
         F.count("*").alias("n"),

@@ -2,13 +2,12 @@
 (dbt-test / Great-Expectations style) and a CDC snapshot diff.
 
 Scale notes:
-- ``expectation_suite``: every check is a single aggregate or anti-join
-  over one table — checks UNION into one result relation, so the whole
-  suite is a handful of linear passes that AQE schedules together; no
-  check materializes violating ROWS (counts only), so output is
-  check-sized.  Uniqueness is count-vs-distinct-count (map-side partial
-  agg), referential integrity is a broadcast anti-join when the parent
-  side is dimension-sized.
+- ``expectation_suite``: all plain checks over one table share ONE
+  aggregate (stack-unpivoted to check rows; a 1-row localCheckpoint
+  lets two consumers reuse it), so orders is scanned exactly twice —
+  once for the combined aggregate, once for the referential anti-join;
+  no check materializes violating ROWS (counts only), so output is
+  check-sized.
 - ``snapshot_diff``: both snapshots reduce to per-key latest state
   (one window each over the same key partitioning), then a single
   full-outer join on the key classifies added/removed/changed/
@@ -85,19 +84,25 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"), "n_checked", "n_violations"
         )
 
-    uniq = check(
-        "orders.o_orderkey unique",
-        orders.agg(
-            F.count("*").alias("n_checked"),
-            (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations"),
-        ),
-    )
-    notnull = check(
-        "orders.o_custkey not null",
-        orders.agg(
-            F.count("*").alias("n_checked"),
-            F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_violations"),
-        ),
+    # ONE aggregate emits every plain orders check (uniqueness, non-null,
+    # range) — separate .agg() calls would each rescan the fact table.
+    # localCheckpoint materializes the 1-row result so the stack AND the
+    # referential check below consume it without re-running the scan.
+    orders_agg = orders.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("uniq_viol"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_viol"),
+        F.sum(
+            ((F.col("o_totalprice") <= 0) | (F.col("o_totalprice") >= 1e7))
+            .cast("long")
+        ).alias("range_viol"),
+    ).localCheckpoint()
+    orders_checks = orders_agg.selectExpr(
+        """stack(3,
+            'orders.o_orderkey unique', n, uniq_viol,
+            'orders.o_custkey not null', n, null_viol,
+            'orders.o_totalprice in (0, 1e7)', n, range_viol
+        ) AS (check_name, n_checked, n_violations)"""
     )
     orphans = orders.join(
         F.broadcast(customer.select("c_custkey")),
@@ -106,18 +111,8 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_violations"))
     refint = check(
         "orders.o_custkey references customer",
-        orders.agg(F.count("*").alias("n_checked")).crossJoin(
+        orders_agg.select(F.col("n").alias("n_checked")).crossJoin(
             F.broadcast(orphans)
-        ),
-    )
-    rng = check(
-        "orders.o_totalprice in (0, 1e7)",
-        orders.agg(
-            F.count("*").alias("n_checked"),
-            F.sum(
-                ((F.col("o_totalprice") <= 0) | (F.col("o_totalprice") >= 1e7))
-                .cast("long")
-            ).alias("n_violations"),
         ),
     )
     accepted = check(
@@ -138,8 +133,8 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_quantity") <= 0).cast("long")).alias("n_violations"),
         ),
     )
-    suite = uniq.unionByName(notnull).unionByName(refint).unionByName(rng)
-    suite = suite.unionByName(accepted).unionByName(qty)
+    suite = orders_checks.unionByName(refint).unionByName(accepted)
+    suite = suite.unionByName(qty)
     return suite.withColumn(
         "passed", F.col("n_violations") == 0
     ).orderBy("check_name")
@@ -166,7 +161,7 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CASE
                  WHEN o.user_id IS NULL THEN 'added'
                  WHEN n.user_id IS NULL THEN 'removed'
-                 WHEN o.state <> n.state THEN 'changed'
+                 WHEN o.state IS DISTINCT FROM n.state THEN 'changed'
                  ELSE 'unchanged'
                END AS change
         FROM old_state o FULL OUTER JOIN now_state n USING (user_id))
@@ -191,19 +186,22 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("event_type").alias("state"))
         )
 
-    now_state = latest(events)
+    # explicit presence flags, NOT payload nullness: a legitimately-null
+    # state value must not make a present-in-both key read as added/removed
+    # (the oracle classifies by join-key presence)
+    now_state = latest(events).select(
+        "user_id", F.col("state").alias("new_state"), F.lit(True).alias("in_new")
+    )
     old_state = latest(
         events.where(F.col("ts").cast("date") <= F.lit("2024-01-15").cast("date"))
-    ).select(F.col("user_id"), F.col("state").alias("old_state"))
-    joined = old_state.join(
-        now_state.select("user_id", F.col("state").alias("new_state")),
-        "user_id",
-        "full_outer",
+    ).select(
+        "user_id", F.col("state").alias("old_state"), F.lit(True).alias("in_old")
     )
+    joined = old_state.join(now_state, "user_id", "full_outer")
     change = (
-        F.when(F.col("old_state").isNull(), "added")
-        .when(F.col("new_state").isNull(), "removed")
-        .when(F.col("old_state") != F.col("new_state"), "changed")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(~F.col("old_state").eqNullSafe(F.col("new_state")), "changed")
         .otherwise("unchanged")
     )
     return (

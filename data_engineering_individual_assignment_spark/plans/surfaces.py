@@ -22,10 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
 from ..sources.readers import load_table, register_temp_views
 from .catalog import register
 
-_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+from ..functions.text import TOKS_SQL as _TOKS  # noqa: E402
 
 
 @register(
@@ -172,7 +173,7 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     cnts = (
-        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"))
+        docs.select(F.explode(TX.tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )

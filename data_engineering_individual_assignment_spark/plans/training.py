@@ -23,7 +23,7 @@ from .catalog import register
 _SEQ_LEN = 64  # tokens per packed training sequence
 _N_SHARDS = 4
 
-_TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+from ..functions.text import TOKS_SQL as _TOKS  # noqa: E402
 
 
 @register(
@@ -168,7 +168,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     toks = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        "doc_id", F.explode(TX.tokens("text")).alias("tok")
     )
     tf = (
         toks.filter(F.col("tok").isin(*_BM25_TERMS))

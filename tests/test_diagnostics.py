@@ -163,6 +163,7 @@ def test_forward_asof_agrees_with_pandas_twin(spark):
         left_ts="ts", right_ts="p_ts",
         left_by="user_id", right_by="p_user",
         right_cols=["p_event_id"], direction="forward",
+        tie_break="p_event_id",
     )
     d = {r.event_id: r.p_event_id for r in declarative.collect()}
     p = {r.event_id: r.p_event_id for r in pandas_twin.collect()}

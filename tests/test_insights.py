@@ -104,17 +104,21 @@ def test_pca_invariants_against_numpy_ground_truth(spark):
     from data_engineering_individual_assignment_spark.operators import pca
 
     emb = load_table(spark, SF_SMALL, "embeddings")
-    vals, comps, mean = pca.fit_pca(emb, "embedding", dim=64, k=4)
+    vals, comps, mean, trace = pca.fit_pca(emb, "embedding", dim=64, k=4)
 
     assert vals == sorted(vals, reverse=True)
+    # shares divide by the TRACE (total variance), so the top-k shares
+    # must sum to LESS than 1 on a 64-dim space
+    assert 0 < sum(vals) / trace < 1
     C = np.array(comps)
     assert np.allclose(C @ C.T, np.eye(4), atol=1e-9)  # orthonormal
 
     # exact numpy reference on the collected matrix (500 x 64 — test-only)
     X = np.vstack([r.embedding for r in emb.select("embedding").collect()])
     ref_cov = np.cov(X.T, bias=True)
-    ref_vals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1][:4]
-    assert np.allclose(vals, ref_vals, atol=1e-9)
+    ref_all = np.sort(np.linalg.eigvalsh(ref_cov))[::-1]
+    assert np.allclose(vals, ref_all[:4], atol=1e-9)
+    assert abs(trace - ref_all.sum()) < 1e-9
 
     proj = pca.project(emb, "embedding", comps, mean)
     stats = proj.agg(
