@@ -412,3 +412,158 @@ def ivf_topk(
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ncodes: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 10,
+):
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split
+    the (L2-normalized) vector into ``m`` subspaces and run a small
+    seeded Lloyd's k-means per subspace on a BOUNDED training sample —
+    codebook training is O(sample * m * ncodes), independent of corpus
+    size, which is why PQ trains on a driver-side sample even at 100 TB
+    (the encode/score passes below stay fully distributed).
+
+    Returns a [m][ncodes][sub_dim] nested list (plain Python: broadcast-
+    able as a literal, no pickled model object)."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.vstack([r[0] for r in rows]).astype("float64")
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        # deterministic init: evenly strided sample rows (no RNG state)
+        idx = np.linspace(0, len(S) - 1, ncodes).astype(int)
+        C = S[idx].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(ncodes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each (normalized) vector as ``m`` one-byte codes — a
+    64-float embedding compresses to 8 bytes, the memory trick that
+    lets a 100 TB vector corpus fit a RAM-resident index.  Arrow-
+    batched numpy argmin per subspace."""
+    import numpy as np
+    import pandas as pd
+
+    B = [np.asarray(b) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+
+    def enc(batches):
+        for pdf in batches:
+            X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+            codes = np.empty((len(X), m), dtype="int32")
+            for j in range(m):
+                S = X[:, j * sub : (j + 1) * sub]
+                d = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "codes": list(codes.tolist())}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via asymmetric distance computation (ADC):
+    each query builds an m x ncodes lookup table of exact sub-distances
+    to every codebook entry, and a corpus vector's approximate distance
+    is m table lookups summed — no float math per candidate.
+
+    Scale shape mirrors ``block_topk``: each partition emits only its
+    LOCAL top-k per query (numpy argpartition over the looked-up
+    distance matrix), then one window prunes partitions*k rows to the
+    global top-k.  The pair relation is never materialized."""
+    import numpy as np
+    import pandas as pd
+
+    B = [np.asarray(b) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+    q_rows = queries.select(id_col, vec_col).collect()
+    Q = np.vstack([r[1] for r in q_rows]).astype("float64")
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True) + 1e-12
+    q_ids = [int(r[0]) for r in q_rows]
+    # tables[qi][j][code] = ||q_sub - centroid||^2
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[qi, j * sub : (j + 1) * sub][None, :] - B[j]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+            for qi in range(len(q_ids))
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            C = np.asarray(list(pdf["codes"]), dtype="int64")
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(q_ids):
+                d = tables[qi][np.arange(m)[:, None], C.T].sum(axis=0)
+                mask = ids != qid  # exclude self-match
+                cand_ids, cand_d = ids[mask], d[mask]
+                take = min(k, len(cand_ids))
+                if not take:
+                    continue
+                part = np.argpartition(cand_d, take - 1)[:take]
+                out_q += [qid] * take
+                out_n += cand_ids[part].tolist()
+                out_d += cand_d[part].tolist()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_d}
+            )
+
+    local = codes_df.mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rnk", F.round("adc_dist", 6).alias("adc_dist")
+        )
+    )

@@ -1234,3 +1234,26 @@ def recursive_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
         """
     )
+
+
+@register(
+    "ann_pq_adc",
+    sql=None,  # approximate by design (quantization error): rows-only check
+    doc="product-quantization ANN (Jégou 2011) with asymmetric distance "
+    "computation: codebooks trained on a bounded sample (32 subspaces x "
+    "16 centroids, seeded Lloyd's), corpus encoded to 32 one-byte codes "
+    "per vector (256-byte float embedding -> 32 bytes, 8x compression — "
+    "the RAM-resident-index trick; coarser configs trade recall for "
+    "bytes), queries score candidates via m table lookups instead "
+    "of float dot products.  Per-partition local top-k + one tiny "
+    "global window, mirroring ann_block_topk's shape; recall vs "
+    "ann_brute_force pinned in tests.",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = similarity.pq_train(emb, m=32, ncodes=16)
+    codes = similarity.pq_encode(emb, books)
+    return similarity.pq_topk(codes, queries, books, k=5).orderBy(
+        "query_id", "rnk"
+    )

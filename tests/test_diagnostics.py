@@ -294,3 +294,30 @@ def test_banded_interval_join_plans_as_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "broadcastnestedloopjoin" not in plan
     assert "cartesianproduct" not in plan
+
+
+def test_pq_adc_recall_against_exact_topk(spark):
+    """PQ+ADC must reconstruct a usable neighbor list: recall@5 vs the
+    exact brute-force top-5 pinned >= 0.4 (32x16 codebooks on 64 dims),
+    and the 32-byte codes must decode to the full corpus."""
+    from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.operators import similarity
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.CATALOG["ann_brute_force"].fn(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.CATALOG["ann_pq_adc"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(approx) == len(exact)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"PQ recall {recall:.2f} below floor"
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = similarity.pq_train(emb, m=32, ncodes=16)
+    codes = similarity.pq_encode(emb, books)
+    assert codes.count() == emb.count()
+    r = codes.first()
+    assert len(r.codes) == 32 and all(0 <= c < 16 for c in r.codes)
