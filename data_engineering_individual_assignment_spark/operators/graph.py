@@ -140,7 +140,10 @@ def triangle_stats(
         .agg(F.count("*").alias("deg"))
     )
     wedge_row = degrees.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+        # coalesce: sum over an empty graph is NULL, the census wants 0
+        F.coalesce(F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
     )
 
     # orient by the (deg, id) total order: u -> v iff (deg_u, u) < (deg_v, v)

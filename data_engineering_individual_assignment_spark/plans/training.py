@@ -395,3 +395,63 @@ def kfold_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b0", 4).alias("intercept"),
         F.round(F.sqrt("mse"), 2).alias("rmse"),
     ).orderBy("fold")
+
+
+@register(
+    "residual_intervals_by_priority",
+    sql="""
+    WITH pts AS (
+        SELECT o.o_orderpriority AS seg, l.l_quantity AS x,
+               l.l_extendedprice AS y
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    coef AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS b1,
+               avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS b0
+        FROM pts),
+    resid AS (
+        SELECT p.seg, p.y - c.b0 - c.b1 * p.x AS r
+        FROM pts p CROSS JOIN coef c)
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(r, 0.1), 2) AS resid_p10,
+           round(quantile_cont(r, 0.9), 2) AS resid_p90,
+           round(quantile_cont(r, 0.9) - quantile_cont(r, 0.1), 2)
+               AS interval_width
+    FROM resid GROUP BY seg ORDER BY seg
+    """,
+    doc="conformal-style prediction intervals: fit ONE global OLS "
+    "(closed-form aggregate, 1-row broadcast), score residuals in the "
+    "same pass, then per-segment empirical p10/p90 of the residuals — "
+    "the segment-conditional interval width that exposes where the "
+    "model is honest and where it is blind (heteroscedasticity by "
+    "order priority).  Two scans: coefficient agg + residual "
+    "percentile agg; nothing is model-object-shaped, everything is a "
+    "column expression.",
+)
+def residual_intervals_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pts = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("seg"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    b1 = F.covar_pop("x", "y") / F.var_pop("x")
+    coef = pts.agg(
+        b1.alias("b1"), (F.avg("y") - b1 * F.avg("x")).alias("b0")
+    )
+    resid = pts.crossJoin(F.broadcast(coef)).select(
+        "seg", (F.col("y") - F.col("b0") - F.col("b1") * F.col("x")).alias("r")
+    )
+    p10 = F.expr("percentile(r, 0.1)")
+    p90 = F.expr("percentile(r, 0.9)")
+    return (
+        resid.groupBy("seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(p10, 2).alias("resid_p10"),
+            F.round(p90, 2).alias("resid_p90"),
+            F.round(p90 - p10, 2).alias("interval_width"),
+        )
+        .orderBy("seg")
+    )

@@ -65,6 +65,12 @@ QUERIES = [
     "small_order_parts",
     "min_cost_supplier",
     "embedding_pca_variance",
+    "benford_price_screen",
+    "zipf_fit_tokens",
+    "arrow_native_token_median",
+    "sql_scripting_coverage_search",
+    "ann_pq_adc",
+    "audio_wav_features",
 ]
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")

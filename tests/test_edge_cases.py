@@ -191,3 +191,63 @@ def test_salted_join_left_anti_matches_plain(spark):
         probe, build, "k", probe_salt_col="row_id", how="left_anti"
     ).collect())
     assert out == [2]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operator edge cases: empty inputs must degrade, not throw
+# ---------------------------------------------------------------------------
+def test_interval_overlap_join_with_empty_side(spark):
+    from data_engineering_individual_assignment_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame([(1, 0, 100)], "l_id long, a0 long, a1 long")
+    empty = spark.createDataFrame([], "r_id long, b0 long, b1 long")
+    assert interval_overlap_join(left, empty, "a0", "a1", "b0", "b1", 50).count() == 0
+    assert interval_overlap_join(
+        empty.selectExpr("r_id as l2", "b0 as x0", "b1 as x1"), 
+        left.selectExpr("l_id as r2", "a0 as y0", "a1 as y1"),
+        "x0", "x1", "y0", "y1", 50
+    ).count() == 0
+
+
+def test_heavy_hitters_on_empty_relation(spark):
+    from data_engineering_individual_assignment_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    empty = spark.createDataFrame([], "item string")
+    assert heavy_hitters_exact(empty, "item", 8).count() == 0
+
+
+def test_forward_asof_with_no_right_rows(spark):
+    from data_engineering_individual_assignment_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0)], "event_id long, user_id long, ts double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    right = spark.createDataFrame(
+        [], "p_event_id long, p_user long, p_ts timestamp"
+    )
+    out = joins.asof_join(
+        left, right,
+        left_ts="ts", right_ts="p_ts",
+        left_by="user_id", right_by="p_user",
+        left_id="event_id", right_cols=["p_event_id"],
+        direction="forward",
+    ).collect()
+    assert len(out) == 1 and out[0].p_event_id is None
+
+
+def test_triangle_stats_on_empty_and_single_edge(spark):
+    from data_engineering_individual_assignment_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    r = triangle_stats(empty).first()
+    assert (r.n_edges, r.n_triangles, r.n_wedges) == (0, 0, 0)
+    assert r.clustering is None  # 0/0 -> null, not a crash
+    one = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = triangle_stats(one).first()
+    assert (r.n_edges, r.n_triangles, r.n_wedges) == (1, 0, 0)

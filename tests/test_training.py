@@ -195,3 +195,20 @@ def test_kfold_cv_folds_partition_the_data(spark):
     fold0 = rows[0]
     assert abs(fold0.slope - direct.b1) < 1e-3
     assert abs(fold0.intercept - (direct.my - direct.b1 * direct.mx)) < 1e-2
+
+
+def test_residual_intervals_are_ordered_and_centered(spark):
+    from data_engineering_individual_assignment_spark import plans
+
+    from .conftest import SF_SMALL
+
+    rows = plans.CATALOG["residual_intervals_by_priority"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.resid_p10 < r.resid_p90
+        assert abs(r.interval_width - (r.resid_p90 - r.resid_p10)) < 0.02
+        # global OLS residuals are mean-zero, so every segment's interval
+        # must straddle zero unless the segment is pathologically skewed
+        assert r.resid_p10 < 0 < r.resid_p90
