@@ -447,3 +447,185 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_pc1").alias("metric_b"),
     )
     return comp_rows.unionByName(label_rows).orderBy("entity")
+
+
+@register(
+    "km_survival_signup_to_error",
+    sql="""
+    WITH signups AS (
+        SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    horizon AS (SELECT max(ts) AS h FROM events),
+    first_err AS (
+        SELECT s.user_id, min(e.ts) AS e_ts
+        FROM signups s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'error' AND e.ts >= s.s_ts
+        GROUP BY s.user_id),
+    obs AS (
+        SELECT s.user_id,
+               CAST(date_diff('day', s.s_ts,
+                              coalesce(f.e_ts, h.h)) AS BIGINT) AS dur,
+               (f.e_ts IS NOT NULL) AS evented
+        FROM signups s
+        LEFT JOIN first_err f USING (user_id)
+        CROSS JOIN horizon h),
+    per_day AS (
+        SELECT dur AS day,
+               CAST(sum(CASE WHEN evented THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS leaving
+        FROM obs GROUP BY dur),
+    spine AS (
+        SELECT unnest(range(0, (SELECT max(dur) FROM obs) + 1)) AS day),
+    risk AS (
+        SELECT sp.day,
+               coalesce(p.d, 0) AS d,
+               (SELECT CAST(count(*) AS BIGINT) FROM obs) -
+               coalesce(sum(p2.leaving), 0) AS n_at_risk
+        FROM spine sp
+        LEFT JOIN per_day p ON p.day = sp.day
+        LEFT JOIN per_day p2 ON p2.day < sp.day
+        GROUP BY sp.day, p.d),
+    km AS (
+        SELECT day, d, n_at_risk,
+               exp(sum(ln(greatest(1.0 - d * 1.0 / n_at_risk, 1e-12)))
+                   OVER (ORDER BY day)) AS survival
+        FROM risk WHERE n_at_risk > 0)
+    SELECT CAST(day AS BIGINT) AS day, d AS n_events, n_at_risk,
+           round(survival, 6) AS survival
+    FROM km WHERE d > 0 OR day = 0
+    ORDER BY day
+    """,
+    doc="Kaplan-Meier survival of signup -> first error (right-censored "
+    "at the corpus horizon): per-day event and at-risk counts, survival "
+    "as the running product of (1 - d/n) computed with the exp-sum-ln "
+    "window trick (SQL has no product aggregate).  Day-grain relation "
+    "throughout (<= corpus-span rows), deterministic float order "
+    "(sequential frame), ln clamped at 1e-12 so a total-event day "
+    "degrades to S=0 instead of engine-divergent ln(0).",
+)
+def km_survival_signup_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    horizon = events.agg(F.max("ts").alias("h"))
+    errs = (
+        signups.join(
+            events.where(F.col("event_type") == "error").select(
+                F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+            ),
+            (F.col("e_user") == F.col("user_id")) & (F.col("e_ts") >= F.col("s_ts")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("e_ts").alias("e_ts"))
+    )
+    obs = (
+        signups.join(errs, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff(
+                F.coalesce("e_ts", "h").cast("date"), F.col("s_ts").cast("date")
+            )
+            .cast("long")
+            .alias("dur"),
+            F.col("e_ts").isNotNull().alias("evented"),
+        )
+    )
+    per_day = obs.groupBy(F.col("dur").alias("day")).agg(
+        F.sum(F.col("evented").cast("long")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    total = obs.agg(F.count("*").alias("n_total"), F.max("dur").alias("max_d"))
+    spine = (
+        total.select(
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("max_d"))).alias(
+                "day"
+            )
+        )
+    )
+    w_prev = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = (
+        spine.join(per_day, "day", "left")
+        .na.fill({"d": 0, "leaving": 0})
+        .crossJoin(F.broadcast(total.select("n_total")))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+        )
+        .where(F.col("n_at_risk") > 0)
+    )
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("d") / F.col("n_at_risk"), F.lit(1e-12)
+        )
+    )
+    km = risk.withColumn("survival", F.exp(F.sum(term).over(w_run)))
+    return (
+        km.where((F.col("d") > 0) | (F.col("day") == 0))
+        .select(
+            "day",
+            F.col("d").alias("n_events"),
+            "n_at_risk",
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "moments_profile",
+    sql="""
+    WITH means AS (
+        SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type),
+    cm AS (
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               avg((e.value - m.mu) * (e.value - m.mu)) AS m2,
+               avg(pow(e.value - m.mu, 3)) AS m3,
+               avg(pow(e.value - m.mu, 4)) AS m4
+        FROM events e JOIN means m USING (event_type)
+        GROUP BY e.event_type)
+    SELECT event_type, n,
+           round(m2, 5) AS variance,
+           round(m3 / pow(m2, 1.5), 5) AS skewness,
+           round(m4 / (m2 * m2) - 3, 5) AS excess_kurtosis
+    FROM cm ORDER BY event_type
+    """,
+    doc="central-moment distribution profile per event type: variance, "
+    "skewness, excess kurtosis from explicit two-pass moments (mean "
+    "broadcast back, then one aggregation of centered powers) — NOT the "
+    "built-in skewness()/kurtosis(), whose population-vs-sample "
+    "conventions differ between engines; explicit moments make the "
+    "definition the same everywhere.  Flags heavy tails / asymmetry "
+    "before a mean-based gate gets fooled by them.",
+)
+def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    means = events.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    c = F.col("value") - F.col("mu")
+    cm = (
+        events.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(c * c).alias("m2"),
+            F.avg(F.pow(c, 3)).alias("m3"),
+            F.avg(F.pow(c, 4)).alias("m4"),
+        )
+    )
+    return cm.select(
+        "event_type",
+        "n",
+        F.round("m2", 5).alias("variance"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 5).alias("skewness"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 5).alias(
+            "excess_kurtosis"
+        ),
+    ).orderBy("event_type")

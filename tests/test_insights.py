@@ -135,3 +135,23 @@ def test_ab_test_pooled_z_is_finite_and_consistent(spark):
     assert 0 < r.p_a < 1 and 0 < r.p_b < 1  # median split: non-degenerate
     assert r.z_stat is not None
     assert r.significant == (abs(r.z_stat) > 1.96)
+
+
+def test_km_survival_curve_is_monotone_in_unit_interval(spark):
+    rows = sorted(
+        _q(spark, "km_survival_signup_to_error").collect(), key=lambda r: r.day
+    )
+    assert rows and rows[0].day == 0
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= prev  # survival never increases
+        assert 0 <= r.n_events <= r.n_at_risk
+        prev = r.survival
+
+
+def test_moments_profile_respects_pearson_inequality(spark):
+    for r in _q(spark, "moments_profile").collect():
+        assert r.variance >= 0
+        # kurtosis >= skewness^2 + 1  =>  excess >= skew^2 - 2
+        assert r.excess_kurtosis >= r.skewness**2 - 2 - 1e-6
