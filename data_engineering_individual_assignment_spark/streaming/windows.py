@@ -424,3 +424,62 @@ def incremental_dedup_stream(
 
     tagged = docs_stream.withColumn("fp", fingerprint("text"))
     return tagged.join(store_fingerprints, "fp", "left_anti")
+
+
+def heavy_hitters_stream(
+    items: DataFrame, k: int = 8, shards: int = 8, item_col: str = "item"
+) -> DataFrame:
+    """Streaming Misra-Gries heavy-hitter candidates (the streaming twin
+    of ``operators/sketches.heavy_hitters_exact``): items are sharded by
+    item hash (ALL copies of an item land in one shard, so per-shard
+    counts are whole-item counts), and each shard maintains an MG(k)
+    summary across micro-batches with applyInPandasWithState.
+
+    State per shard is <= k (item, count) pairs — bounded regardless of
+    stream length or vocabulary.  Each micro-batch emits the shard's
+    current candidates; the LAST emission per shard merges into the
+    global candidate set, which carries the MG merge guarantee: any
+    item whose count within its shard exceeds n_shard/k is present.
+    Exactness, as in batch, comes from a candidate-restricted second
+    pass over at-rest data."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("c", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            saved = state.get
+            counter = dict(zip(saved[0], saved[1]))
+        else:
+            counter = {}
+        for pdf in pdfs:
+            for item, c in pdf[item_col].value_counts().items():
+                counter[item] = counter.get(item, 0) + int(c)
+            if len(counter) > k:
+                vals = sorted(counter.values())
+                m = vals[len(counter) - k - 1]
+                counter = {i: c - m for i, c in counter.items() if c > m}
+        state.update((list(counter.keys()), [int(v) for v in counter.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])] * len(counter),
+                "item": list(counter.keys()),
+                "c": [int(v) for v in counter.values()],
+            }
+        )
+
+    sharded = items.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

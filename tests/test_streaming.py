@@ -370,3 +370,67 @@ def test_latest_state_tws_equals_batch_dedup(spark, landing):
         for r in final.collect()
     }
     assert b == s
+
+
+def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
+    """Sharded streaming Misra-Gries: every item whose within-shard
+    count exceeds n_shard/k must appear in the emitted candidate set —
+    the MG guarantee survives micro-batched, stateful execution.  (The
+    <= k state bound is enforced by construction in the update fn and
+    pinned batch-side in test_diagnostics.)"""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    rows = (
+        [("hot-a",)] * 3000
+        + [("hot-b",)] * 2000
+        + [(f"tail-{i % 400}",) for i in range(4000)]
+    )
+    land = str(tmp_path / "items")
+    spark.createDataFrame(rows, "item string").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(land)
+
+    stream = spark.readStream.schema("item string").option(
+        "maxFilesPerTrigger", 2  # force several micro-batches
+    ).parquet(land)
+    k, shards = 4, 4
+    out = W.run_to_memory(
+        spark, W.heavy_hitters_stream(stream, k=k, shards=shards), mode="update"
+    )
+    # last emission per shard = the final state; 'update' mode appends
+    # every micro-batch emission, so reduce to the final candidate set
+    final = (
+        out.groupBy("shard", "item").agg(F.max("c").alias("c")).collect()
+    )
+    per_shard: dict = {}
+    for r in final:
+        per_shard.setdefault(r.shard, set()).add(r.item)
+
+    # ground truth: per-shard totals under the same hash
+    truth = spark.createDataFrame(rows, "item string").withColumn(
+        "shard", F.pmod(F.xxhash64("item"), F.lit(shards)).cast("int")
+    )
+    shard_totals = {
+        r.shard: r.n for r in truth.groupBy("shard").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    item_counts = {
+        (r.shard, r.item): r.n
+        for r in truth.groupBy("shard", "item").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    guaranteed = {
+        (s, i) for (s, i), c in item_counts.items() if c * k > shard_totals[s]
+    }
+    assert guaranteed, "fixture must exercise the guarantee"
+    for s, i in guaranteed:
+        assert i in per_shard.get(s, set()), f"lost guaranteed item {i} in shard {s}"
+    # the planted heads are guaranteed somewhere
+    flat = set().union(*per_shard.values())
+    assert {"hot-a", "hot-b"} <= flat
