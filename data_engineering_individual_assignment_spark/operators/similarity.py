@@ -567,3 +567,48 @@ def pq_topk(
             "query_id", "neighbor_id", "rnk", F.round("adc_dist", 6).alias("adc_dist")
         )
     )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search: the ADC pass shortlists ``shortlist``
+    candidates per query from the byte codes, then ONLY those rows are
+    re-scored with exact cosine against the float vectors — the
+    standard recall-recovery pattern (IndexIVFPQ + refine).  The exact
+    pass touches |queries| * shortlist vectors regardless of corpus
+    size; recall approaches exact search as shortlist grows while the
+    full-corpus scan still reads nothing but 32-byte codes."""
+    cand = pq_topk(
+        codes_df, queries, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    from ..functions.vectors import cosine_pandas
+
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_sim", cosine_pandas("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rnk", F.round("cos_sim", 6).alias("cos_sim")
+        )
+    )

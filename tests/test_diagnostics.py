@@ -321,3 +321,19 @@ def test_pq_adc_recall_against_exact_topk(spark):
     assert codes.count() == emb.count()
     r = codes.first()
     assert len(r.codes) == 32 and all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_rerank_recovers_near_exact_recall(spark):
+    from data_engineering_individual_assignment_spark import plans
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.CATALOG["ann_brute_force"].fn(spark, SF_SMALL).collect()
+    }
+    rer = {
+        (r.query_id, r.neighbor_id)
+        for r in plans.CATALOG["ann_pq_rerank"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(rer) == len(exact)
+    recall = len(exact & rer) / len(exact)
+    assert recall >= 0.9, f"re-ranked recall {recall:.2f}"
