@@ -597,8 +597,11 @@ def pq_topk_rerank(
     )
     from ..functions.vectors import cosine_pandas
 
+    # broadcast the (|queries| * shortlist)-row candidate list into the
+    # corpus scan: the float vectors must NOT shuffle — that would move
+    # the whole corpus for a 500-row shortlist
     scored = (
-        cand.join(c, "neighbor_id")
+        c.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn("cos_sim", cosine_pandas("q_vec", "c_vec"))
     )

@@ -28,6 +28,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_merge(counter: dict, value_counts, k: int) -> dict:
+    """One Misra-Gries merge-and-decrement step, shared by the batch
+    partials and the streaming state update so the decrement rule (the
+    part carrying the n/(k+1) undercount proof) has exactly one home:
+    add the batch's counts, then subtract the (size-k)-th smallest
+    counter value from everything and drop the non-positive remainder."""
+    for item, c in value_counts.items():
+        counter[item] = counter.get(item, 0) + int(c)
+    if len(counter) > k:
+        vals = sorted(counter.values())
+        m = vals[len(counter) - k - 1]
+        counter = {i: c - m for i, c in counter.items() if c > m}
+    return counter
+
+
 def mg_partials(
     df: DataFrame, col: str, k: int, with_totals: bool = False
 ) -> DataFrame:
@@ -49,12 +64,7 @@ def mg_partials(
         for pdf in batches:
             vc = pdf[col].value_counts()
             seen += int(vc.sum())
-            for item, c in vc.items():
-                counter[item] = counter.get(item, 0) + int(c)
-            if len(counter) > k:
-                vals = sorted(counter.values())
-                m = vals[len(counter) - k - 1]
-                counter = {i: c - m for i, c in counter.items() if c > m}
+            counter = mg_merge(counter, vc, k)
         items = list(counter.keys())
         cnts = list(counter.values())
         if with_totals:

@@ -594,8 +594,8 @@ def km_survival_signup_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.event_type)
     SELECT event_type, n,
            round(m2, 5) AS variance,
-           round(m3 / pow(m2, 1.5), 5) AS skewness,
-           round(m4 / (m2 * m2) - 3, 5) AS excess_kurtosis
+           round(m3 / pow(nullif(m2, 0), 1.5), 5) AS skewness,
+           round(m4 / (nullif(m2, 0) * m2) - 3, 5) AS excess_kurtosis
     FROM cm ORDER BY event_type
     """,
     doc="central-moment distribution profile per event type: variance, "
@@ -620,12 +620,15 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.pow(c, 4)).alias("m4"),
         )
     )
+    # nullif guards a constant column (m2 = 0): both engines then yield
+    # NULL instead of Spark-NULL-vs-DuckDB-inf divergence
+    m2nz = F.nullif(F.col("m2"), F.lit(0.0))
     return cm.select(
         "event_type",
         "n",
         F.round("m2", 5).alias("variance"),
-        F.round(F.col("m3") / F.pow("m2", 1.5), 5).alias("skewness"),
-        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 5).alias(
+        F.round(F.col("m3") / F.pow(m2nz, 1.5), 5).alias("skewness"),
+        F.round(F.col("m4") / (m2nz * F.col("m2")) - 3, 5).alias(
             "excess_kurtosis"
         ),
     ).orderBy("event_type")

@@ -449,31 +449,37 @@ def heavy_hitters_stream(
         T.StructField("shard", T.IntegerType()),
         T.StructField("item", T.StringType()),
         T.StructField("c", T.LongType()),
+        T.StructField("version", T.LongType()),
     ])
     state_schema = T.StructType([
         T.StructField("items", T.ArrayType(T.StringType())),
         T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
     ])
+
+    from ..operators.sketches import mg_merge
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
             saved = state.get
             counter = dict(zip(saved[0], saved[1]))
+            version = int(saved[2]) + 1
         else:
-            counter = {}
+            counter, version = {}, 0
         for pdf in pdfs:
-            for item, c in pdf[item_col].value_counts().items():
-                counter[item] = counter.get(item, 0) + int(c)
-            if len(counter) > k:
-                vals = sorted(counter.values())
-                m = vals[len(counter) - k - 1]
-                counter = {i: c - m for i, c in counter.items() if c > m}
-        state.update((list(counter.keys()), [int(v) for v in counter.values()]))
+            counter = mg_merge(counter, pdf[item_col].value_counts(), k)
+        state.update(
+            (list(counter.keys()), [int(v) for v in counter.values()], version)
+        )
+        # version lets a consumer reduce the update-mode emission stream
+        # to the FINAL state per shard (max version), not the union of
+        # everything ever emitted
         yield pd.DataFrame(
             {
                 "shard": [int(key[0])] * len(counter),
                 "item": list(counter.keys()),
                 "c": [int(v) for v in counter.values()],
+                "version": [version] * len(counter),
             }
         )
 

@@ -401,14 +401,20 @@ def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
     out = W.run_to_memory(
         spark, W.heavy_hitters_stream(stream, k=k, shards=shards), mode="update"
     )
-    # last emission per shard = the final state; 'update' mode appends
-    # every micro-batch emission, so reduce to the final candidate set
-    final = (
-        out.groupBy("shard", "item").agg(F.max("c").alias("c")).collect()
-    )
+    # 'update' mode appends every micro-batch emission; the emitted state
+    # VERSION reduces it to the FINAL per-shard candidate set (an earlier
+    # emission of a later-evicted item must not mask an eviction bug)
+    emitted = out.collect()
+    last_ver: dict = {}
+    for r in emitted:
+        last_ver[r.shard] = max(last_ver.get(r.shard, -1), r.version)
     per_shard: dict = {}
-    for r in final:
-        per_shard.setdefault(r.shard, set()).add(r.item)
+    for r in emitted:
+        if r.version == last_ver[r.shard]:
+            per_shard.setdefault(r.shard, set()).add(r.item)
+            assert r.c > 0
+    for s_items in per_shard.values():
+        assert len(s_items) <= 4  # state bound k survives restore
 
     # ground truth: per-shard totals under the same hash
     truth = spark.createDataFrame(rows, "item string").withColumn(

@@ -209,6 +209,7 @@ def test_residual_intervals_are_ordered_and_centered(spark):
     for r in rows:
         assert r.resid_p10 < r.resid_p90
         assert abs(r.interval_width - (r.resid_p90 - r.resid_p10)) < 0.02
-        # global OLS residuals are mean-zero, so every segment's interval
-        # must straddle zero unless the segment is pathologically skewed
-        assert r.resid_p10 < 0 < r.resid_p90
+    # pooled residuals are mean-zero by construction, so ACROSS segments
+    # the intervals must reach both sides of zero (per-segment centering
+    # is a data property, not a guarantee)
+    assert min(r.resid_p10 for r in rows) < 0 < max(r.resid_p90 for r in rows)
