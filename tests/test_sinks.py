@@ -245,3 +245,52 @@ def test_observed_write_metrics_match_data(spark, tmp_path):
     assert got["total_price"] == round(
         back.agg(F.sum("o_totalprice")).first()[0], 2
     )
+
+
+def test_zorder_skipping_beats_linear_sort_on_trailing_dim(spark, tmp_path):
+    """The z-order payoff measured as actual FILE-SKIPPING ratios from
+    the scan_stats manifest: for a box predicate on EITHER dimension,
+    z-order prunes a substantial share of files, while a linear sort on
+    (custkey, totalprice) prunes ~nothing for a totalprice-only box —
+    the trailing-dimension blindness z-order exists to fix."""
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        scan_stats,
+        zorder_write,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from .conftest import SF_SMALL
+
+    src = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "lin")
+    zorder_write(src, zpath, ("o_custkey", "o_totalprice"), n_files=n_files)
+    (
+        src.repartitionByRange(n_files, "o_custkey", "o_totalprice")
+        .sortWithinPartitions("o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    lo_p, hi_p = src.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    box_lo = lo_p + 0.45 * (hi_p - lo_p)
+    box_hi = lo_p + 0.55 * (hi_p - lo_p)  # 10%-wide totalprice box
+
+    def skip_ratio(path):
+        rows = scan_stats(spark, path, ["o_totalprice"]).collect()
+        skipped = sum(
+            1 for r in rows
+            if r["o_totalprice_max"] < box_lo or r["o_totalprice_min"] > box_hi
+        )
+        return skipped / len(rows)
+
+    z_skip, lin_skip = skip_ratio(zpath), skip_ratio(lpath)
+    # linear sort leads on custkey: totalprice spans ~the full range in
+    # every file, so essentially nothing can be skipped on it
+    assert lin_skip <= 0.25, lin_skip
+    # z-order fixes 2 totalprice bits per file: files whose quarter lies
+    # outside the 10% box are provably skippable
+    assert z_skip >= 0.5, z_skip
+    assert z_skip > lin_skip
