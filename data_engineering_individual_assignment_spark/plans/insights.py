@@ -632,3 +632,129 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     ).orderBy("event_type")
+
+
+@register(
+    "token_pmi_collocations",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok,
+               generate_subscripts({_TOKS}, 1) AS pos
+        FROM documents),
+    bigrams AS (
+        SELECT a.tok AS w1, b.tok AS w2,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.tok, b.tok),
+    uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    tot AS (
+        SELECT CAST(sum(c_ab) AS BIGINT) AS n_bi FROM bigrams),
+    utot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni)
+    SELECT bg.w1, bg.w2, bg.c_ab,
+           round(ln((bg.c_ab * 1.0 / t.n_bi)
+                    / ((u1.c * 1.0 / ut.n_uni) * (u2.c * 1.0 / ut.n_uni))),
+                 6) AS pmi
+    FROM bigrams bg
+    JOIN uni u1 ON u1.tok = bg.w1
+    JOIN uni u2 ON u2.tok = bg.w2
+    CROSS JOIN tot t CROSS JOIN utot ut
+    WHERE bg.c_ab >= 50
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="PMI collocations: adjacent-token bigram counts vs independent "
+    "unigram expectation, ln(p(ab)/(p(a)p(b))), top-20 by PMI with a "
+    "min-support floor (rare bigrams have unstable PMI).  The bigram "
+    "join is positional WITHIN each document (posexplode pairs), so "
+    "the pair relation is corpus-token-sized, then everything reduces "
+    "to vocabulary-pair grain; unigram totals broadcast back.",
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = toks.select("doc_id", "pos", F.col("tok").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("w2")
+    )
+    bigrams = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = bigrams.agg(F.sum("c_ab").alias("n_bi"))
+    utot = uni.agg(F.sum("c").alias("n_uni"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    p_ab = F.col("c_ab") / F.col("n_bi")
+    p_a = F.col("c1") / F.col("n_uni")
+    p_b = F.col("c2") / F.col("n_uni")
+    return (
+        bigrams.where(F.col("c_ab") >= 50)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "source_token_entropy",
+    sql=f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cnts AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok),
+    tots AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n
+        FROM cnts GROUP BY source)
+    SELECT c.source, t.n AS n_tokens,
+           round(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)), 6)
+               AS entropy_nats,
+           round(-sum((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n))
+                 / ln((SELECT count(*) FROM (SELECT DISTINCT tok FROM toks))),
+                 6) AS normalized_entropy
+    FROM cnts c JOIN tots t USING (source)
+    GROUP BY c.source, t.n ORDER BY c.source
+    """,
+    doc="per-source unigram Shannon entropy (nats) + entropy normalized "
+    "by ln(vocabulary): the diversity complement of the KL drift query "
+    "— a source whose entropy collapses went templated/repetitive even "
+    "if its KL vs the corpus stays small.  One token agg, per-source "
+    "totals broadcast, a 1-row vocabulary constant.",
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TX.tokens("text")).alias("tok"))
+    cnts = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tots = cnts.groupBy("source").agg(F.sum("c").alias("n"))
+    vocab = toks.select("tok").distinct().agg(F.count("*").alias("v"))
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log(p))
+    return (
+        cnts.join(F.broadcast(tots), "source")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("source", "n", "v")
+        .agg(F.round(ent, 6).alias("entropy_nats"),
+             F.round(ent / F.log(F.max("v").cast("double")), 6).alias(
+                 "normalized_entropy"))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "entropy_nats",
+            "normalized_entropy",
+        )
+        .orderBy("source")
+    )

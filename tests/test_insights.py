@@ -161,3 +161,25 @@ def test_moments_profile_respects_pearson_inequality(spark):
         # kurtosis >= skewness^2 + 1  =>  excess >= skew^2 - 2;
         # 1e-4 tolerance: both sides are 5-dp rounded
         assert r.excess_kurtosis >= r.skewness**2 - 2 - 1e-4
+
+
+def test_source_entropy_bounded_by_vocab(spark):
+    for r in _q(spark, "source_token_entropy").collect():
+        assert 0 < r.entropy_nats
+        assert 0 < r.normalized_entropy <= 1.0 + 1e-9
+
+
+def test_pmi_collocations_support_floor_and_bounds(spark):
+    import math
+
+    docs_tokens = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .count()
+    )
+    rows = _q(spark, "token_pmi_collocations").collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.c_ab >= 50  # support floor
+        # PMI is bounded above by ln(n_uni / c_min) — loose sanity bound
+        assert r.pmi <= math.log(docs_tokens) + 1e-6
