@@ -758,3 +758,105 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "gini_revenue_concentration",
+    sql="""
+    WITH cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS tot
+        FROM cust)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(max(tot), 2) AS total_revenue,
+           round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of revenue concentration across customers "
+    "(the whale-dependence metric): rank-weighted formula "
+    "G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over ascending revenue with "
+    "a key tie-break.  One customer-grain agg + one global-order "
+    "window over the customer-sized relation.",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev"))
+            / (F.count("*") * F.sum("rev"))
+            - (F.count("*") + 1.0) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "decile_lift_chart",
+    sql="""
+    WITH pts AS (
+        SELECT l_orderkey, l_quantity AS x, l_extendedprice AS y
+        FROM lineitem),
+    coef AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS b1,
+               avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS b0
+        FROM pts),
+    scored AS (
+        SELECT p.y, c.b0 + c.b1 * p.x AS yhat,
+               ntile(10) OVER (ORDER BY c.b0 + c.b1 * p.x DESC,
+                               p.l_orderkey) AS decile
+        FROM pts p CROSS JOIN coef c),
+    overall AS (SELECT avg(y) AS mu FROM pts)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(y), 2) AS actual_mean,
+           round(avg(yhat), 2) AS predicted_mean,
+           round(avg(y) / (SELECT mu FROM overall), 6) AS lift
+    FROM scored GROUP BY decile ORDER BY decile
+    """,
+    doc="decile lift chart (ranking-power diagnostic): rows ranked by "
+    "the OLS prediction, split into deciles (key tie-break), each "
+    "decile's actual mean vs the global mean = lift.  A model with "
+    "ranking power shows monotone-ish lift from decile 1 down; a flat "
+    "chart means the model orders nothing.  Coefficients are a 1-row "
+    "broadcast; the decile window is one global sort at row grain — "
+    "replace with percentile-bucket joins at 100 TB.",
+)
+def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey", F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    b1 = F.covar_pop("x", "y") / F.var_pop("x")
+    coef = pts.agg(b1.alias("b1"), (F.avg("y") - b1 * F.avg("x")).alias("b0"))
+    scored = pts.crossJoin(F.broadcast(coef)).withColumn(
+        "yhat", F.col("b0") + F.col("b1") * F.col("x")
+    )
+    w = Window.orderBy(F.desc("yhat"), F.asc("l_orderkey"))
+    overall = pts.agg(F.avg("y").alias("mu"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .crossJoin(F.broadcast(overall))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("y"), 2).alias("actual_mean"),
+            F.round(F.avg("yhat"), 2).alias("predicted_mean"),
+            F.round(F.avg("y") / F.max("mu"), 6).alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -183,3 +183,22 @@ def test_pmi_collocations_support_floor_and_bounds(spark):
         assert r.c_ab >= 50  # support floor
         # PMI is bounded above by ln(n_uni / c_min) — loose sanity bound
         assert r.pmi <= math.log(docs_tokens) + 1e-6
+
+
+def test_gini_in_unit_interval(spark):
+    r = _q(spark, "gini_revenue_concentration").first()
+    assert 0.0 <= r.gini < 1.0
+    assert r.n_customers > 0 and r.total_revenue > 0
+
+
+def test_decile_lift_partitions_rows_and_averages_to_one(spark):
+    rows = sorted(_q(spark, "decile_lift_chart").collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n = [r.n for r in rows]
+    assert max(n) - min(n) <= 1  # ntile balance
+    total = sum(r.n for r in rows)
+    weighted = sum(r.lift * r.n for r in rows) / total
+    assert abs(weighted - 1.0) < 1e-3  # lifts average to 1 by construction
+    # predictions within a decile ranking must be monotone across deciles
+    preds = [r.predicted_mean for r in rows]
+    assert preds == sorted(preds, reverse=True)
