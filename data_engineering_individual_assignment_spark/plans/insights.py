@@ -860,3 +860,58 @@ def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "percent_of_parent_rollup",
+    sql="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               sum(o.o_totalprice) AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name)
+    SELECT region, nation,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           round(sum(revenue) OVER (PARTITION BY region)
+                 / sum(revenue) OVER (), 6) AS region_share_of_total
+    FROM rev ORDER BY region, nation
+    """,
+    doc="percent-of-parent hierarchy rollup (the BI ratio-to-parent "
+    "pattern): nation revenue share within its region and region share "
+    "of the grand total, from ONE leaf-grain aggregate — the two "
+    "parent levels are windows over the already nation-sized relation, "
+    "so the fact table is scanned once regardless of hierarchy depth.  "
+    "Dimensions broadcast into the fact scan.",
+)
+def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("revenue").over(w_region) / F.sum("revenue").over(w_all), 6
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")

@@ -202,3 +202,16 @@ def test_decile_lift_partitions_rows_and_averages_to_one(spark):
     # predictions within a decile ranking must be monotone across deciles
     preds = [r.predicted_mean for r in rows]
     assert preds == sorted(preds, reverse=True)
+
+
+def test_percent_of_parent_shares_sum_to_one(spark):
+    rows = _q(spark, "percent_of_parent_rollup").collect()
+    assert rows
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    region_shares = {}
+    for region, rs in by_region.items():
+        assert abs(sum(x.share_of_region for x in rs) - 1.0) < 1e-3
+        region_shares[region] = rs[0].region_share_of_total
+    assert abs(sum(region_shares.values()) - 1.0) < 1e-3
