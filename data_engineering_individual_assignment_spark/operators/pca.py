@@ -30,6 +30,8 @@ def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
     def part(batches):
         for pdf in batches:
+            if pdf.empty:  # np.vstack raises on a zero-row batch
+                continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             if X.shape[1] != dim:
                 raise ValueError(

@@ -421,6 +421,7 @@ def pq_train(
     vec_col: str = "embedding",
     sample: int = 2048,
     iters: int = 10,
+    id_col: str = "vec_id",
 ):
     """Product-quantization codebooks (Jégou et al., TPAMI 2011): split
     the (L2-normalized) vector into ``m`` subspaces and run a small
@@ -433,7 +434,11 @@ def pq_train(
     able as a literal, no pickled model object)."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample).collect()
+    # orderBy(id).limit = TakeOrdered: the training sample is the same
+    # set of rows for ANY physical layout (a bare LIMIT is partition-
+    # order dependent, which would make the codebooks irreproducible).
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = [(r[1],) for r in rows]
     X = np.vstack([r[0] for r in rows]).astype("float64")
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     dim = X.shape[1]
@@ -476,6 +481,8 @@ def pq_encode(
 
     def enc(batches):
         for pdf in batches:
+            if pdf.empty:  # np.vstack raises on a zero-row batch
+                continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
             codes = np.empty((len(X), m), dtype="int32")

@@ -808,7 +808,8 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decile_lift_chart",
     sql="""
     WITH pts AS (
-        SELECT l_orderkey, l_quantity AS x, l_extendedprice AS y
+        SELECT l_orderkey, l_linenumber, l_quantity AS x,
+               l_extendedprice AS y
         FROM lineitem),
     coef AS (
         SELECT covar_pop(x, y) / var_pop(x) AS b1,
@@ -817,7 +818,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT p.y, c.b0 + c.b1 * p.x AS yhat,
                ntile(10) OVER (ORDER BY c.b0 + c.b1 * p.x DESC,
-                               p.l_orderkey) AS decile
+                               p.l_orderkey, p.l_linenumber) AS decile
         FROM pts p CROSS JOIN coef c),
     overall AS (SELECT avg(y) AS mu FROM pts)
     SELECT CAST(decile AS INT) AS decile,
@@ -838,7 +839,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.select(
-        "l_orderkey", F.col("l_quantity").alias("x"),
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
     )
     b1 = F.covar_pop("x", "y") / F.var_pop("x")
@@ -846,7 +847,9 @@ def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pts.crossJoin(F.broadcast(coef)).withColumn(
         "yhat", F.col("b0") + F.col("b1") * F.col("x")
     )
-    w = Window.orderBy(F.desc("yhat"), F.asc("l_orderkey"))
+    w = Window.orderBy(
+        F.desc("yhat"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
     overall = pts.agg(F.avg("y").alias("mu"))
     return (
         scored.withColumn("decile", F.ntile(10).over(w))
@@ -915,3 +918,122 @@ def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue").over(w_region) / F.sum("revenue").over(w_all), 6
         ).alias("region_share_of_total"),
     ).orderBy("region", "nation")
+
+
+@register(
+    "global_rank_scalable",
+    sql="""
+    WITH ranked AS (
+        SELECT o_orderpriority,
+               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rnk
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rnk) AS BIGINT) AS rank_sum,
+           CAST(min(rnk) AS BIGINT) AS best_rank,
+           CAST(max(rnk) AS BIGINT) AS worst_rank
+    FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="distributed global ranking (operators/ranking.global_rank): "
+    "orders ranked by totalprice via repartitionByRange + per-partition "
+    "row_number + tiny prefix-sum offset join, with buckets computed "
+    "FROM THE DATA (broadcast min/max equal-width boundaries) so the "
+    "assignment is stable across plan branches — NO single-task global "
+    "window (`Window.orderBy` with no partitionBy moves every row to "
+    "one task; this shape survives 100 TB).  Output folds every rank "
+    "into per-priority sum/min/max so the oracle checks the entire "
+    "rank assignment, not a sample.",
+)
+def global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    ranked = global_rank(
+        o, "o_totalprice", [F.asc("o_orderkey")], ascending=False,
+        rank_col="rnk",
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("rnk").alias("rank_sum"),
+            F.min("rnk").alias("best_rank"),
+            F.max("rnk").alias("worst_rank"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "decile_lift_scalable",
+    sql="""
+    WITH pts AS (
+        SELECT l_orderkey, l_linenumber, l_quantity AS x,
+               l_extendedprice AS y
+        FROM lineitem),
+    coef AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS b1,
+               avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS b0
+        FROM pts),
+    scored AS (
+        SELECT p.y, c.b0 + c.b1 * p.x AS yhat,
+               ntile(10) OVER (ORDER BY c.b0 + c.b1 * p.x DESC,
+                               p.l_orderkey, p.l_linenumber) AS decile
+        FROM pts p CROSS JOIN coef c),
+    overall AS (SELECT avg(y) AS mu FROM pts)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(y), 2) AS actual_mean,
+           round(avg(yhat), 2) AS predicted_mean,
+           round(avg(y) / (SELECT mu FROM overall), 6) AS lift
+    FROM scored GROUP BY decile ORDER BY decile
+    """,
+    doc="decile_lift_chart's 100 TB twin: identical ntile(10) "
+    "semantics (same oracle SQL) but the decile comes from "
+    "operators/ranking.global_rank + ntile_from_rank — a range "
+    "exchange and column arithmetic instead of the single-task "
+    "Window.orderBy ntile.  The exact SQL-standard bucket split "
+    "(first n%k buckets one row larger) is reproduced from "
+    "(rank, total) so both plans hash identically.",
+)
+def decile_lift_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank, ntile_from_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    b1 = F.covar_pop("x", "y") / F.var_pop("x")
+    coef = pts.agg(
+        b1.alias("b1"),
+        (F.avg("y") - b1 * F.avg("x")).alias("b0"),
+        F.avg("y").alias("mu"),
+        F.count("*").alias("total"),
+    )
+    scored = pts.crossJoin(F.broadcast(coef)).withColumn(
+        "yhat", F.col("b0") + F.col("b1") * F.col("x")
+    )
+    ranked = global_rank(
+        scored,
+        "yhat",
+        [F.asc("l_orderkey"), F.asc("l_linenumber")],
+        ascending=False,
+        rank_col="rnk",
+    )
+    return (
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("rnk"), F.col("total"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("y"), 2).alias("actual_mean"),
+            F.round(F.avg("yhat"), 2).alias("predicted_mean"),
+            F.round(F.avg("y") / F.max("mu"), 6).alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -306,3 +306,85 @@ def temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "holt_linear_daily",
+    sql="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(ts AS DATE)) AS rn
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    walk AS (
+        SELECT d1.event_type, d1.rn, d1.day, d1.x,
+               d1.x AS lvl, d2.x - d1.x AS trend
+        FROM daily d1 JOIN daily d2
+          ON d2.event_type = d1.event_type AND d2.rn = 2
+        WHERE d1.rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.day, d.x,
+               0.5 * d.x + 0.5 * (w.lvl + w.trend),
+               0.3 * ((0.5 * d.x + 0.5 * (w.lvl + w.trend)) - w.lvl)
+                   + 0.7 * w.trend
+        FROM daily d JOIN walk w
+          ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(x AS BIGINT) AS cnt,
+           lvl AS level,
+           trend,
+           lvl + trend AS forecast_next
+    FROM walk ORDER BY event_type, day
+    """,
+    doc="Holt double-exponential smoothing (level + linear trend, "
+    "alpha=0.5 beta=0.3) of daily event counts per type; "
+    "forecast_next = level + trend is the one-step-ahead forecast.  "
+    "Same architecture as ewma_daily: collapse to day grain first, "
+    "run the per-key sequential recursion in ONE grouped-map pandas "
+    "pass (groups are day-count sized), and differential-test the "
+    "float trajectory against a recursive CTE executing the "
+    "identical operation order (init: level=x1, trend=x2-x1).  The "
+    "trajectory is BIT-identical across engines (sequential IEEE "
+    "recursion, no parallel-sum reorder), so outputs ship unrounded — "
+    "round() itself is the only cross-engine divergence (Spark "
+    "decimal HALF_UP vs DuckDB multiply-then-std::round disagree "
+    "within 1 ulp of a half, seen at step 7 of this very series).",
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        x = pdf["x"].to_numpy()
+        n = len(x)
+        lvl = [0.0] * n
+        trd = [0.0] * n
+        lvl[0] = x[0]
+        trd[0] = (x[1] - x[0]) if n > 1 else 0.0
+        for i in range(1, n):
+            # identical op order to the recursive-CTE oracle
+            lvl[i] = 0.5 * x[i] + 0.5 * (lvl[i - 1] + trd[i - 1])
+            trd[i] = 0.3 * (lvl[i] - lvl[i - 1]) + 0.7 * trd[i - 1]
+        pdf["level"] = lvl
+        pdf["trend"] = trd
+        return pdf
+
+    out = daily.groupBy("event_type").applyInPandas(
+        smooth,
+        schema="event_type string, day date, x double, "
+        "level double, trend double",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("cnt"),
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("forecast_next"),
+    ).orderBy("event_type", "day")

@@ -1,0 +1,73 @@
+"""operators/ranking: distributed global rank + exact ntile derivation.
+
+The invariant under test: global_rank must agree ROW-FOR-ROW with the
+single-task `row_number() over (order by ...)` it replaces, and
+ntile_from_rank must reproduce `F.ntile(k)` exactly (including the
+uneven first-bucket split) for awkward n/k combinations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineering_individual_assignment_spark.operators.ranking import (
+    global_rank,
+    ntile_from_rank,
+)
+from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_global_rank_agrees_with_single_window(spark):
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    scalable = global_rank(
+        o, "o_totalprice", [F.asc("o_orderkey")], ascending=False,
+        rank_col="r", n_buckets=7,
+    )
+    reference = o.withColumn(
+        "r_ref",
+        F.row_number()
+        .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        .cast("long"),
+    )
+    diff = (
+        scalable.join(reference, ["o_orderkey", "o_totalprice"])
+        .filter(F.col("r") != F.col("r_ref"))
+        .count()
+    )
+    assert diff == 0
+    assert scalable.count() == o.count()
+
+
+def test_global_rank_no_single_task_window(spark):
+    """The physical plan must not contain a partition-less Window —
+    every Window node should be keyed by the synthetic partition id."""
+    o = load_table(spark, SF_SMALL, "orders")
+    plan = global_rank(
+        o, "o_orderkey", [], n_buckets=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__bkt" in line, f"partition-less window in plan: {line}"
+
+
+def test_global_rank_empty_input(spark):
+    o = load_table(spark, SF_SMALL, "orders").filter(F.lit(False))
+    assert global_rank(o, "o_orderkey", []).count() == 0
+
+
+def test_ntile_from_rank_matches_builtin(spark):
+    # n=103, k=10 → first 3 buckets get 11 rows; also k=7 and k > n.
+    df = spark.range(1, 104).withColumn("r", F.col("id"))
+    total = F.lit(103)
+    for k in (10, 7, 150):
+        got = df.select(
+            "id",
+            ntile_from_rank(F.col("r"), total, k).alias("b"),
+            F.ntile(k).over(Window.orderBy("id")).alias("b_ref"),
+        )
+        assert got.filter(F.col("b") != F.col("b_ref")).count() == 0
