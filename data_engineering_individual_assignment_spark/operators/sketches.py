@@ -112,3 +112,76 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch as a RELATION: ``depth * width`` cells of
+    (row, bucket, n).  Building it is one explode (each item emits
+    ``depth`` (row, bucket) updates) + one groupBy over a key space of
+    ``depth * width`` — constant-sized state no matter how many
+    distinct items flow through, and trivially mergeable (cell-wise
+    sum), which is the whole point at 100 TB: a 4x64 integer grid
+    summarizes any vocabulary.
+
+    Hashes are the repo's portable 60-bit md5 construction
+    (``operators.dedup._md5_hash60``) so a DuckDB oracle can rebuild
+    the IDENTICAL sketch and the estimates themselves are
+    differential-testable."""
+    from .dedup import _md5_hash60
+
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (_md5_hash60(F.col(col), f"cms{i}") % width)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return entries.groupBy(
+        F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+def cms_estimate(
+    probes: DataFrame, sketch: DataFrame, col: str, depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]``: min over the
+    sketch rows of the probed cells.  CMS never undercounts, so
+    ``est >= true`` always — the invariant the accuracy query pins.
+    The sketch is broadcast (it is depth*width rows)."""
+    from .dedup import _md5_hash60
+
+    probe_cells = probes.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (_md5_hash60(F.col(col), f"cms{i}") % width)
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(col, "e.row", "e.bucket")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("n").alias("cms_est"))
+    )

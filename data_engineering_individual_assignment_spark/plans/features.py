@@ -553,3 +553,99 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "doc_cosine_pairs_sparse",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS t
+              FROM documents)
+        GROUP BY doc_id, t),
+    corpus AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+               FROM toks),
+    dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+              FROM toks GROUP BY token),
+    w AS (SELECT t.doc_id, t.token,
+                 t.tf * ln((c.n + 1.0) / (d.df + 1.0)) AS w
+          FROM toks t
+          JOIN dfreq d ON d.token = t.token
+          CROSS JOIN corpus c
+          WHERE d.df * 10 <= c.n),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+              FROM w GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(a.w * b.w) AS dot
+        FROM w a JOIN w b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           round(p.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM pairs p
+    JOIN norms na ON na.doc_id = p.doc_a
+    JOIN norms nb ON nb.doc_id = p.doc_b
+    WHERE round(p.dot / (na.nrm * nb.nrm), 6) >= 0.35
+    ORDER BY doc_a, doc_b
+    """,
+    doc="sparse TF-IDF cosine document-pair similarity via an inverted "
+    "index: postings (doc, token, tfidf) self-joined ON TOKEN (the "
+    "classic term-at-a-time partial dot product), so cost is "
+    "sum-over-tokens df^2 — bounded by dropping tokens in >10% of the "
+    "corpus (stopword-df cap), never an all-pairs doc join.  "
+    "Complements near_dup_pairs (unweighted Jaccard) with weighted "
+    "similarity; idf = ln((N+1)/(df+1)).  At 100 TB: the df cap is "
+    "what keeps the hottest posting lists out of the join; pair it "
+    "with prefix-filtering for lower thresholds.",
+)
+def doc_cosine_pairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    corpus = toks.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    dfreq = toks.groupBy("token").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    w = (
+        toks.join(dfreq, "token")
+        .crossJoin(F.broadcast(corpus))
+        .filter(F.col("df") * 10 <= F.col("n"))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb")
+    )
+    pairs = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -205,3 +205,270 @@ def group_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", F.col("pick").cast("int").alias("pick"))
         .orderBy("source", "pick")
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    sql="""
+    WITH ranked AS (
+        SELECT left(p_name, 1) AS blk, p_name, p_partkey,
+               lead(p_name, 1) OVER w AS next1,
+               lead(p_name, 2) OVER w AS next2
+        FROM part
+        WINDOW w AS (PARTITION BY left(p_name, 1)
+                     ORDER BY p_name, p_partkey)),
+    cand AS (
+        SELECT blk, p_name, next1 AS neighbor FROM ranked
+        WHERE next1 IS NOT NULL
+        UNION ALL
+        SELECT blk, p_name, next2 FROM ranked WHERE next2 IS NOT NULL)
+    SELECT blk,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN levenshtein(p_name, neighbor) <= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           round(avg(levenshtein(p_name, neighbor)), 4) AS avg_lev
+    FROM cand GROUP BY blk ORDER BY blk
+    """,
+    doc="sorted-neighborhood entity-resolution blocking (Hernandez & "
+    "Stolfo 1995): records sorted by the blocking key compare only "
+    "against their w-1 successors (w=3 here via lead(1)/lead(2)) — "
+    "candidate pairs are O(w n) instead of O(n^2).  Windows are keyed "
+    "by the first letter so no single-task global sort exists; the "
+    "letter-boundary pairs this misses are what the method's "
+    "multi-pass variant (re-run with a rotated key) recovers.  "
+    "Complements fuzzy_match_part_names (vocabulary-blocked ER) with "
+    "order-based blocking.",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy(F.substring("p_name", 1, 1)).orderBy(
+        "p_name", "p_partkey"
+    )
+    ranked = p.select(
+        F.substring("p_name", 1, 1).alias("blk"),
+        "p_name",
+        F.lead("p_name", 1).over(w).alias("next1"),
+        F.lead("p_name", 2).over(w).alias("next2"),
+    )
+    cand = ranked.filter(F.col("next1").isNotNull()).select(
+        "blk", "p_name", F.col("next1").alias("neighbor")
+    ).unionAll(
+        ranked.filter(F.col("next2").isNotNull()).select(
+            "blk", "p_name", F.col("next2").alias("neighbor")
+        )
+    )
+    lev = F.levenshtein("p_name", "neighbor")
+    return (
+        cand.groupBy("blk")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum((lev <= 10).cast("int")).cast("long").alias("n_matches"),
+            F.round(F.avg(lev), 4).alias("avg_lev"),
+        )
+        .orderBy("blk")
+    )
+
+
+@register(
+    "weighted_sample_topk",
+    sql="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln(((doc_id * 2654435761) % 4294967296 + 1)
+                  / 4294967297.0) / n_chars AS r
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           round(r, 9) AS priority
+    FROM keyed
+    ORDER BY round(r, 9) DESC, doc_id
+    LIMIT 20
+    """,
+    doc="weighted sampling without replacement (Efraimidis-Spirakis "
+    "2006): each item gets priority u^(1/w) — ranked here via the "
+    "monotone-equivalent ln(u)/w — and the top-k by priority IS a "
+    "w-weighted sample.  u comes from a Knuth multiplicative hash of "
+    "the key (pure integer arithmetic, identical across engines), not "
+    "rand(), so the sample is reproducible under any partitioning and "
+    "a DuckDB oracle can re-derive it.  One map pass + TakeOrdered: "
+    "the 100 TB shape for 'give me 10k docs sampled by token count'.",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = ((F.col("doc_id") * 2654435761) % 4294967296 + 1) / 4294967297.0
+    r = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            r.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "target_encode_loo",
+    sql="""
+    WITH enc AS (
+        SELECT o_orderpriority AS priority, o_totalprice AS y,
+               (sum(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                - o_totalprice)
+               / (count(*) OVER (PARTITION BY o_orderpriority) - 1)
+                   AS enc
+        FROM orders)
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(enc), 2) AS avg_enc,
+           round(covar_pop(enc, y), 2) AS enc_y_cov
+    FROM enc GROUP BY priority ORDER BY priority
+    """,
+    doc="leave-one-out target encoding (the leakage-safe categorical "
+    "encoder): each row's category becomes the mean target of the "
+    "OTHER rows in its group, (group_sum - y)/(group_n - 1) — two "
+    "marginals from one keyed window, no self-join.  Output pins the "
+    "per-group encoding mean (= group mean, an identity LOO must "
+    "satisfy) and the enc-target covariance, which is NEGATIVE under "
+    "LOO (each row's own y is excluded, anti-correlating the "
+    "encoding) — the tell that distinguishes a leaky implementation "
+    "from a correct one.",
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    enc = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("y"),
+        (
+            (F.sum("o_totalprice").over(wp) - F.col("o_totalprice"))
+            / (F.count("*").over(wp) - 1)
+        ).alias("enc"),
+    )
+    return (
+        enc.groupBy("priority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("enc"), 2).alias("avg_enc"),
+            F.round(F.covar_pop("enc", "y"), 2).alias("enc_y_cov"),
+        )
+        .orderBy("priority")
+    )
+
+
+_CMS_BUCKET = (
+    "CAST('0x' || substr(md5('cms{i}|' || token), 1, 15) AS BIGINT) % 64"
+)
+
+
+def _cms_cells(src: str) -> str:
+    return "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS row, {_CMS_BUCKET.format(i=i)} AS bucket,"
+        f" token FROM {src}"
+        for i in range(4)
+    )
+
+
+@register(
+    "cms_token_accuracy",
+    sql=f"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                            '\\s+')) AS token
+        FROM documents),
+    entries AS (
+{_cms_cells("toks")}),
+    sketch AS (
+        SELECT row, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM entries GROUP BY row, bucket),
+    exact AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS exact_n
+        FROM toks GROUP BY token
+        ORDER BY exact_n DESC, token LIMIT 20),
+    probe_cells AS (
+{_cms_cells("exact")}),
+    est AS (
+        SELECT p.token, min(s.n) AS cms_est
+        FROM (SELECT row, bucket, token FROM probe_cells) p
+        JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+        GROUP BY p.token)
+    SELECT e.token, x.exact_n, e.cms_est,
+           CAST(e.cms_est - x.exact_n AS BIGINT) AS overestimate
+    FROM est e JOIN exact x ON x.token = e.token
+    ORDER BY x.exact_n DESC, e.token
+    """,
+    doc="Count-Min sketch accuracy, itself oracle-checked: a 4x64 "
+    "portable-hash CMS built over the token stream, probed at the "
+    "exact top-20 tokens; overestimate = est - exact is >= 0 by the "
+    "CMS one-sided guarantee.  Both engines rebuild the identical "
+    "sketch (md5-derived bucket hashes), so the ESTIMATES are "
+    "differential-tested, not just the exact side — the same "
+    "treatment minhash_estimate_accuracy gives MinHash.  Build is "
+    "one explode + a 256-cell groupBy; the probe join broadcasts the "
+    "sketch.",
+)
+def cms_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+    from ..operators.sketches import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("token"))
+    sketch = cms_build(toks, "token")
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(20)
+    )
+    est = cms_estimate(exact.select("token"), sketch, "token")
+    return (
+        est.join(exact, "token")
+        .select(
+            "token",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).cast("long").alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+    )
+
+
+@register(
+    "exact_median_refinement",
+    sql="""
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    med AS (
+        SELECT x AS median FROM v ORDER BY x
+        LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n)),
+    p90 AS (
+        SELECT x AS p90 FROM v ORDER BY x
+        LIMIT 1 OFFSET (SELECT CAST(ceil(n * 0.9) AS BIGINT) - 1 FROM n))
+    SELECT n.n, round(med.median, 2) AS median, round(p90.p90, 2) AS p90
+    FROM n, med, p90
+    """,
+    doc="EXACT median + p90 of lineitem price via iterative histogram "
+    "refinement (operators/order_stats, Munro-Paterson-style "
+    "selection): each round is one scan producing a 256-row histogram, "
+    "the candidate range shrinks 256x, and only the final tie-group "
+    "is ever sorted — 3-4 scans for an exact order statistic at any "
+    "scale, vs percentile_approx's error or a single-partition sort's "
+    "OOM.  The oracle computes the same k-th smallest "
+    "(lower-median k = (n+1)/2, p90 k = ceil(0.9 n)) by brute sort.",
+)
+def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.order_stats import exact_kth_smallest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_extendedprice").isNotNull())
+    n = vals.count()
+    med = exact_kth_smallest(vals, "l_extendedprice", (n + 1) // 2)
+    p90 = exact_kth_smallest(vals, "l_extendedprice", math.ceil(n * 0.9))
+    return spark.createDataFrame(
+        [(n, round(med, 2), round(p90, 2))], "n bigint, median double, p90 double"
+    )

@@ -775,3 +775,182 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "p_partkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume (the cyclic customer==supplier nation join)
+# --------------------------------------------------------------------------
+@register(
+    "local_supplier_volume",
+    sql="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5 shape: the cyclic join — revenue only counts when "
+    "the CUSTOMER's nation equals the SUPPLIER's nation, closing a "
+    "cycle customer->orders->lineitem->supplier->customer that join "
+    "reordering must handle.  Region/nation/supplier are broadcast; "
+    "the s_nationkey = c_nationkey residual rides the broadcast "
+    "supplier join so the fact still shuffles only for the "
+    "orders-customer equi join.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier-relationship count (NOT IN -> anti join, count distinct)
+# --------------------------------------------------------------------------
+@register(
+    "supplier_relationship_count",
+    sql="""
+    WITH excluded AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    pairs AS (
+        SELECT DISTINCT p.p_brand, p.p_size, l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (5, 10, 15, 20)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM excluded))
+    SELECT p_brand, CAST(p_size AS INT) AS p_size,
+           CAST(count(*) AS BIGINT) AS supplier_cnt
+    FROM pairs
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc="TPC-H Q16 shape (partsupp-free): how many distinct suppliers "
+    "serve each (brand, size) bucket, excluding a complaint list "
+    "(negative account balance stands in for the LIKE '%Complaints%' "
+    "filter) — NOT IN decorrelates to a broadcast left-anti join, and "
+    "the count-distinct collapses to DISTINCT pairs + count.  The "
+    "distinct runs on (brand, size, suppkey) — vocabulary-sized, "
+    "never row grain.",
+)
+def supplier_relationship_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15, 20))
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .select("p_brand", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count("*").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant suppliers of a part family (correlated agg -> window)
+# --------------------------------------------------------------------------
+@register(
+    "dominant_part_suppliers",
+    sql="""
+    WITH vol AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               sum(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'blue%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_partkey, l.l_suppkey),
+    shares AS (
+        SELECT l_partkey, l_suppkey, qty,
+               sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+        FROM vol)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS dominated_parts,
+           round(sum(qty / part_total), 4) AS share_sum
+    FROM shares
+    JOIN supplier s ON s.s_suppkey = shares.l_suppkey
+    WHERE qty * 2 > part_total
+    GROUP BY s.s_name
+    ORDER BY dominated_parts DESC, s.s_name
+    """,
+    doc="TPC-H Q20 shape (partsupp-free): suppliers who shipped more "
+    "than HALF a part's yearly volume for a part family — the "
+    "correlated 'compare my agg to my group's agg' subquery, "
+    "decorrelated into one (part, supplier) aggregate plus a "
+    "part-keyed window (Catalyst's own rewrite for such subqueries). "
+    "The name filter prunes the part side before the fact join; the "
+    "window runs at (part, supplier) grain, already thousands of "
+    "times smaller than lineitem.",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    s = _t(spark, sf_dir, "supplier")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    shares = vol.withColumn(
+        "part_total", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        shares.filter(F.col("qty") * 2 > F.col("part_total"))
+        .join(F.broadcast(s), shares.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("dominated_parts"),
+            F.round(F.sum(F.col("qty") / F.col("part_total")), 4).alias(
+                "share_sum"
+            ),
+        )
+        .orderBy(F.desc("dominated_parts"), F.asc("s_name"))
+    )

@@ -19,7 +19,12 @@ task MUST produce the same partition it replaces).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 _MASK = (1 << 64) - 1
@@ -83,6 +88,70 @@ class SyntheticEventsReader(DataSourceReader):
             )
 
 
+class SyntheticEventsStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_events_stream")`` — the
+    STREAMING twin of the batch generator, built on Spark 4's
+    ``SimpleDataSourceStreamReader`` (the pure-Python streaming source
+    API).  Offsets are row indices; each micro-batch advances the
+    offset by ``rowsPerBatch`` until ``maxRows``.
+
+    Exactly-once comes from determinism: rows are a pure function of
+    the offset RANGE, so ``readBetweenOffsets(start, end)`` (Spark's
+    failure-recovery replay hook) regenerates precisely the rows the
+    lost batch contained — the same splitmix64 row function as the
+    batch source, which is also what the stream==batch test asserts.
+
+    Options: ``rowsPerBatch`` (default 100), ``maxRows`` (default
+    1000; the stream reports no new data past it, so
+    ``processAllAvailable``/availableNow terminate).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
+
+def _gen_rows(start: int, end: int):
+    for event_id in range(start, end):
+        h = _mix(event_id)
+        yield (
+            event_id,
+            h % 1000,
+            _EVENT_TYPES[(h >> 10) % len(_EVENT_TYPES)],
+            round(((h >> 20) % 100_000) / 10_000.0, 4),
+        )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.batch_rows = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        s = int(start["offset"])
+        e = min(s + self.batch_rows, self.max_rows)
+        # an ITERATOR over a materialized list: Spark's prefetch cache
+        # requires an iterator (it calls next()), but a raw generator
+        # can't be pickled when the wrapper caches it — iter(list) is
+        # both (bounded by rowsPerBatch).
+        return iter(list(_gen_rows(s, e))), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_gen_rows(int(start["offset"]), int(end["offset"]))))
+
+
 def register(spark) -> None:
-    """Idempotent registration of the custom format."""
+    """Idempotent registration of the custom formats."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsStreamDataSource)

@@ -489,3 +489,44 @@ def heavy_hitters_stream(
     return sharded.groupBy("shard").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+EMB_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("label", T.IntegerType()),
+])
+
+
+def stage_embeddings(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Copy the embeddings table into a streaming landing dir (stand-in
+    for an embedding service's rolling output)."""
+    from ..sources.readers import load_table
+
+    load_table(spark, sf_dir, "embeddings").write.mode("overwrite").parquet(
+        out_dir
+    )
+    return out_dir
+
+
+def stream_embeddings(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(landing_dir)
+    )
+
+
+def pq_encode_stream(emb_stream: DataFrame, codebooks) -> DataFrame:
+    """Streaming product-quantization encode: vectors compress to byte
+    codes AS THEY ARRIVE.  ``pq_encode`` is a stateless Arrow-batched
+    mapInPandas against broadcast codebooks, so it applies to a
+    streaming relation unchanged (append mode, zero streaming state) —
+    the pattern for maintaining a PQ index incrementally instead of
+    re-encoding 100 TB of vectors per refresh.  Codebooks come from
+    ``operators.similarity.pq_train`` on a historical sample; encode
+    determinism (same codebooks -> same codes) is what makes replayed
+    micro-batches idempotent."""
+    from ..operators.similarity import pq_encode
+
+    return pq_encode(emb_stream, codebooks)

@@ -337,3 +337,68 @@ def test_pq_rerank_recovers_near_exact_recall(spark):
     assert len(rer) == len(exact)
     recall = len(exact & rer) / len(exact)
     assert recall >= 0.9, f"re-ranked recall {recall:.2f}"
+
+
+def test_cms_mergeable_and_one_sided(spark):
+    """Count-Min invariants: (1) the sketch of a union is the cell-wise
+    sum of the parts' sketches (mergeability — what lets partial
+    sketches combine across 1000 executors); (2) estimates never
+    undercount, and exactly equal truth for items with collision-free
+    cells."""
+    from data_engineering_individual_assignment_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = (
+        [("alpha",)] * 50 + [("beta",)] * 20 + [("gamma",)] * 5
+        + [(f"tail{i}",) for i in range(30)]
+    )
+    df = spark.createDataFrame(items, "token string")
+    half1 = spark.createDataFrame(items[:52], "token string")
+    half2 = spark.createDataFrame(items[52:], "token string")
+
+    whole = {(r.row, r.bucket): r.n for r in cms_build(df, "token").collect()}
+    merged: dict = {}
+    for part in (half1, half2):
+        for r in cms_build(part, "token").collect():
+            merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.n
+    assert whole == merged
+
+    probes = df.select("token").distinct()
+    est = {
+        r.token: r.cms_est
+        for r in cms_estimate(probes, cms_build(df, "token"), "token").collect()
+    }
+    truth = {r.token: r.n for r in df.groupBy("token").count().withColumnRenamed("count", "n").collect()}
+    assert all(est[t] >= n for t, n in truth.items())
+    # the heavy items dominate their cells => estimates are exact there
+    assert est["alpha"] >= 50 and est["beta"] >= 20
+
+
+def test_exact_kth_smallest_edges(spark):
+    """Histogram-refinement selection: k=1/k=n extremes, heavy tie
+    groups, and agreement with a brute sort at every k on a small set."""
+    from data_engineering_individual_assignment_spark.operators.order_stats import (
+        exact_kth_smallest,
+        exact_median,
+    )
+
+    data = [3.5, 1.0, 1.0, 1.0, 2.25, 9.0, -4.5, 2.25, 2.25, 7.0]
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    ref = sorted(data)
+    for k in range(1, len(data) + 1):
+        assert exact_kth_smallest(df, "x", k) == ref[k - 1], k
+    assert exact_median(df, "x") == ref[(len(data) + 1) // 2 - 1]
+
+    # all-equal column terminates immediately
+    const = spark.createDataFrame([(5.0,)] * 7, "x double")
+    assert exact_kth_smallest(const, "x", 4) == 5.0
+
+    # nulls excluded, out-of-range k raises
+    withnull = spark.createDataFrame([(1.0,), (None,), (2.0,)], "x double")
+    assert exact_kth_smallest(withnull, "x", 2) == 2.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_kth_smallest(withnull, "x", 3)

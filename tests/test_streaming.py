@@ -440,3 +440,27 @@ def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
     # the planted heads are guaranteed somewhere
     flat = set().union(*per_shard.values())
     assert {"hot-a", "hot-b"} <= flat
+
+
+def test_pq_encode_stream_equals_batch(spark, tmp_path):
+    """Streaming PQ encode: codes produced micro-batch by micro-batch
+    must equal the batch encode of the same vectors under the same
+    codebooks (stateless Arrow transform => append mode, replay-safe)."""
+    from data_engineering_individual_assignment_spark.operators import similarity
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    books = similarity.pq_train(emb, m=8, ncodes=8, sample=256)
+    landing = str(tmp_path / "emb_landing")
+    W.stage_embeddings(spark, SF_SMALL, landing)
+
+    stream_out = W.run_to_memory(
+        spark,
+        W.pq_encode_stream(W.stream_embeddings(spark, landing), books),
+        mode="append",
+    )
+    batch_out = similarity.pq_encode(emb, books)
+    s = {(r.vec_id, tuple(r.codes)) for r in stream_out.collect()}
+    b = {(r.vec_id, tuple(r.codes)) for r in batch_out.collect()}
+    assert s == b and len(s) == emb.count()
