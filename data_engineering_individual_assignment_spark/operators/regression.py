@@ -160,3 +160,62 @@ def ml_linear_regression(df: DataFrame, x: str, y: str):
         df.select(F.col(x).cast("double"), F.col(y).cast("double").alias("label"))
     )
     return LinearRegression(featuresCol="features", labelCol="label").fit(assembled)
+
+
+def isotonic_fit(
+    df: DataFrame, x: str, y: str, group: str | None = None
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression via pool-adjacent-
+    violators (PAVA; Barlow et al. 1972), the standard probability-
+    calibration fit.
+
+    Scale shape: rows first collapse to DISTINCT-x grain (weighted mean
+    of y per x) with one linear aggregation — PAVA's input is then
+    x-cardinality sized, not row sized.  The sequential pooling pass
+    runs per GROUP in applyInPandas (or one global group when
+    ``group=None``: acceptable because the x-grain relation is
+    vocabulary-scale; for a 100 TB continuous x, quantile-bucket x
+    first).  Output: one row per distinct x with the fitted value —
+    a step function to join back or interpolate against.
+
+    Returns columns: [group,] x, n, y_mean, fit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = ([group] if group else []) + [x]
+    grain = df.groupBy(*keys).agg(
+        F.count("*").alias("n"), F.avg(y).alias("y_mean")
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x).reset_index(drop=True)
+        vals = pdf["y_mean"].to_numpy(dtype="float64")
+        wts = pdf["n"].to_numpy(dtype="float64")
+        # pools as (value, weight) with merge-on-violation
+        pv: list[float] = []
+        pw: list[float] = []
+        sizes: list[int] = []
+        for v, w in zip(vals, wts):
+            pv.append(v)
+            pw.append(w)
+            sizes.append(1)
+            while len(pv) > 1 and pv[-2] > pv[-1]:
+                v2, w2, s2 = pv.pop(), pw.pop(), sizes.pop()
+                pv[-1] = (pv[-1] * pw[-1] + v2 * w2) / (pw[-1] + w2)
+                pw[-1] += w2
+                sizes[-1] += s2
+        fit = np.repeat(pv, sizes)
+        pdf["fit"] = fit
+        return pdf
+
+    schema = ", ".join(
+        ([f"{group} string"] if group else [])
+        + [f"{x} double", "n bigint", "y_mean double", "fit double"]
+    )
+    grain = grain.withColumn(x, F.col(x).cast("double"))
+    if group:
+        return grain.groupBy(group).applyInPandas(pava, schema=schema)
+    return grain.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: pava(pdf.drop(columns="__g")), schema=schema
+    )

@@ -1277,3 +1277,61 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_rerank(
         emb, codes, queries, books, k=5, shortlist=50
     ).orderBy("query_id", "rnk")
+
+
+@register(
+    "udtf_polymorphic_first_tokens",
+    sql=r"""
+    SELECT doc_id,
+           toks[1] AS tok1, toks[2] AS tok2, toks[3] AS tok3
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents WHERE doc_id < 40)
+    ORDER BY doc_id
+    """,
+    doc="POLYMORPHIC Python UDTF (Spark 4 analyze-time schema): the "
+    "output schema — one column per requested token — is computed by "
+    "the UDTF's static analyze() from the literal argument n, not "
+    "declared up front; @udtf without returnType + AnalyzeResult is "
+    "the table-function analog of a generic.  Completes the UDTF "
+    "surface next to the fixed-schema udtf_word_ngrams; same slow-"
+    "path caveat (row-at-a-time Python) applies at 100 TB.",
+)
+def udtf_polymorphic_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = int(n.value)
+            st = StructType()
+            for i in range(k):
+                st = st.add(f"tok{i + 1}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            toks = [
+                t for t in re.split(r"\s+", (text or "").strip().lower()) if t
+            ]
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(int(n))
+            )
+
+    name = "first_tokens_" + re.sub(r"\W", "_", sf_dir).strip("_")
+    spark.udtf.register(name, FirstTokens)
+    view = "docs_poly_" + name
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.tok1, s.tok2, s.tok3
+        FROM {view} d, LATERAL {name}(d.text, 3) s
+        ORDER BY doc_id
+        """
+    )

@@ -455,3 +455,28 @@ def residual_intervals_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "isotonic_price_curve",
+    doc="isotonic regression (PAVA) of line price against quantity: "
+    "the monotone step function calibrating quantity -> expected "
+    "price.  Rows collapse to distinct-quantity grain (one linear "
+    "agg) before the sequential pooling pass, so PAVA's input is "
+    "x-cardinality sized.  No SQL oracle (PAVA is an iterative pool "
+    "merge a recursive CTE can't express tractably); invariants — "
+    "monotonicity, weighted-mean preservation, pool-mean structure, "
+    "agreement with a brute-force numpy PAVA — are pinned in "
+    "tests/test_training.py.",
+)
+def isotonic_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.regression import isotonic_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = isotonic_fit(li, "l_quantity", "l_extendedprice")
+    return out.select(
+        F.col("l_quantity"),
+        "n",
+        F.round("y_mean", 4).alias("y_mean"),
+        F.round("fit", 4).alias("fit"),
+    ).orderBy("l_quantity")

@@ -70,6 +70,22 @@ QUERIES = [
     "arrow_native_token_median",
     "sql_scripting_coverage_search",
     "ann_pq_adc",
+    # round 4 additions
+    "global_rank_scalable",
+    "decile_lift_scalable",
+    "mann_whitney_value_shift",
+    "chi_square_priority_status",
+    "holt_linear_daily",
+    "doc_cosine_pairs_sparse",
+    "sorted_neighborhood_pairs",
+    "cms_token_accuracy",
+    "exact_median_refinement",
+    "local_supplier_volume",
+    "supplier_relationship_count",
+    "dominant_part_suppliers",
+    "target_encode_loo",
+    "weighted_sample_topk",
+    "group_sample_deterministic",
     # audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]

@@ -213,3 +213,84 @@ def test_residual_intervals_are_ordered_and_centered(spark):
     # the intervals must reach both sides of zero (per-segment centering
     # is a data property, not a guarantee)
     assert min(r.resid_p10 for r in rows) < 0 < max(r.resid_p90 for r in rows)
+
+
+def test_isotonic_fit_invariants(spark):
+    """PAVA invariants: fitted sequence is monotone nondecreasing,
+    total weighted mean is preserved, each pool's fit equals its
+    weighted y mean, and the whole fit matches a brute-force numpy
+    PAVA on a planted violation pattern."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.regression import (
+        isotonic_fit,
+    )
+
+    # planted: y dips at x=3 (violation) and spikes at x=5
+    rows = []
+    data = {1: [1.0, 1.2], 2: [2.0], 3: [0.5, 0.7, 0.6], 4: [2.5], 5: [9.0], 6: [3.0]}
+    for x, ys in data.items():
+        rows += [(float(x), y) for y in ys]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = (
+        isotonic_fit(df, "x", "y")
+        .orderBy("x")
+        .collect()
+    )
+    xs = [r.x for r in got]
+    fit = [r.fit for r in got]
+    w = [r.n for r in got]
+    ymean = [r.y_mean for r in got]
+    assert xs == sorted(xs) and len(xs) == 6
+    # monotone
+    assert all(a <= b + 1e-12 for a, b in zip(fit, fit[1:]))
+    # weighted mean preserved
+    assert abs(
+        sum(f * n for f, n in zip(fit, w)) - sum(m * n for m, n in zip(ymean, w))
+    ) < 1e-9
+
+    # brute-force PAVA reference
+    def ref_pava(v, wt):
+        v, wt = list(v), list(wt)
+        sizes = [1] * len(v)
+        i = 0
+        out_v, out_w, out_s = [], [], []
+        for a, b in zip(v, wt):
+            out_v.append(a); out_w.append(b); out_s.append(1)
+            while len(out_v) > 1 and out_v[-2] > out_v[-1]:
+                v2, w2, s2 = out_v.pop(), out_w.pop(), out_s.pop()
+                out_v[-1] = (out_v[-1] * out_w[-1] + v2 * w2) / (out_w[-1] + w2)
+                out_w[-1] += w2
+                out_s[-1] += s2
+        return list(np.repeat(out_v, out_s))
+
+    expect = ref_pava(ymean, w)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(fit, expect))
+    # pool-mean structure: distinct fitted levels each equal their
+    # pool's weighted y mean
+    from itertools import groupby
+
+    idx = 0
+    for level, grp in groupby(range(len(fit)), key=lambda i: fit[i]):
+        members = list(grp)
+        pooled = sum(ymean[i] * w[i] for i in members) / sum(w[i] for i in members)
+        assert abs(level - pooled) < 1e-9
+        idx += len(members)
+
+
+def test_isotonic_per_group(spark):
+    """group column keeps fits independent."""
+    from data_engineering_individual_assignment_spark.operators.regression import (
+        isotonic_fit,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 2.0, 1.0), ("b", 1.0, 0.0), ("b", 2.0, 9.0)],
+        "g string, x double, y double",
+    )
+    got = {
+        (r.g, r.x): r.fit
+        for r in isotonic_fit(df, "x", "y", group="g").collect()
+    }
+    assert got[("a", 1.0)] == got[("a", 2.0)] == 3.0  # violation pooled
+    assert got[("b", 1.0)] == 0.0 and got[("b", 2.0)] == 9.0  # already monotone
