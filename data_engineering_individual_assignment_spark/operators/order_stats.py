@@ -7,21 +7,48 @@ selection): histogram the value range, locate the bucket containing
 the target rank from the (tiny) cumulative counts, recurse INTO that
 bucket with tightened bounds.  Each round is one full scan with a
 256-ary histogram aggregate (map-side combined, 256-row shuffle), and
-the candidate range shrinks ~256x per round — 3-4 rounds pin any
-double exactly, independent of data size.  Driver state per round is
-one 256-row aggregate: no row data ever reaches the driver.
+the candidate range shrinks ~256x per round — a handful of rounds pin
+any double, independent of data size.  Driver state per round is one
+256-row aggregate: no row data ever reaches the driver.
 
-The terminal step sorts only the rows still inside the final bounds
-(an equal-value tie group or a numerically tiny range) — bounded by
-the largest tie group, not by n.
+Correctness subtlety: candidate membership is tracked by REPLAYING the
+exact bucket expressions chosen so far (a conjunction of
+``bucket_expr(lo, width) == b`` predicates), NOT by re-filtering on
+arithmetic bounds ``v >= lo + b*width``.  The two disagree within one
+ulp of a bucket boundary (``floor((v-lo)/width)`` can land a row in
+bucket b while ``v < lo + b*width`` under IEEE rounding), which
+double-counts or drops boundary rows and silently shifts the selected
+rank — found by a boundary-value search during review.  Replaying the
+identical float expression makes membership match the histogram counts
+bit-for-bit.
+
+The terminal step sorts only the rows still matching the predicate —
+entered as soon as the candidate set is small (or rounds are
+exhausted, e.g. one giant tie group), so it is bounded by
+max(tie group, 4096), never by n.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = 256
+_TERMINAL = 4096  # candidate count below which we just sort
+
+
+def _bucket_expr(v: Column, lo: float, width: float) -> Column:
+    # clamp BOTH ends: a row at the lower edge of the refined range can
+    # compute floor() == -1 within one ulp, and the max value lands at
+    # _BUCKETS; clamping keeps every candidate countable and the count
+    # and membership expressions identical.
+    return F.greatest(
+        F.least(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(_BUCKETS - 1),
+        ),
+        F.lit(0),
+    )
 
 
 def exact_kth_smallest(
@@ -37,45 +64,47 @@ def exact_kth_smallest(
     n, lo, hi = row["n"], row["lo"], row["hi"]
     if not 1 <= k <= n:
         raise ValueError(f"k={k} out of range 1..{n}")
-    rank = k
-    below = 0  # rows ranked below the current [lo, hi] candidate range
+    pred = F.lit(True)
+    below = 0  # rows ranked below the current candidate set
+    remaining = n
+    vcol = F.col("v")
     for _ in range(max_rounds):
-        if lo == hi:
-            return lo
+        if lo == hi or remaining <= _TERMINAL:
+            break
         width = (hi - lo) / _BUCKETS
+        if width <= 0:  # range narrower than one ulp
+            break
+        bexpr = _bucket_expr(vcol, lo, width)
         hist = (
-            vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-            .select(
-                F.least(
-                    F.floor((F.col("v") - lo) / width).cast("int"),
-                    F.lit(_BUCKETS - 1),
-                ).alias("b")
-            )
+            vals.filter(pred)
+            .select(bexpr.alias("b"))
             .groupBy("b")
             .agg(F.count("*").alias("c"))
             .collect()
         )
         counts = {r["b"]: r["c"] for r in hist}
         cum = 0
-        target = rank - below
+        target = k - below
         for b in range(_BUCKETS):
             c = counts.get(b, 0)
             if cum + c >= target:
                 below += cum
-                new_lo = lo + b * width
-                new_hi = hi if b == _BUCKETS - 1 else lo + (b + 1) * width
-                lo, hi = new_lo, new_hi
+                remaining = c
+                # exact membership: replay the same float expression
+                pred = pred & (bexpr == b)
+                lo = lo + b * width
+                hi = hi if b == _BUCKETS - 1 else lo + width
                 break
             cum += c
-        else:  # float-edge fallback: target sits past the last bucket
+        else:  # pragma: no cover — unreachable: counts sum to remaining
             break
-        # if the remaining candidate set is one tie group, we're done
-        if counts.get(b, 0) == 0:
-            break
-    # terminal: exact selection inside the final (tiny or tied) range
-    remain = vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-    take = rank - below
-    rows = remain.orderBy("v").limit(take).collect()
+    # terminal: exact selection among the rows matching the predicate
+    take = k - below
+    rows = vals.filter(pred).orderBy("v").limit(take).collect()
+    if len(rows) < take:  # would indicate a membership bug — fail loud
+        raise AssertionError(
+            f"selection invariant broken: need {take} rows, got {len(rows)}"
+        )
     return rows[-1]["v"]
 
 

@@ -438,8 +438,7 @@ def pq_train(
     # set of rows for ANY physical layout (a bare LIMIT is partition-
     # order dependent, which would make the codebooks irreproducible).
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
-    rows = [(r[1],) for r in rows]
-    X = np.vstack([r[0] for r in rows]).astype("float64")
+    X = np.vstack([r[1] for r in rows]).astype("float64")
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     dim = X.shape[1]
     if dim % m:

@@ -181,7 +181,8 @@ def cms_estimate(
         ).alias("e"),
     ).select(col, "e.row", "e.bucket")
     return (
-        probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
         .groupBy(col)
         .agg(F.min("n").alias("cms_est"))
     )

@@ -1315,9 +1315,10 @@ def udtf_polymorphic_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
             return AnalyzeResult(schema=st)
 
         def eval(self, text: str, n: int):
-            toks = [
-                t for t in re.split(r"\s+", (text or "").strip().lower()) if t
-            ]
+            # NO empty-token filter: regexp_split_to_array(trim(''))
+            # yields [''] in both engines, and the repo's tokens()
+            # helper deliberately preserves that — match it
+            toks = re.split(r"\s+", (text or "").strip().lower())
             yield tuple(
                 toks[i] if i < len(toks) else None for i in range(int(n))
             )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.text import TOKS_SQL as TOKS
 from ..operators import similarity
 from ..sources.readers import load_table
 from .catalog import register
@@ -557,13 +558,10 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_cosine_pairs_sparse",
-    sql="""
+    sql=f"""
     WITH toks AS (
         SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
-        FROM (SELECT doc_id,
-                     unnest(regexp_split_to_array(trim(lower(text)),
-                                                  '\\s+')) AS t
-              FROM documents)
+        FROM (SELECT doc_id, unnest({TOKS}) AS t FROM documents)
         GROUP BY doc_id, t),
     corpus AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
                FROM toks),
@@ -574,7 +572,7 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM toks t
           JOIN dfreq d ON d.token = t.token
           CROSS JOIN corpus c
-          WHERE d.df * 10 <= c.n),
+          WHERE d.df * 10 <= c.n AND d.df <= 200),
     norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
               FROM w GROUP BY doc_id),
     pairs AS (
@@ -597,9 +595,14 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum-over-tokens df^2 — bounded by dropping tokens in >10% of the "
     "corpus (stopword-df cap), never an all-pairs doc join.  "
     "Complements near_dup_pairs (unweighted Jaccard) with weighted "
-    "similarity; idf = ln((N+1)/(df+1)).  At 100 TB: the df cap is "
-    "what keeps the hottest posting lists out of the join; pair it "
-    "with prefix-filtering for lower thresholds.",
+    "similarity; idf = ln((N+1)/(df+1)).  The cap is BOTH relative "
+    "(df<=10% of corpus) and absolute (df<=200): join cost is "
+    "sum-over-tokens df^2, so an absolute posting-length bound is "
+    "what actually caps the quadratic term as n grows — the 10x "
+    "scale harness measured exponent 2.5 with the relative cap "
+    "alone (its token-remapped replicas keep per-token df flat "
+    "while n grows 10x, letting every replica-local stopword "
+    "through).  Pair with prefix-filtering for lower thresholds.",
 )
 def doc_cosine_pairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -617,7 +620,7 @@ def doc_cosine_pairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         toks.join(dfreq, "token")
         .crossJoin(F.broadcast(corpus))
-        .filter(F.col("df") * 10 <= F.col("n"))
+        .filter((F.col("df") * 10 <= F.col("n")) & (F.col("df") <= 200))
         .select(
             "doc_id",
             "token",

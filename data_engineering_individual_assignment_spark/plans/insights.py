@@ -936,10 +936,12 @@ def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     doc="distributed global ranking (operators/ranking.global_rank): "
-    "orders ranked by totalprice via repartitionByRange + per-partition "
-    "row_number + tiny prefix-sum offset join, with buckets computed "
-    "FROM THE DATA (broadcast min/max equal-width boundaries) so the "
-    "assignment is stable across plan branches — NO single-task global "
+    "orders ranked by totalprice via data-derived equal-width buckets "
+    "(broadcast min/max boundaries — a pure function of the row, "
+    "stable across plan branches, unlike repartitionByRange + "
+    "spark_partition_id which AQE can coalesce differently per "
+    "branch) + per-bucket row_number + tiny prefix-sum offset join "
+    "— NO single-task global "
     "window (`Window.orderBy` with no partitionBy moves every row to "
     "one task; this shape survives 100 TB).  Output folds every rank "
     "into per-priority sum/min/max so the oracle checks the entire "

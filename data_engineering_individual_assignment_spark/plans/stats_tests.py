@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import TOKS_SQL as TOKS
 from ..sources.readers import load_table
 from .catalog import register
 
@@ -373,9 +374,7 @@ def _cms_cells(src: str) -> str:
     "cms_token_accuracy",
     sql=f"""
     WITH toks AS (
-        SELECT unnest(regexp_split_to_array(trim(lower(text)),
-                                            '\\s+')) AS token
-        FROM documents),
+        SELECT unnest({TOKS}) AS token FROM documents),
     entries AS (
 {_cms_cells("toks")}),
     sketch AS (

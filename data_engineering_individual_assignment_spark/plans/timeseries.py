@@ -347,6 +347,7 @@ def temporal_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical operation order (init: level=x1, trend=x2-x1).  The "
     "trajectory is BIT-identical across engines (sequential IEEE "
     "recursion, no parallel-sum reorder), so outputs ship unrounded — "
+    "single-day keys are excluded in both dialects (no trend init) — "
     "round() itself is the only cross-engine divergence (Spark "
     "decimal HALF_UP vs DuckDB multiply-then-std::round disagree "
     "within 1 ulp of a half, seen at step 7 of this very series).",
@@ -358,6 +359,12 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count("*").cast("double").alias("x"))
+    # Holt needs two points to initialize the trend (b1 = x2 - x1);
+    # single-day keys are excluded in BOTH dialects (the oracle's
+    # rn=2 anchor join drops them implicitly)
+    daily = daily.withColumn(
+        "g_n", F.count("*").over(Window.partitionBy("event_type"))
+    ).filter(F.col("g_n") >= 2).drop("g_n")
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
@@ -366,7 +373,7 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl = [0.0] * n
         trd = [0.0] * n
         lvl[0] = x[0]
-        trd[0] = (x[1] - x[0]) if n > 1 else 0.0
+        trd[0] = x[1] - x[0]
         for i in range(1, n):
             # identical op order to the recursive-CTE oracle
             lvl[i] = 0.5 * x[i] + 0.5 * (lvl[i - 1] + trd[i - 1])

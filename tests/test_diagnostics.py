@@ -375,6 +375,16 @@ def test_cms_mergeable_and_one_sided(spark):
     # the heavy items dominate their cells => estimates are exact there
     assert est["alpha"] >= 50 and est["beta"] >= 20
 
+    # an item the build stream NEVER saw estimates from all-depth cells
+    # with empties counted as 0 — not a min over colliding cells only
+    unseen = spark.createDataFrame([("never-seen-item",)], "token string")
+    got = cms_estimate(unseen, cms_build(df, "token"), "token").collect()
+    assert len(got) == 1 and got[0].cms_est >= 0
+    # with a tiny build set, at least one of the 4 cells is empty
+    tiny = spark.createDataFrame([("only",)], "token string")
+    got2 = cms_estimate(unseen, cms_build(tiny, "token"), "token").collect()
+    assert got2[0].cms_est == 0
+
 
 def test_exact_kth_smallest_edges(spark):
     """Histogram-refinement selection: k=1/k=n extremes, heavy tie
@@ -402,3 +412,30 @@ def test_exact_kth_smallest_edges(spark):
 
     with _pytest.raises(ValueError):
         exact_kth_smallest(withnull, "x", 3)
+
+
+def test_exact_kth_smallest_boundary_fuzz(spark):
+    """Adversarial + randomized agreement: values planted exactly ON
+    equal-width bucket boundaries (where floor((v-lo)/width) and
+    arithmetic bounds disagree within an ulp — the bug class found in
+    review) plus seeded uniform/tied mixtures, checked against a brute
+    sort at many ranks."""
+    import random
+
+    from data_engineering_individual_assignment_spark.operators.order_stats import (
+        exact_kth_smallest,
+    )
+
+    rng = random.Random(42)
+    lo, hi = -731.2715117751975, 963.5961146655309
+    width = (hi - lo) / 256
+    boundary = [lo + b * width for b in range(0, 256, 17)]
+    uniform = [rng.uniform(lo, hi) for _ in range(300)]
+    ties = [lo + 100 * width] * 40
+    data = boundary + uniform + ties
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    ref = sorted(data)
+    n = len(data)
+    for k in [1, 2, n // 4, n // 2, n // 2 + 1, 3 * n // 4, n - 1, n]:
+        got = exact_kth_smallest(df, "x", k)
+        assert got == ref[k - 1], (k, got, ref[k - 1])

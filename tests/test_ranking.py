@@ -44,15 +44,29 @@ def test_global_rank_agrees_with_single_window(spark):
 
 
 def test_global_rank_no_single_task_window(spark):
-    """The physical plan must not contain a partition-less Window —
-    every Window node should be keyed by the synthetic partition id."""
+    """The row-scale row_number window must be PARTITIONED by the
+    bucket column.  In windowspecdefinition(...) partition expressions
+    appear first WITHOUT a sort direction, so the partitioned spec
+    renders as `windowspecdefinition(__bkt#N, <order> ASC ...` while a
+    partition-less spec ordering by __bkt would render __bkt WITH a
+    direction (`__bkt#N ASC`).  The tiny offsets prefix-sum window is
+    legitimately partition-less (it runs over n_buckets rows)."""
+    import re as _re
+
     o = load_table(spark, SF_SMALL, "orders")
     plan = global_rank(
         o, "o_orderkey", [], n_buckets=4
     )._jdf.queryExecution().optimizedPlan().toString()
-    for line in plan.splitlines():
-        if "windowspecdefinition" in line.lower():
-            assert "__bkt" in line, f"partition-less window in plan: {line}"
+    rn_lines = [
+        line
+        for line in plan.splitlines()
+        if "row_number()" in line and "windowspecdefinition" in line
+    ]
+    assert rn_lines, "row_number window missing from plan"
+    for line in rn_lines:
+        assert _re.search(r"windowspecdefinition\(__bkt#\d+L?,", line), (
+            f"row_number window not partitioned by __bkt: {line}"
+        )
 
 
 def test_global_rank_empty_input(spark):
