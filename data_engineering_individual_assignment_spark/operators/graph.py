@@ -189,3 +189,70 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k, computed by iterative peeling (repeatedly delete
+    nodes with degree < k until a fixed point).
+
+    In a near-dup similarity graph the 2-core separates template
+    FAMILIES (docs entangled with several near-dups) from incidental
+    pairwise matches — a precision lever for dedup survivors.
+
+    Scale shape: each round is one degree aggregation over the
+    surviving edge set + two semi-joins to drop edges touching peeled
+    nodes; the edge relation is localCheckpointed per round AND
+    repartitioned to graph size (same lesson as pair_clusters: lazy
+    iteration otherwise replicates the upstream similarity join
+    2^rounds times).  Rounds are bounded by the degeneracy ordering
+    depth — O(log n) in practice; the loop's only driver action is
+    the per-round edge count.  Returns (node, core_deg) for k-core
+    members."""
+    from .dedup import _persist
+
+    edges = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("a"),
+            F.col(dst_col).cast("long").alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    parts = max(edges.sparkSession.sparkContext.defaultParallelism // 4, 4)
+    edges = _persist(edges.repartition(parts, "a").localCheckpoint())
+    n = edges.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        pruned = (
+            edges.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .repartition(parts, "a")
+            .localCheckpoint()
+        )
+        n2 = pruned.count()
+        edges = pruned
+        if n2 == n:  # fixed point: every remaining node has deg >= k
+            break
+        n = n2
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )
+    return deg

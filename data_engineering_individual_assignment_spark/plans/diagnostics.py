@@ -640,3 +640,23 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dominant_freq_hz")
     )
+
+
+@register(
+    "near_dup_2core",
+    sql=None,  # iterative delete-until-fixpoint has no recursive-CTE
+    # form (CTEs are append-only); planted-graph peeling semantics are
+    # pinned in tests/test_operators.py::test_k_core_planted
+    doc="2-core of the jaccard near-dup graph (operators/graph.k_core, "
+    "iterative peeling with per-round localCheckpoint): the maximal "
+    "subgraph where every doc keeps >= 2 near-dup neighbors — "
+    "template FAMILIES, as opposed to incidental pairwise matches.  "
+    "Output is (node, core_deg) ordered; rows-only because "
+    "delete-until-fixpoint is not SQL-expressible.",
+)
+def near_dup_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup, graph
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
+    return graph.k_core(pairs, k=2).orderBy("node")

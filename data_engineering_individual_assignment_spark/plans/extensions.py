@@ -1336,3 +1336,78 @@ def udtf_polymorphic_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY doc_id
         """
     )
+
+
+@register(
+    "top_session_paths",
+    sql="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+    paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sessions GROUP BY user_id, sid)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+    doc="session path mining: gaps-and-islands sessionization (same "
+    "30-min rule as sessionize_events), each session collapsed to its "
+    "ORDERED event-type path via array_sort(collect_list(struct)) -> "
+    "transform -> array_join (the deterministic ordered-aggregation "
+    "idiom — collect_list alone has no order guarantee), then the "
+    "top-10 paths by frequency.  Path grain is session-sized, the "
+    "final top-k is a TakeOrdered over distinct paths.",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sessions.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

@@ -471,3 +471,52 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, round(med, 2), round(p90, 2))], "n bigint, median double, p90 double"
     )
+
+
+@register(
+    "percentile_approx_error_report",
+    doc="sketch-accuracy audit for percentile_approx (the "
+    "Greenwald-Khanna sketch behind Spark's approximate quantiles): "
+    "approx p50/p90 at accuracy=1000 vs the EXACT order statistics "
+    "from operators/order_stats (histogram-refinement selection), "
+    "with the observed rank error.  No SQL oracle: the sketch's "
+    "merge result is engine-internal; the exactness of the reference "
+    "side is itself oracle-checked by exact_median_refinement, and "
+    "the rank-error bound (<= n/accuracy) is asserted in tests.  "
+    "This is the audit you run before trusting approx quantiles for "
+    "SLA cutoffs at 100 TB.",
+)
+def percentile_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.order_stats import exact_kth_smallest
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.filter(F.col("l_extendedprice").isNotNull())
+    n = vals.count()
+    approx = vals.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 1000).alias("a")
+    ).first()["a"]
+    rows = []
+    for p, a in zip((0.5, 0.9), approx):
+        k = max(1, math.ceil(n * p)) if p != 0.5 else (n + 1) // 2
+        exact = exact_kth_smallest(vals, "l_extendedprice", k)
+        # observed rank of the approx answer (how many rows <= it)
+        rank_of_approx = vals.filter(
+            F.col("l_extendedprice") <= F.lit(a)
+        ).count()
+        rows.append(
+            (
+                p,
+                float(n),
+                round(a, 2),
+                round(exact, 2),
+                round(abs(a - exact), 2),
+                int(abs(rank_of_approx - k)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "p double, n double, approx double, exact double, "
+        "value_err double, rank_err bigint",
+    )

@@ -439,3 +439,16 @@ def test_exact_kth_smallest_boundary_fuzz(spark):
     for k in [1, 2, n // 4, n // 2, n // 2 + 1, 3 * n // 4, n - 1, n]:
         got = exact_kth_smallest(df, "x", k)
         assert got == ref[k - 1], (k, got, ref[k - 1])
+
+
+def test_percentile_approx_error_within_bound(spark):
+    """GK sketch guarantee: rank error <= n/accuracy (accuracy=1000)."""
+    from data_engineering_individual_assignment_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["percentile_approx_error_report"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.rank_err <= r.n / 1000 + 1, (r.p, r.rank_err, r.n)
+        assert r.value_err >= 0

@@ -425,3 +425,23 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         right_cols=["payload"], tolerance="1 HOUR", how="inner",
     ).collect()
     assert [r["id"] for r in inner] == [1]
+
+
+def test_k_core_planted(spark):
+    """2-core of a K4 plus a pendant chain keeps exactly the K4; a
+     3-core keeps it too (deg 3); a 4-core is empty.  Peeling must
+    cascade: removing the chain tip lowers its neighbor below k."""
+    from data_engineering_individual_assignment_spark.operators.graph import k_core
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 5), (5, 6), (6, 7)]  # pendant path hanging off the K4
+    pairs = spark.createDataFrame(k4 + chain, "doc_a long, doc_b long")
+
+    core2 = {r.node: r.core_deg for r in k_core(pairs, k=2).collect()}
+    assert set(core2) == {1, 2, 3, 4}
+    assert all(d >= 2 for d in core2.values())
+
+    core3 = {r.node for r in k_core(pairs, k=3).collect()}
+    assert core3 == {1, 2, 3, 4}
+
+    assert k_core(pairs, k=4).count() == 0
