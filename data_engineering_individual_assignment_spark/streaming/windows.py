@@ -530,3 +530,19 @@ def pq_encode_stream(emb_stream: DataFrame, codebooks) -> DataFrame:
     from ..operators.similarity import pq_encode
 
     return pq_encode(emb_stream, codebooks)
+
+
+def cms_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming Count-Min maintenance: the CMS *cell relation* is just
+    a (row, bucket) -> count aggregate, so keeping it current over a
+    token stream is a plain streaming groupBy in complete mode — state
+    is bounded at depth x width cells NO MATTER how many distinct
+    tokens flow past (contrast: a streaming per-token count grows with
+    vocabulary).  The batch operator and this twin share the bucket
+    hashing, so stream-fed cells must equal ``cms_build`` of the same
+    corpus — asserted in tests."""
+    from ..functions import text as TX
+    from ..operators.sketches import cms_build
+
+    toks = docs_stream.select(F.explode(TX.tokens("text")).alias("token"))
+    return cms_build(toks, "token")

@@ -294,3 +294,23 @@ def test_zorder_skipping_beats_linear_sort_on_trailing_dim(spark, tmp_path):
     # outside the 10% box are provably skippable
     assert z_skip >= 0.5, z_skip
     assert z_skip > lin_skip
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Operational surface: a landing dir whose later files carry an
+    added column must read as the union schema under mergeSchema, with
+    nulls for the column's pre-evolution files — and WITHOUT
+    mergeSchema the scan keeps the first-file schema (cheap default)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "landing")
+    spark.range(3).select(F.col("id").alias("k")).write.parquet(d + "/batch=1")
+    spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit("new").alias("extra")
+    ).write.parquet(d + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"k", "extra", "batch"}
+    assert merged.count() == 6
+    assert merged.filter(F.col("extra").isNull()).count() == 3
+    assert merged.filter(F.col("extra") == "new").count() == 3

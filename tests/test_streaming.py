@@ -464,3 +464,29 @@ def test_pq_encode_stream_equals_batch(spark, tmp_path):
     s = {(r.vec_id, tuple(r.codes)) for r in stream_out.collect()}
     b = {(r.vec_id, tuple(r.codes)) for r in batch_out.collect()}
     assert s == b and len(s) == emb.count()
+
+
+def test_cms_stream_equals_batch(spark, tmp_path):
+    """The stream-maintained CMS cell relation equals the batch sketch
+    of the same documents (bounded state: 4x64 cells in complete
+    mode)."""
+    from data_engineering_individual_assignment_spark.functions import text as TX
+    from data_engineering_individual_assignment_spark.operators.sketches import (
+        cms_build,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "docs_cms")
+    W.stage_documents(spark, SF_SMALL, landing)
+    stream_cells = W.run_to_memory(
+        spark, W.cms_stream(W.stream_documents(spark, landing)), mode="complete"
+    )
+    d = load_table(spark, SF_SMALL, "documents")
+    batch_cells = cms_build(
+        d.select(F.explode(TX.tokens("text")).alias("token")), "token"
+    )
+    s = {(r.row, r.bucket): r.n for r in stream_cells.collect()}
+    b = {(r.row, r.bucket): r.n for r in batch_cells.collect()}
+    assert s == b and len(s) > 0
