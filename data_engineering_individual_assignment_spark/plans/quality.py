@@ -369,3 +369,53 @@ def benford_price_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_total"
         ),
     ).orderBy("digit")
+
+
+@register(
+    "reconcile_corrupted_orders",
+    sql="""
+    WITH keys AS (
+        SELECT o_orderkey AS k,
+               CAST(o_orderkey % 64 AS INT) AS bucket,
+               (o_orderkey % 997 = 0) AS modified,
+               (o_orderkey % 1013 = 0) AS deleted
+        FROM orders),
+    per AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN deleted OR modified THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed_keys
+        FROM keys GROUP BY bucket)
+    SELECT bucket, n_a, n_b, n_changed_keys
+    FROM per WHERE n_changed_keys > 0
+    ORDER BY bucket
+    """,
+    doc="anti-entropy table reconciliation (operators/reconcile.py): "
+    "version B of orders is planted with deterministic damage "
+    "(totalprice+1 where key%997=0, rows deleted where key%1013=0); "
+    "pass 1 compares 64 bit_xor bucket digests (16 bytes each — "
+    "digests move, not rows), pass 2 drills row-level ONLY into "
+    "differing buckets.  The oracle derives the expected damaged "
+    "buckets INDEPENDENTLY from the corruption rule, so a digest bug "
+    "that missed or invented a bucket fails the differential — the "
+    "mechanism itself is under test, not replicated.  At 100 TB "
+    "this is how you diff table versions at cost proportional to "
+    "the damage.",
+)
+def reconcile_corrupted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.reconcile import reconcile
+
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = a.filter(F.col("o_orderkey") % 1013 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 997 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return reconcile(
+        a, b, "o_orderkey", ["o_totalprice", "o_orderstatus"], n_buckets=64
+    )
