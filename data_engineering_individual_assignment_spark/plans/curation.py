@@ -885,3 +885,85 @@ def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "bigram_lm_perplexity",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS ts FROM documents),
+    bg AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        WHERE len(ts) >= 2),
+    big_counts AS (
+        SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+        FROM bg GROUP BY w1, w2),
+    uni_counts AS (
+        SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+        SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg),
+    scored AS (
+        SELECT b.doc_id,
+               ln((k.c12 + 1.0) / (u.c1 + t.v)) AS logp
+        FROM bg b
+        JOIN big_counts k ON k.w1 = b.w1 AND k.w2 = b.w2
+        JOIN uni_counts u ON u.w1 = b.w1
+        CROSS JOIN vocab t)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(logp), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_nll DESC, doc_id
+    LIMIT 25
+    """,
+    doc="true bigram language-model scoring (the statistical cousin of "
+    "the zlib perplexity_proxy): train add-1-smoothed bigram "
+    "probabilities p(w2|w1) = (c12+1)/(c1+V) on the corpus itself, "
+    "score every document by average negative log-likelihood, and "
+    "surface the 25 most 'surprising' docs — the LM-based outlier "
+    "screen for boilerplate/glitch text.  Counts are two linear "
+    "aggregations at bigram/unigram vocabulary grain; scoring is two "
+    "broadcast-friendly equi joins.  Higher avg_nll = less like the "
+    "corpus.",
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    big_counts = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c12")
+    )
+    uni_counts = bg.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").cast("double").alias("v"))
+    scored = (
+        bg.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg("logp"), 4).alias("avg_nll"),
+        )
+        .orderBy(F.desc("avg_nll"), F.asc("doc_id"))
+        .limit(25)
+    )

@@ -520,3 +520,74 @@ def percentile_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFram
         "p double, n double, approx double, exact double, "
         "value_err double, rank_err bigint",
     )
+
+
+@register(
+    "negative_sampling_pairs",
+    sql="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+               count(*) OVER () AS n
+        FROM documents),
+    paired AS (
+        SELECT a.doc_id AS anchor_id, a.source AS anchor_source,
+               b.doc_id AS negative_id, b.source AS negative_source
+        FROM ranked a
+        JOIN ranked b ON b.r = (a.r % a.n) + 1)
+    SELECT anchor_source, negative_source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN anchor_id = negative_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS self_pairs
+    FROM paired
+    GROUP BY anchor_source, negative_source
+    ORDER BY anchor_source, negative_source
+    """,
+    doc="deterministic negative sampling for contrastive training: "
+    "docs ranked by md5(doc_id) (a reproducible shuffle), each anchor "
+    "paired with the NEXT doc in shuffled order (rank rotation r -> "
+    "r%n+1 — a derangement for n>1, so self_pairs pins 0).  The md5 "
+    "shuffle decorrelates neighbors from any natural ordering; output "
+    "folds every pair into source-by-source counts so the oracle "
+    "checks the entire assignment.  Spark side uses "
+    "operators/ranking.global_rank (data-derived buckets) instead of "
+    "the oracle's single-task window — same rank values, scalable "
+    "plan; the rotation join is a self equi-join on rank.",
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    # numeric primary for the bucketed rank: first 15 hex chars of the
+    # md5 shuffle key (order-preserving prefix of the hex string ONLY
+    # works because md5 hex is fixed-width lowercase — document trick)
+    keyed = d.withColumn(
+        "hnum", F.conv(F.substring("h", 1, 15), 16, 10).cast("double")
+    )
+    ranked = global_rank(
+        keyed, "hnum", [F.asc("h"), F.asc("doc_id")], rank_col="r"
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    a = ranked.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("anchor_source"),
+        ((F.col("r") % F.col("n")) + 1).alias("want"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("negative_id"),
+        F.col("source").alias("negative_source"),
+        F.col("r").alias("want"),
+    )
+    paired = a.join(b, "want")
+    return (
+        paired.groupBy("anchor_source", "negative_source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                (F.col("anchor_id") == F.col("negative_id")).cast("int")
+            ).cast("long").alias("self_pairs"),
+        )
+        .orderBy("anchor_source", "negative_source")
+    )
