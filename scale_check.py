@@ -86,6 +86,12 @@ QUERIES = [
     "target_encode_loo",
     "weighted_sample_topk",
     "group_sample_deterministic",
+    "reconcile_corrupted_orders",
+    "bigram_lm_perplexity",
+    "negative_sampling_pairs",
+    "top_session_paths",
+    "near_dup_2core",
+    "isotonic_price_curve",
     # audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]

@@ -97,3 +97,66 @@ def test_dropna_equivalence(spark, n):
     a = sorted(r["id"] for r in df.na.drop(subset=["v"]).collect())
     b = sorted(r["id"] for r in df.filter(F.col("v").isNotNull()).collect())
     assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_global_rank_property(spark, values):
+    """For ANY finite double list (duplicates, negatives, constants),
+    global_rank under (value asc, id asc) equals the single-window
+    row_number — the operator's defining property."""
+    from pyspark.sql import Window
+
+    from data_engineering_individual_assignment_spark.operators.ranking import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v double"
+    )
+    got = global_rank(df, "v", [F.asc("id")], rank_col="r", n_buckets=5)
+    ref = df.withColumn(
+        "r_ref",
+        F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id"))).cast("long"),
+    )
+    assert (
+        got.join(ref, ["id", "v"]).filter(F.col("r") != F.col("r_ref")).count()
+        == 0
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=50),
+)
+def test_exact_kth_smallest_property(spark, values, k_seed):
+    """Histogram-refinement selection equals the brute sort at an
+    arbitrary rank for ANY finite double list."""
+    from data_engineering_individual_assignment_spark.operators.order_stats import (
+        exact_kth_smallest,
+    )
+
+    k = (k_seed - 1) % len(values) + 1
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    assert exact_kth_smallest(df, "x", k) == sorted(values)[k - 1]
