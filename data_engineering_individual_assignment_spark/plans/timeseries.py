@@ -395,3 +395,122 @@ def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend",
         (F.col("level") + F.col("trend")).alias("forecast_next"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "rolling_distinct_users",
+    sql="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    fanned AS (
+        SELECT d.day AS window_end, u.user_id
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+    SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM fanned GROUP BY window_end ORDER BY window_end
+    """,
+    doc="rolling 7-day distinct users (WAU): COUNT DISTINCT over a "
+    "sliding window can't be expressed as a window aggregate "
+    "(distinct isn't decomposable), so the scalable shape is: "
+    "collapse to the DISTINCT (day, user) relation first (one linear "
+    "dedup — the only corpus-sized step), fan each day-user row out "
+    "to the <=7 window-ends it participates in (a bounded explode, "
+    "NOT a range join at row grain), then count distinct per "
+    "window-end over the day-grain relation.  Cost: 7x the day-user "
+    "relation, independent of raw event volume.",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    fanned = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("window_end"),
+        "user_id",
+    )
+    # fan-out generates window_ends past the data's last day; keep only
+    # window ends that are real days (matches the oracle's days CTE)
+    days = du.select(F.col("day").alias("window_end")).distinct()
+    return (
+        fanned.join(days, "window_end", "left_semi")
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(
+            F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
+            "wau",
+        )
+        .orderBy("window_end")
+    )
+
+
+@register(
+    "capped_decay_balance",
+    sql="""
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey AS cust, o_totalprice AS amt,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders),
+    walk AS (
+        SELECT cust, rn, least(500000.0, amt) AS bal
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.cust, s.rn,
+               least(500000.0, 0.9 * w.bal + s.amt)
+        FROM seq s JOIN walk w ON s.cust = w.cust AND s.rn = w.rn + 1)
+    SELECT cust, CAST(max(rn) AS BIGINT) AS n_orders,
+           max_by(bal, rn) AS final_balance
+    FROM walk GROUP BY cust
+    ORDER BY cust
+    """,
+    doc="capped decaying accumulator per customer: bal_i = "
+    "min(cap, 0.9*bal_{i-1} + amount_i) — NON-associative (the cap "
+    "absorbs, the decay orders), so no window/aggregate can express "
+    "it: the honest shapes are a grouped-map sequential pass (Spark) "
+    "vs a recursive CTE (oracle) running the identical float ops — "
+    "final balances compared unrounded because the sequential "
+    "trajectory is bit-identical across engines.  The loyalty-"
+    "balance / rate-limiter / token-bucket state pattern at "
+    "customer grain.",
+)
+def capped_decay_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("amt"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        bal = 0.0
+        for i, amt in enumerate(pdf["amt"]):
+            # identical op order to the recursive-CTE oracle
+            bal = min(500000.0, amt) if i == 0 else min(
+                500000.0, 0.9 * bal + amt
+            )
+        return pd.DataFrame(
+            {
+                "cust": [pdf["cust"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "final_balance": [bal],
+            }
+        )
+
+    return (
+        o.groupBy("cust")
+        .applyInPandas(
+            walk, schema="cust long, n_orders bigint, final_balance double"
+        )
+        .orderBy("cust")
+    )

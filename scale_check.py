@@ -92,6 +92,8 @@ QUERIES = [
     "top_session_paths",
     "near_dup_2core",
     "isotonic_price_curve",
+    "rolling_distinct_users",
+    "capped_decay_balance",
     # audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]
