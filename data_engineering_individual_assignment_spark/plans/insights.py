@@ -1039,3 +1039,62 @@ def decile_lift_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "segment_overlap_jaccard",
+    sql="""
+    WITH tu AS (
+        SELECT DISTINCT event_type AS seg, user_id FROM events),
+    sizes AS (SELECT seg, CAST(count(*) AS DOUBLE) AS n
+              FROM tu GROUP BY seg),
+    inter AS (
+        SELECT a.seg AS seg_a, b.seg AS seg_b,
+               CAST(count(*) AS DOUBLE) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.seg < b.seg
+        GROUP BY a.seg, b.seg)
+    SELECT i.seg_a, i.seg_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           round(i.n_both / (sa.n + sb.n - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.seg = i.seg_a
+    JOIN sizes sb ON sb.seg = i.seg_b
+    ORDER BY seg_a, seg_b
+    """,
+    doc="audience-overlap matrix: Jaccard similarity between the USER "
+    "SETS of every event-type pair.  The raw log collapses to the "
+    "DISTINCT (segment, user) relation first; the pairwise "
+    "intersection is a user-keyed self-join whose fan-out per user is "
+    "bounded by |segments|^2 (a constant), never corpus-sized; union "
+    "sizes come from inclusion-exclusion, not a second join.  The "
+    "same shape computes audience overlap for billions of users.",
+)
+def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select(F.col("event_type").alias("seg"), "user_id").distinct()
+    sizes = tu.groupBy("seg").agg(F.count("*").cast("double").alias("n"))
+    a = tu.select(F.col("seg").alias("seg_a"), "user_id")
+    b = tu.select(F.col("seg").alias("seg_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").cast("double").alias("n_both"))
+    )
+    sa = sizes.select(F.col("seg").alias("seg_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("seg").alias("seg_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both") / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

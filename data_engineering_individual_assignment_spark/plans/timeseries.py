@@ -514,3 +514,87 @@ def capped_decay_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust")
     )
+
+
+@register(
+    "stl_decompose_anomalies",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY day),
+    trended AS (
+        SELECT day, x,
+               avg(x) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend,
+               CAST(count(*) OVER (ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS BIGINT) AS wnd
+        FROM daily),
+    detrended AS (
+        SELECT day, x, trend, x - trend AS detr,
+               dayofweek(day) AS dow
+        FROM trended WHERE wnd = 7),
+    seasonal AS (
+        SELECT dow, avg(detr) AS s FROM detrended GROUP BY dow),
+    resid AS (
+        SELECT d.day, d.x, d.trend, s.s,
+               d.detr - s.s AS r
+        FROM detrended d JOIN seasonal s ON s.dow = d.dow),
+    sigma AS (SELECT stddev_pop(r) AS sd FROM resid)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(x AS BIGINT) AS n_events,
+           round(trend, 4) AS trend,
+           round(s, 4) AS seasonal,
+           round(r, 4) AS residual,
+           CAST(abs(r) > 3 * (SELECT sd FROM sigma) AS INT) AS is_anomaly
+    FROM resid ORDER BY day
+    """,
+    doc="STL-style seasonal decomposition of the daily event count: "
+    "trend = centered 7-day moving average (full windows only), "
+    "seasonal = mean detrended value per day-of-week, residual = "
+    "x - trend - seasonal, anomaly = |residual| > 3 sigma.  The whole "
+    "decomposition is two windows + two tiny aggregates over the "
+    "DAY-grain relation — the additive-decomposition anomaly screen "
+    "that complements CUSUM (level shifts) and MAD (point outliers) "
+    "with seasonality awareness.  Note the day-grain global window "
+    "is day-count sized, not row sized.",
+)
+def stl_decompose_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("double").alias("x")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "x",
+        F.avg("x").over(w7).alias("trend"),
+        F.count("*").over(w7).alias("wnd"),
+    )
+    detrended = trended.filter(F.col("wnd") == 7).select(
+        "day",
+        "x",
+        "trend",
+        (F.col("x") - F.col("trend")).alias("detr"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seasonal = detrended.groupBy("dow").agg(F.avg("detr").alias("s"))
+    resid = detrended.join(F.broadcast(seasonal), "dow").select(
+        "day", "x", "trend", "s", (F.col("detr") - F.col("s")).alias("r")
+    )
+    sigma = resid.agg(F.stddev_pop("r").alias("sd"))
+    return (
+        resid.crossJoin(F.broadcast(sigma))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").cast("long").alias("n_events"),
+            F.round("trend", 4).alias("trend"),
+            F.round("s", 4).alias("seasonal"),
+            F.round("r", 4).alias("residual"),
+            (F.abs(F.col("r")) > 3 * F.col("sd")).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("day")
+    )
