@@ -37,6 +37,17 @@ SHOW = {
     "asof_forward_next_purchase": "Forward as-of: the identical "
     "single-exchange union-merge carry plan as the backward form, with the "
     "per-key sort running time-descending.",
+    "global_rank_scalable": "Distributed global rank: bucket id computed "
+    "FROM row data against a broadcast min/max (no repartitionByRange, no "
+    "partition-less Window); the only partition-less window in the plan "
+    "runs over the n_buckets-row offsets relation.",
+    "doc_cosine_pairs_sparse": "Inverted-index TF-IDF cosine: postings "
+    "self-join ON TOKEN with a relative AND absolute df cap pruning hot "
+    "posting lists before the join — no doc-pair cross product.",
+    "reconcile_corrupted_orders": "Anti-entropy diff: bucket bit_xor "
+    "digest aggregates compared via a 64-row full-outer join; the "
+    "row-level pass joins only buckets flagged different (broadcast of "
+    "the damaged-bucket list).",
 }
 
 
