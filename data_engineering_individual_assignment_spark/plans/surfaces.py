@@ -255,3 +255,137 @@ def arrow_native_token_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sql_pivot_unpivot",
+    sql="""
+    WITH wide AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS yr,
+               round(sum(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice END), 2) AS f_total,
+               round(sum(CASE WHEN o_orderstatus = 'O'
+                              THEN o_totalprice END), 2) AS o_total,
+               round(sum(CASE WHEN o_orderstatus = 'P'
+                              THEN o_totalprice END), 2) AS p_total
+        FROM orders GROUP BY yr)
+    SELECT yr, status, total FROM wide
+    UNPIVOT (total FOR status IN (f_total AS 'F', o_total AS 'O',
+                                  p_total AS 'P'))
+    ORDER BY yr, status
+    """,
+    doc="SQL-syntax PIVOT ... UNPIVOT round trip (the Spark SQL "
+    "clauses, not the DataFrame .pivot()/.unpivot() API, which "
+    "pivot_event_types / unpivot_part_attrs already cover): orders "
+    "pivoted wide by status then unpivoted back to long — a lossless "
+    "wide<->long round trip whose output equals the direct grouped "
+    "aggregate, which is exactly what the oracle computes.  Rows "
+    "with NULL totals (status absent in a year) drop in UNPIVOT "
+    "(both engines' documented semantics).",
+)
+def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT * FROM (
+                SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                       o_orderstatus, o_totalprice
+                FROM orders)
+            PIVOT (round(sum(o_totalprice), 2)
+                   FOR o_orderstatus IN ('F' AS f_total, 'O' AS o_total,
+                                         'P' AS p_total)))
+        SELECT yr, status, total FROM wide
+        UNPIVOT (total FOR status IN (f_total AS `F`, o_total AS `O`,
+                                      p_total AS `P`))
+        ORDER BY yr, status
+        """
+    )
+
+
+@register(
+    "parameterized_sql_revenue",
+    sql="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderdate >= TIMESTAMP '1996-06-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="parameterized spark.sql (named parameter markers + args dict "
+    "— the injection-safe templating added in Spark 3.4): threshold "
+    "and cutoff arrive as BOUND PARAMETERS, not string interpolation; "
+    "Catalyst still constant-folds and pushes them to the scan.  The "
+    "oracle inlines the same literals.",
+)
+def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_temp_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_totalprice > :threshold AND o_orderdate >= :cutoff
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"threshold": 150000.0, "cutoff": "1996-06-01 00:00:00"},
+    ).select(
+        "o_orderpriority", F.col("n").cast("long").alias("n"), "revenue"
+    )
+
+
+@register(
+    "conversion_latency_quantiles",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+        FROM events GROUP BY user_id),
+    lat AS (
+        SELECT CAST(date_diff('second', s_ts, p_ts) AS DOUBLE) / 3600.0
+                   AS hours
+        FROM firsts
+        WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_disc(hours, 0.5), 4) AS p50_hours,
+           round(quantile_disc(hours, 0.9), 4) AS p90_hours
+    FROM lat
+    """,
+    doc="conversion latency: per user, first signup -> first purchase "
+    "delay (conditional-min aggregation — one pass, no join), exact "
+    "discrete p50/p90 over the user-grain latency relation via "
+    "percentile(..., exact).  The funnel-timing metric next to "
+    "event_funnel's stage counts; user-grain input keeps the exact "
+    "percentile cheap.",
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p_ts"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("s_ts").isNotNull()
+        & F.col("p_ts").isNotNull()
+        & (F.col("p_ts") >= F.col("s_ts"))
+    ).select(
+        # timestampdiff is timestamp-type-agnostic (works under both
+        # TIMESTAMP and the driver session's TIMESTAMP_NTZ; casting a
+        # timestamp to double is not)
+        (
+            F.expr("timestampdiff(SECOND, s_ts, p_ts)").cast("double")
+            / 3600.0
+        ).alias("hours")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY hours)"), 4).alias("p50_hours"),
+        F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY hours)"), 4).alias("p90_hours"),
+    )

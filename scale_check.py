@@ -94,6 +94,10 @@ QUERIES = [
     "isotonic_price_curve",
     "rolling_distinct_users",
     "capped_decay_balance",
+    "stl_decompose_anomalies",
+    "segment_overlap_jaccard",
+    "conversion_latency_quantiles",
+    "sql_pivot_unpivot",
     # audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]
