@@ -213,8 +213,11 @@ def k_core(
     iteration otherwise replicates the upstream similarity join
     2^rounds times).  Rounds are bounded by the degeneracy ordering
     depth — O(log n) in practice; the loop's only driver action is
-    the per-round edge count.  Returns (node, core_deg) for k-core
-    members."""
+    the per-round edge count.  Rounds needed = frontier-peeling depth
+    (a pendant chain of length L peels from both ends in ~L/2 rounds);
+    raises RuntimeError instead of silently returning a non-core if
+    ``max_rounds`` is hit before the fixed point.  Returns
+    (node, core_deg) for k-core members."""
     from .dedup import _persist
 
     edges = (
@@ -228,8 +231,10 @@ def k_core(
     parts = max(edges.sparkSession.sparkContext.defaultParallelism // 4, 4)
     edges = _persist(edges.repartition(parts, "a").localCheckpoint())
     n = edges.count()
+    converged = n == 0
     for _ in range(max_rounds):
         if n == 0:
+            converged = True
             break
         deg = (
             edges.select(F.col("a").alias("v"))
@@ -247,8 +252,14 @@ def k_core(
         n2 = pruned.count()
         edges = pruned
         if n2 == n:  # fixed point: every remaining node has deg >= k
+            converged = True
             break
         n = n2
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach a fixed point in {max_rounds} rounds; "
+            "raise max_rounds (peeling depth exceeds the bound)"
+        )
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))

@@ -64,12 +64,34 @@ def reconcile(
     key_col: str,
     payload_cols: list[str],
     n_buckets: int = 64,
+    check_unique_keys: bool = False,
 ) -> DataFrame:
     """Two-pass diff: bucket-digest comparison, then a row-level drill
     into differing buckets only.  Returns one row per DIFFERING bucket:
     (bucket, n_a, n_b, n_changed_keys) where n_changed_keys counts keys
     whose row hash differs between sides (covers modified + added +
-    deleted keys)."""
+    deleted keys).
+
+    PRECONDITION: ``key_col`` must be UNIQUE on both sides (primary-key
+    tables — the only kind anti-entropy repair is defined over).  With
+    duplicate keys the xor digest can cancel a pair of identical
+    duplicates and the per-key drill-down fans out, so both passes
+    under-report.  Set ``check_unique_keys=True`` to pay one extra
+    aggregation per side and fail loudly instead."""
+    if check_unique_keys:
+        for side, df in (("a", a), ("b", b)):
+            dup = (
+                df.groupBy(key_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"reconcile: duplicate {key_col} on side {side} "
+                    f"(e.g. {dup[0][0]!r}); keys must be unique"
+                )
     da = bucket_digests(a, key_col, payload_cols, n_buckets)
     db = bucket_digests(b, key_col, payload_cols, n_buckets)
     verdicts = (

@@ -499,7 +499,7 @@ def percentile_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFram
     ).first()["a"]
     rows = []
     for p, a in zip((0.5, 0.9), approx):
-        k = max(1, math.ceil(n * p)) if p != 0.5 else (n + 1) // 2
+        k = math.ceil(n * p)  # == (n+1)//2 at p=0.5; >= 1 since n >= 1
         exact = exact_kth_smallest(vals, "l_extendedprice", k)
         # observed rank of the approx answer (how many rows <= it)
         rank_of_approx = vals.filter(
@@ -569,7 +569,11 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = global_rank(
         keyed, "hnum", [F.asc("h"), F.asc("doc_id")], rank_col="r"
-    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    )
+    # total count as a 1-row broadcast — NOT a partition-less window,
+    # which would single-task the whole ranked relation
+    total = ranked.agg(F.count("*").alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(total))
     a = ranked.select(
         F.col("doc_id").alias("anchor_id"),
         F.col("source").alias("anchor_source"),

@@ -357,7 +357,9 @@ def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="conversion latency: per user, first signup -> first purchase "
     "delay (conditional-min aggregation — one pass, no join), exact "
     "discrete p50/p90 over the user-grain latency relation via "
-    "percentile(..., exact).  The funnel-timing metric next to "
+    "percentile_disc (an actual data value at rank ceil(p*n) — "
+    "matching DuckDB quantile_disc; the interpolating percentile() "
+    "would not).  The funnel-timing metric next to "
     "event_funnel's stage counts; user-grain input keeps the exact "
     "percentile cheap.",
 )

@@ -445,3 +445,18 @@ def test_k_core_planted(spark):
     assert core3 == {1, 2, 3, 4}
 
     assert k_core(pairs, k=4).count() == 0
+
+
+def test_k_core_raises_on_round_exhaustion(spark):
+    """A long pendant chain peels ~L/2 rounds; with max_rounds too
+    small the operator must FAIL LOUDLY, not return a non-core."""
+    import pytest as _pytest
+
+    from data_engineering_individual_assignment_spark.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(1, 30)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with _pytest.raises(RuntimeError, match="fixed point"):
+        k_core(pairs, k=2, max_rounds=3)
+    # with enough rounds the pure chain's 2-core is empty
+    assert k_core(pairs, k=2, max_rounds=30).count() == 0

@@ -299,8 +299,10 @@ def test_zorder_skipping_beats_linear_sort_on_trailing_dim(spark, tmp_path):
 def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     """Operational surface: a landing dir whose later files carry an
     added column must read as the union schema under mergeSchema, with
-    nulls for the column's pre-evolution files — and WITHOUT
-    mergeSchema the scan keeps the first-file schema (cheap default)."""
+    nulls for the column's pre-evolution files.  WITHOUT mergeSchema
+    the scan takes ONE footer's schema (whichever file Spark samples —
+    cheap default, so either per-file shape is acceptable, never an
+    error)."""
     from pyspark.sql import functions as F
 
     d = str(tmp_path / "landing")
@@ -314,3 +316,8 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert merged.count() == 6
     assert merged.filter(F.col("extra").isNull()).count() == 3
     assert merged.filter(F.col("extra") == "new").count() == 3
+
+    # default path: schema comes from ONE footer (either file's shape)
+    plain = spark.read.parquet(d)
+    assert set(plain.columns) in ({"k", "batch"}, {"k", "extra", "batch"})
+    assert plain.count() == 6
