@@ -1098,3 +1098,51 @@ def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+@register(
+    "pareto_revenue_share",
+    sql="""
+    WITH cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT rev,
+               row_number() OVER (ORDER BY rev DESC, o_custkey) AS r,
+               count(*) OVER () AS n,
+               sum(rev) OVER () AS total
+        FROM cust)
+    SELECT CAST(count(*) AS BIGINT) AS top_customers,
+           CAST(max(n) AS BIGINT) AS all_customers,
+           round(sum(rev), 2) AS top_revenue,
+           round(sum(rev) / max(total), 6) AS revenue_share
+    FROM ranked WHERE r * 5 <= n
+    """,
+    doc="Pareto 80/20 check: what revenue share do the top 20% of "
+    "customers carry?  Customer grain first (one linear agg), then "
+    "the top-quintile cut via operators/ranking.global_rank (the "
+    "oracle's row_number window, made scalable) and a 1-row broadcast "
+    "total — the whale-dependence number next to "
+    "gini_revenue_concentration's full curve.",
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    ranked = global_rank(
+        cust, "rev", [F.asc("o_custkey")], ascending=False, rank_col="r"
+    )
+    totals = cust.agg(
+        F.count("*").alias("n"), F.sum("rev").alias("total")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(F.col("r") * 5 <= F.col("n"))
+        .agg(
+            F.count("*").alias("top_customers"),
+            F.max("n").cast("long").alias("all_customers"),
+            F.round(F.sum("rev"), 2).alias("top_revenue"),
+            F.round(F.sum("rev") / F.max("total"), 6).alias("revenue_share"),
+        )
+    )

@@ -98,6 +98,7 @@ QUERIES = [
     "segment_overlap_jaccard",
     "conversion_latency_quantiles",
     "sql_pivot_unpivot",
+    "pareto_revenue_share",
     # audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]
