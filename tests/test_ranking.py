@@ -85,3 +85,12 @@ def test_ntile_from_rank_matches_builtin(spark):
             F.ntile(k).over(Window.orderBy("id")).alias("b_ref"),
         )
         assert got.filter(F.col("b") != F.col("b_ref")).count() == 0
+
+
+def test_global_rank_constant_primary(spark):
+    """All-equal primary (span == 0): every row lands in bucket 0 —
+    degenerate parallelism but ranks must still be exact via the
+    tiebreaks."""
+    df = spark.createDataFrame([(i, 7.0) for i in range(40)], "id long, v double")
+    got = {r.id: r.r for r in global_rank(df, "v", [F.asc("id")], rank_col="r").collect()}
+    assert got == {i: i + 1 for i in range(40)}
