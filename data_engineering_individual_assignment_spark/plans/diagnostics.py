@@ -660,3 +660,46 @@ def near_dup_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.7, k=3)
     return graph.k_core(pairs, k=2).orderBy("node")
+
+
+@register(
+    "join_fanout_estimate",
+    sql="""
+    WITH ca AS (SELECT o_orderkey AS k, CAST(count(*) AS DOUBLE) AS na
+                FROM orders GROUP BY k),
+    cb AS (SELECT l_orderkey AS k, CAST(count(*) AS DOUBLE) AS nb
+           FROM lineitem GROUP BY k),
+    prof AS (SELECT ca.k, na, nb, na * nb AS fanout
+             FROM ca JOIN cb ON cb.k = ca.k)
+    SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(sum(fanout) AS BIGINT) AS join_rows,
+           CAST(max(fanout) AS BIGINT) AS max_key_fanout,
+           round(sum(fanout) / count(*), 4) AS avg_key_fanout
+    FROM prof
+    """,
+    doc="pre-join cardinality profile: the EXACT output size of "
+    "orders x lineitem on orderkey, computed from per-key counts on "
+    "each side (two vocabulary-grain aggregates + one key join on "
+    "count relations — never the join itself).  join_rows = "
+    "sum(na*nb); max_key_fanout is the skew red flag.  This is the "
+    "'will this join explode' check you run BEFORE submitting a "
+    "100 TB join — the two-table complement of key_skew_profile.",
+)
+def join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ca = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("double").alias("na")
+    )
+    cb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("double").alias("nb")
+    )
+    prof = ca.join(cb, "k").select(
+        "k", (F.col("na") * F.col("nb")).alias("fanout")
+    )
+    return prof.agg(
+        F.count("*").alias("matched_keys"),
+        F.sum("fanout").cast("long").alias("join_rows"),
+        F.max("fanout").cast("long").alias("max_key_fanout"),
+        F.round(F.sum("fanout") / F.count("*"), 4).alias("avg_key_fanout"),
+    )
