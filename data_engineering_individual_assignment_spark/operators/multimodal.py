@@ -1,21 +1,23 @@
 """Multimodal column operators (SURVEY §2.11): opaque binary payloads
 with typed metadata, decoded/sampled by Arrow-batched Python.
 
-This container ships no image/video libraries, so those codec steps are
-stubbed two ways, as the build contract requires:
+This container ships no imaging/video libraries; modalities are
+handled three ways, as the build contract requires:
 
-- ``decode_image`` raises a clearly-marked NotImplementedError — the
-  seam where Pillow/ffmpeg plugs in;
-- the ``*_fake`` paths compute deterministic stand-ins from the bytes
-  so the Spark-side plumbing (binary schema, Arrow batch iteration,
-  1:N row fan-out, output schemas, partitioning) is real and testable
-  end-to-end, with a DuckDB oracle over the same arithmetic.
-
-AUDIO is decoded for REAL: ``decode_wav_features`` parses RIFF/WAV PCM
-with the stdlib ``wave`` codec and extracts numpy DSP features
-(RMS / zero-crossing rate / dominant FFT frequency), pinned against
-analytic ground truth in tests — the working reference implementation
-of the contract the image/video seams stub.
+- AUDIO is decoded for REAL: ``decode_wav_features`` parses RIFF/WAV
+  PCM with the stdlib ``wave`` codec and extracts numpy DSP features
+  (RMS / zero-crossing rate / dominant FFT frequency), pinned against
+  analytic ground truth in tests.
+- PNG IMAGES are decoded for REAL too: PNG is DEFLATE + per-scanline
+  byte filters, both in the standard library — ``decode_png`` walks
+  CRC-verified chunks, inflates with zlib and undoes all five filter
+  types (pinned against an independent forward-filter implementation
+  + analytic solid/gradient truth in tests).
+- JPEG (DCT/huffman) and video remain the clearly-marked
+  ``decode_image`` NotImplementedError seam where Pillow/ffmpeg plugs
+  in; the ``*_fake`` paths keep that plumbing (binary schema, Arrow
+  batch iteration, 1:N fan-out, partitioning) real and testable, with
+  a DuckDB oracle over the stand-in arithmetic.
 
 At 100 TB: payloads stay columnar-binary end to end (no base64, no
 driver round-trip); frame sampling is a mapInPandas fan-out whose
@@ -32,15 +34,17 @@ from pyspark.sql import functions as F
 
 
 def decode_image(payload: bytes) -> dict:
-    """REAL image decode seam — intentionally unimplemented here.
-
-    A deployment with Pillow installs it as:
+    """General image decode seam — intentionally unimplemented for
+    formats needing a real imaging library (JPEG/WebP/...).  PNG has a
+    REAL pure-stdlib decoder below (``decode_png``); a deployment with
+    Pillow installs this one as:
         img = PIL.Image.open(io.BytesIO(payload))
         return {"width": img.width, "height": img.height, ...}
     """
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "container; use the *_fake paths for plumbing tests"
+        "non-PNG image decoding requires an imaging library not present "
+        "in this container; PNG decodes for real via decode_png, and the "
+        "*_fake paths cover plumbing tests"
     )
 
 
@@ -240,4 +244,199 @@ def decode_wav_features(
             "duration_s double, rms double, zero_cross_rate double, "
             "dominant_freq_hz double, decode_ok boolean"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode: PNG via stdlib zlib + struct (no Pillow needed).
+# PNG is DEFLATE + per-scanline byte filters — both fully decodable with
+# the standard library, so the image seam gets a working codec the same
+# way audio did.  JPEG (DCT/huffman) and video stay behind the
+# NotImplementedError seam.
+# ---------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def synth_png_bytes(width: int, height: int, rgb=(128, 64, 32),
+                    gradient: bool = False) -> bytes:
+    """Deterministic 8-bit RGB PNG: solid ``rgb`` color, or a horizontal
+    gradient r = column * 255 // (width-1) when ``gradient``.  Real PNG
+    container (signature + IHDR/IDAT/IEND chunks, CRCs, zlib stream,
+    filter-0 scanlines) — byte-identical for identical args."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    rows = bytearray()
+    for _y in range(height):
+        rows.append(0)  # filter type 0 (None)
+        for x in range(width):
+            if gradient:
+                g = x * 255 // max(width - 1, 1)
+                rows += bytes((g, g, g))
+            else:
+                rows += bytes(rgb)
+    idat = zlib.compress(bytes(rows), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
+    """Undo PNG scanline filters (types 0-4) -> (height, width*bpp)
+    uint8 array.  Sequential per the spec: Sub/Average/Paeth reference
+    the reconstructed left/up/up-left bytes (0 outside the image)."""
+    import numpy as np
+
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint16)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(np.uint16)
+        pos += stride
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.uint16)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up — vectorizable
+            rec = (line + prior) & 0xFF
+        else:  # Sub / Average / Paeth need the reconstructed left byte
+            rec = np.zeros(stride, dtype=np.uint16)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                if ftype == 1:
+                    rec[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    rec[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:
+                    c = prior[i - bpp] if i >= bpp else 0
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (line[i] + pr) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode: signature + chunk walk (CRC-verified), zlib
+    inflate, scanline unfilter.  Supports 8-bit depth, color types
+    0/2/6 (gray/RGB/RGBA), non-interlaced — the shapes a data pipeline
+    synthesizes and stores.  Returns {width, height, channels, pixels
+    (h, w*c uint8 array)}; raises on anything malformed."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace or comp or filt:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} ctype={ctype} "
+            f"interlace={interlace}"
+        )
+    channels = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    expected = height * (1 + width * channels)
+    if len(raw) != expected:
+        raise ValueError("PNG pixel payload truncated")
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": _png_unfilter(raw, width, height, channels),
+    }
+
+
+def decode_png_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode + stats over a binary PNG column, the visual
+    twin of decode_wav_features: per asset — dimensions, channel
+    count, per-channel means and mean luma (Rec.601).  Runs in
+    mapInPandas (Arrow binary batches, bytes never leave the
+    executor); corrupt payloads degrade to decode_ok=false rows."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "mean_luma": [],
+                "decode_ok": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_png(bytes(payload))
+                    px = img["pixels"].astype(np.float64)
+                    c = img["channels"]
+                    planes = [px[:, i::c] for i in range(c)]
+                    if c == 1:
+                        r = g = b = float(planes[0].mean())
+                    else:
+                        r = float(planes[0].mean())
+                        g = float(planes[1].mean())
+                        b = float(planes[2].mean())
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    out["channels"].append(c)
+                    out["mean_r"].append(round(r, 4))
+                    out["mean_g"].append(round(g, 4))
+                    out["mean_b"].append(round(b, 4))
+                    out["mean_luma"].append(
+                        round(0.299 * r + 0.587 * g + 0.114 * b, 4)
+                    )
+                    out["decode_ok"].append(True)
+                except Exception:
+                    for k in ("width", "height", "channels"):
+                        out[k].append(None)
+                    for k in ("mean_r", "mean_g", "mean_b", "mean_luma"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema="doc_id long, width int, height int, channels int, "
+        "mean_r double, mean_g double, mean_b double, mean_luma double, "
+        "decode_ok boolean",
     )

@@ -703,3 +703,54 @@ def join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("fanout").cast("long").alias("max_key_fanout"),
         F.round(F.sum("fanout") / F.count("*"), 4).alias("avg_key_fanout"),
     )
+
+
+@register(
+    "image_png_stats",
+    sql=None,  # DEFLATE + scanline unfilter is not SQL-expressible;
+    # the codec is pinned against an independent forward-filter
+    # implementation and analytic solid/gradient ground truth in
+    # tests/test_diagnostics.py
+    doc="REAL image decode path: deterministic 8-bit RGB PNGs (solid "
+    "color keyed by doc_id) are built as actual PNG containers "
+    "(stdlib zlib/struct — signature, CRC-verified chunks, filtered "
+    "scanlines), decoded with the pure-stdlib codec in "
+    "operators/multimodal.decode_png_stats inside mapInPandas, and "
+    "reduced to per-color corpus stats.  Payload bytes stay columnar "
+    "on executors; corrupt assets degrade to decode_ok=false.  "
+    "PNG joins WAV as a fully-real modality; JPEG/video remain the "
+    "documented NotImplementedError seam (DCT codecs need real "
+    "libraries).",
+)
+def image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_png_stats, synth_png_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(256)
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                synth_png_bytes(
+                    16, 16, ((int(d) * 37) % 256, (int(d) * 59) % 256,
+                             (int(d) * 83) % 256)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    stats = decode_png_stats(pngs)
+    return (
+        stats.where(F.col("decode_ok"))
+        .groupBy("width", "height", "channels")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.round(F.avg("mean_r"), 4).alias("avg_r"),
+            F.round(F.avg("mean_g"), 4).alias("avg_g"),
+            F.round(F.avg("mean_b"), 4).alias("avg_b"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        )
+        .orderBy("width", "height", "channels")
+    )

@@ -99,7 +99,8 @@ QUERIES = [
     "conversion_latency_quantiles",
     "sql_pivot_unpivot",
     "pareto_revenue_share",
-    # audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
+    "join_fanout_estimate",
+    # image_png_stats and audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]
 

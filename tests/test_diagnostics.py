@@ -452,3 +452,104 @@ def test_percentile_approx_error_within_bound(spark):
     for r in rows:
         assert r.rank_err <= r.n / 1000 + 1, (r.p, r.rank_err, r.n)
         assert r.value_err >= 0
+
+
+def _png_from_filtered(width, height, ctype, rows_with_filters):
+    """Build a PNG whose IDAT contains exactly the given (filter_type,
+    filtered_bytes) scanlines — lets tests exercise every filter."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(b) for f, b in rows_with_filters)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def _forward_filter(ftype, line, prior, bpp):
+    """Independent FORWARD implementation of the PNG filters (the
+    decoder implements the inverse) — spec section 9."""
+    out = []
+    for i, x in enumerate(line):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prior[i]
+        c = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out.append(x)
+        elif ftype == 1:
+            out.append((x - a) & 0xFF)
+        elif ftype == 2:
+            out.append((x - b) & 0xFF)
+        elif ftype == 3:
+            out.append((x - ((a + b) >> 1)) & 0xFF)
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((x - pr) & 0xFF)
+    return bytes(out)
+
+
+def test_png_decoder_all_filters_roundtrip():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth): pixels
+    forward-filtered by an independent spec implementation must decode
+    back to the originals, for gray, RGB and RGBA."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for ctype, bpp in ((0, 1), (2, 3), (6, 4)):
+        w, h = 5, 6
+        pixels = rng.randint(0, 256, size=(h, w * bpp), dtype=np.uint8)
+        rows = []
+        prior = bytes(w * bpp)
+        for y in range(h):
+            f = y % 5  # cycle through all five filter types
+            line = bytes(pixels[y])
+            rows.append((f, _forward_filter(f, line, prior, bpp)))
+            prior = line
+        png = _png_from_filtered(w, h, ctype, rows)
+        img = decode_png(png)
+        assert img["channels"] == bpp
+        assert (img["pixels"] == pixels).all(), f"ctype={ctype}"
+
+
+def test_png_decode_corrupt_and_stats(spark):
+    """decode_png_stats: solid/gradient analytic ground truth; bad
+    CRC / truncated / non-PNG payloads degrade, never fail the task."""
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_png_stats,
+        synth_png_bytes,
+    )
+
+    solid = synth_png_bytes(16, 8, (200, 100, 50))
+    grad = synth_png_bytes(256, 4, gradient=True)
+    bad_crc = bytearray(solid)
+    bad_crc[-5] ^= 0xFF  # flip a byte inside IEND CRC
+    rows = [
+        (1, bytes(solid)),
+        (2, bytes(grad)),
+        (3, b"not a png at all"),
+        (4, bytes(bad_crc)[: len(solid) // 2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_png_stats(df).collect()}
+    s = got[1]
+    assert (s.width, s.height, s.channels, s.decode_ok) == (16, 8, 3, True)
+    assert (s.mean_r, s.mean_g, s.mean_b) == (200.0, 100.0, 50.0)
+    assert abs(s.mean_luma - (0.299 * 200 + 0.587 * 100 + 0.114 * 50)) < 1e-6
+    g = got[2]
+    assert g.decode_ok and g.mean_r == g.mean_g == g.mean_b == 127.5
+    assert not got[3].decode_ok and got[3].width is None
+    assert not got[4].decode_ok
