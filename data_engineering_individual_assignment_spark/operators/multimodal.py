@@ -440,3 +440,102 @@ def decode_png_stats(
         "mean_r double, mean_g double, mean_b double, mean_luma double, "
         "decode_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video frame-sampling over a PNG-frame container.  Industry video
+# codecs (H.264 etc.) need ffmpeg and stay stubbed; but the MECHANICS of
+# video-as-a-column — parse a container, seek frames, sample every k-th,
+# decode each sampled frame, 1:N fan-out — are fully real here using a
+# simple length-prefixed container of real PNG frames (the shape an
+# MJPEG/image2 pipeline produces).
+# ---------------------------------------------------------------------------
+_VID_MAGIC = b"PNGV"
+
+
+def synth_png_video_bytes(n_frames: int, width: int = 8, height: int = 8,
+                          base: int = 0) -> bytes:
+    """Deterministic 'video': ``n_frames`` real PNG frames (frame i is
+    solid gray level (base + 7*i) % 256) in a length-prefixed container:
+    magic | u32 n_frames | (u32 len | png_bytes)*."""
+    import struct
+
+    out = bytearray(_VID_MAGIC + struct.pack(">I", n_frames))
+    for i in range(n_frames):
+        g = (base + 7 * i) % 256
+        png = synth_png_bytes(width, height, (g, g, g))
+        out += struct.pack(">I", len(png)) + png
+    return bytes(out)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_k: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL frame sampling + per-frame decode: parse the container,
+    take frames 0, k, 2k, ..., decode each sampled frame with the real
+    PNG codec, and fan out 1:N rows of (doc_id, frame_idx, width,
+    height, mean_luma).  Frames that are NOT sampled are never
+    decoded — the container's length prefixes let the parser SKIP
+    their bytes, which is the entire economics of frame sampling at
+    100 TB (decode cost proportional to sampled frames, I/O to the
+    container scan).  Corrupt containers/frames degrade per-asset."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "mean_luma": [], "decode_ok": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    buf = bytes(payload)
+                    if buf[:4] != _VID_MAGIC:
+                        raise ValueError("bad container magic")
+                    (n,) = struct.unpack(">I", buf[4:8])
+                    pos = 8
+                    for i in range(n):
+                        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+                        pos += 4
+                        frame = buf[pos : pos + ln]
+                        pos += ln
+                        if i % every_k:
+                            continue  # skipped frames are never decoded
+                        img = decode_png(frame)
+                        px = img["pixels"].astype(np.float64)
+                        c = img["channels"]
+                        planes = [px[:, j::c] for j in range(max(c, 1))]
+                        if c >= 3:
+                            luma = (
+                                0.299 * planes[0].mean()
+                                + 0.587 * planes[1].mean()
+                                + 0.114 * planes[2].mean()
+                            )
+                        else:
+                            luma = planes[0].mean()
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(i)
+                        rows["width"].append(img["width"])
+                        rows["height"].append(img["height"])
+                        rows["mean_luma"].append(round(float(luma), 4))
+                        rows["decode_ok"].append(True)
+                except Exception:
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mean_luma"].append(None)
+                    rows["decode_ok"].append(False)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema="doc_id long, frame_idx int, width int, height int, "
+        "mean_luma double, decode_ok boolean",
+    )

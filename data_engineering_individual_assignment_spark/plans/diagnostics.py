@@ -754,3 +754,50 @@ def image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width", "height", "channels")
     )
+
+
+@register(
+    "video_frame_sample_stats",
+    sql=None,  # container parse + PNG inflate is not SQL-expressible;
+    # sampling semantics + analytic luma pinned in tests
+    doc="REAL video frame sampling: length-prefixed containers of real "
+    "PNG frames (operators/multimodal.synth_png_video_bytes) parsed "
+    "in mapInPandas, every 4th frame decoded with the pure-stdlib PNG "
+    "codec and fanned out 1:N — unsampled frames are SKIPPED via the "
+    "length prefixes, never decoded (decode cost ∝ sampled frames: "
+    "the economics of frame sampling at 100 TB).  Output: per "
+    "frame-position corpus luma stats.  The industry-codec layer "
+    "(H.264 via ffmpeg) remains the documented seam; every other "
+    "mechanic of video-as-a-column is exercised for real.",
+)
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        sample_video_frames,
+        synth_png_video_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(128)
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                synth_png_video_bytes(12, base=int(d) % 256)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    frames = sample_video_frames(vids, every_k=4)
+    return (
+        frames.where(F.col("decode_ok"))
+        .groupBy("frame_idx")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+            F.round(F.min("mean_luma"), 4).alias("min_luma"),
+            F.round(F.max("mean_luma"), 4).alias("max_luma"),
+        )
+        .orderBy("frame_idx")
+    )

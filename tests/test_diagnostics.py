@@ -553,3 +553,25 @@ def test_png_decode_corrupt_and_stats(spark):
     assert g.decode_ok and g.mean_r == g.mean_g == g.mean_b == 127.5
     assert not got[3].decode_ok and got[3].width is None
     assert not got[4].decode_ok
+
+
+def test_video_frame_sampling_real(spark):
+    """PNG-frame video container: every-k sampling decodes exactly the
+    sampled frames with analytically known luma; corrupt containers
+    degrade to one decode_ok=false row."""
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_png_video_bytes,
+    )
+
+    vid = synth_png_video_bytes(10, base=100)  # frames gray 100,107,...
+    rows = [(1, bytes(vid)), (2, b"JUNKxxxx")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sample_video_frames(df, every_k=4).collect()
+    ok = sorted(
+        [(r.frame_idx, r.mean_luma) for r in got if r.doc_id == 1]
+    )
+    # frames 0, 4, 8 sampled; gray g => luma == g exactly
+    assert ok == [(0, 100.0), (4, 128.0), (8, 156.0)]
+    bad = [r for r in got if r.doc_id == 2]
+    assert len(bad) == 1 and not bad[0].decode_ok
