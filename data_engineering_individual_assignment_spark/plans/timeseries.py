@@ -598,3 +598,55 @@ def stl_decompose_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "state_dwell_times",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events),
+    dwell AS (
+        SELECT event_type,
+               epoch_us(next_ts) - epoch_us(ts) AS us
+        FROM seq WHERE next_ts IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(us) // 1000000 AS BIGINT) AS total_secs,
+           round(CAST(avg(us) AS DOUBLE) / 1000000, 4) AS avg_secs,
+           round(CAST(max(us) AS DOUBLE) / 1000000, 1) AS max_secs
+    FROM dwell GROUP BY event_type ORDER BY event_type
+    """,
+    doc="duration-weighted state analytics: each event opens a 'state' "
+    "that lasts until the user's next event (lead over the per-user "
+    "timeline — one keyed exchange), so per-type dwell totals answer "
+    "'where do users SPEND TIME', not 'what do they do most' — the "
+    "two rankings differ whenever frequent states are short-lived.  "
+    "Durations are exact MICROSECOND diffs in both dialects "
+    "(timestampdiff(MICROSECOND) / epoch_us): DuckDB's "
+    "date_diff('second') counts boundary CROSSINGS, not elapsed "
+    "seconds, and Spark's timestampdiff(SECOND) truncates — at "
+    "sub-second grain they disagree; microseconds are exact.",
+)
+def state_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).filter(F.col("next_ts").isNotNull())
+    dwell = seq.select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("us"),
+    )
+    return (
+        dwell.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.expr("sum(us) div 1000000").alias("total_secs"),
+            F.round(F.avg("us") / 1000000, 4).alias("avg_secs"),
+            F.round(F.max("us").cast("double") / 1000000, 1).alias("max_secs"),
+        )
+        .orderBy("event_type")
+    )

@@ -133,3 +133,29 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def find_orphan_files(path: str, manifest: DataFrame) -> list[str]:
+    """Orphan detection against a RECORDED manifest — the integrity
+    half of table maintenance.  A plain parquet directory has no
+    notion of orphans (the reader lists the directory, so every part
+    file is 'the table'); orphans exist relative to a COMMITTED file
+    list, which is exactly what the ``scan_stats`` manifest records
+    (and what Delta/Iceberg metadata is).  Files on disk but absent
+    from the manifest are debris from failed writes, aborted
+    compactions or manual copies — silently READ by directory-listing
+    scans (data corruption, not just wasted storage), and what a
+    VACUUM removes after verifying age.
+
+    ``manifest``: a DataFrame with a ``file`` basename column (the
+    scan_stats output, possibly round-tripped through its saved
+    form).  Returns sorted orphan basenames."""
+    import os
+
+    committed = {r["file"] for r in manifest.select("file").collect()}
+    on_disk = {
+        name
+        for name in os.listdir(path)
+        if name.endswith(".parquet") and not name.startswith(("_", "."))
+    }
+    return sorted(on_disk - committed)

@@ -321,3 +321,36 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     plain = spark.read.parquet(d)
     assert set(plain.columns) in ({"k", "batch"}, {"k", "extra", "batch"})
     assert plain.count() == 6
+
+
+def test_find_orphan_files(spark, tmp_path):
+    """Orphans are defined against the committed scan_stats manifest:
+    a part file that appears on disk after the manifest was recorded
+    (failed-write debris, manual copy) is flagged; the committed
+    files are not."""
+    import os
+    import shutil
+
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        find_orphan_files,
+        scan_stats,
+    )
+
+    d = str(tmp_path / "tbl")
+    spark.range(100).repartition(2).write.parquet(d)
+    manifest = scan_stats(spark, d, ["id"]).cache()
+    manifest.count()
+    assert find_orphan_files(d, manifest) == []
+
+    # debris lands AFTER the manifest was committed
+    keep = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    debris = "part-55555-aborted.c000.snappy.parquet"
+    kept_rows = spark.read.parquet(os.path.join(d, keep)).count()
+    shutil.copy(os.path.join(d, keep), os.path.join(d, debris))
+    assert find_orphan_files(d, manifest) == [debris]
+    # and a directory-listing scan WOULD silently read it — the
+    # corruption the check exists to catch
+    assert spark.read.parquet(d).count() == 100 + kept_rows
+
+    os.remove(os.path.join(d, debris))  # "vacuum"
+    assert find_orphan_files(d, manifest) == []
