@@ -100,6 +100,7 @@ QUERIES = [
     "sql_pivot_unpivot",
     "pareto_revenue_share",
     "join_fanout_estimate",
+    "state_dwell_times",
     # image_png_stats and audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]
