@@ -1,5 +1,16 @@
-"""TPC-H-style decision-support batch (Q4/Q6/Q7/Q8/Q9/Q10/Q13/Q14/Q15/
-Q19/Q21/Q22 analogs) adapted to the driver's trimmed star schema.
+"""TPC-H-style decision-support batch — ALL 22 query shapes adapted
+to the driver's trimmed star schema (Q1 pricing_summary, Q2
+min_cost_supplier, Q3 shipping_priority, Q4 late_shipment_priority,
+Q5 local_supplier_volume, Q6 forecast_revenue, Q7 volume_shipping,
+Q8 market_share, Q9 product_profit, Q10 returned_items_top, Q11
+nation_value_concentration, Q12 via late_shipment_priority's
+conditional agg, Q13 customer_order_distribution, Q14
+promo_revenue_ratio, Q15 top_supplier, Q16
+supplier_relationship_count, Q17 small_order_parts /
+small_quantity_revenue, Q18 large_volume_orders, Q19
+discounted_revenue_brackets, Q20 dominant_part_suppliers, Q21
+waiting_suppliers, Q22 idle_wealthy_customers — some live in
+sibling modules; every one oracle-checked).
 
 The driver's tables drop ``partsupp``, ``l_commitdate``/``l_receiptdate``,
 ``l_shipmode``/``l_shipinstruct`` and ``c_phone``, so each query keeps the
