@@ -595,3 +595,111 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_source", "negative_source")
     )
+
+
+@register(
+    "lang_source_independence",
+    sql="""
+    WITH cells AS (
+        SELECT lang AS l, source AS s, CAST(count(*) AS DOUBLE) AS o
+        FROM documents GROUP BY l, s),
+    tot AS (
+        SELECT l, s, o,
+               sum(o) OVER (PARTITION BY l) AS row_tot,
+               sum(o) OVER (PARTITION BY s) AS col_tot,
+               sum(o) OVER () AS n
+        FROM cells),
+    dims AS (
+        SELECT count(DISTINCT l) AS r, count(DISTINCT s) AS c FROM cells)
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           round(sum((o - row_tot * col_tot / n)
+                     * (o - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 4) AS chi2,
+           CAST((max(d.r) - 1) * (max(d.c) - 1) AS BIGINT) AS dof,
+           round(sqrt(sum((o - row_tot * col_tot / n)
+                          * (o - row_tot * col_tot / n)
+                          / (row_tot * col_tot / n))
+                      / (max(n) * least(max(d.r) - 1, max(d.c) - 1))),
+                 6) AS cramers_v
+    FROM tot CROSS JOIN dims d
+    """,
+    doc="is the language mix independent of the crawl source?  The "
+    "corpus-composition counterpart of chi_square_priority_status "
+    "(same contingency/marginal-window shape over the documents "
+    "table): a large Cramér's V means per-source language skew — the "
+    "thing a naive uniform source mix silently bakes into training "
+    "data.",
+)
+def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        F.col("lang").alias("l"), F.col("source").alias("s")
+    ).agg(F.count("*").cast("double").alias("o"))
+    tot = (
+        cells.withColumn("row_tot", F.sum("o").over(Window.partitionBy("l")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("s")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    dims = cells.agg(
+        F.countDistinct("l").alias("r"), F.countDistinct("s").alias("c")
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    chi2 = F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+    return (
+        tot.crossJoin(F.broadcast(dims))
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.round(chi2, 4).alias("chi2"),
+            ((F.max("r") - 1) * (F.max("c") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    chi2
+                    / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "activity_heatmap",
+    sql="""
+    WITH base AS (
+        SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+               CAST(hour(ts) AS INT) AS hod,
+               count(*) AS n
+        FROM events GROUP BY dow, hod),
+    tot AS (SELECT sum(n) AS total FROM base)
+    SELECT CAST(dow AS INT) AS dow, hod,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(n AS DOUBLE) / (SELECT total FROM tot), 6) AS share
+    FROM base ORDER BY dow, hod
+    """,
+    doc="day-of-week x hour-of-day activity heatmap with corpus "
+    "shares — the load-profile/staleness-window primer read before "
+    "scheduling compactions or batch windows.  Cell grain is 7x24; "
+    "NOTE the cross-engine dow alignment: Spark dayofweek() is "
+    "1=Sunday..7, DuckDB dayofweek() is 0=Sunday..6 — output is "
+    "normalized to DuckDB's 0-based convention (Spark side emits "
+    "dayofweek - 1).",
+)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    base = e.groupBy(
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    tot = base.agg(F.sum("n").alias("total"))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hod").cast("int").alias("hod"),
+            F.col("n").alias("n_events"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )
