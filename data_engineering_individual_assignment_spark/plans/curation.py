@@ -967,3 +967,52 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll"), F.asc("doc_id"))
         .limit(25)
     )
+
+
+@register(
+    "boilerplate_chunks",
+    sql=r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(t[s + 1 : s + 64], ' ') AS chunk
+        FROM toks, unnest(range(0, greatest(len(t), 1), 48)) AS u(s)
+        WHERE s < len(t)),
+    grouped AS (
+        SELECT md5(chunk) AS chunk_md5,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks GROUP BY chunk_md5)
+    SELECT chunk_md5, n_occurrences, n_docs
+    FROM grouped
+    WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_md5
+    LIMIT 20
+    """,
+    doc="boilerplate-paragraph detection: the SAME 64-token chunking "
+    "as chunk_documents (over the FULL corpus), chunks digested and "
+    "grouped — a chunk appearing in >= 2 distinct documents is "
+    "template/boilerplate text (headers, footers, license blocks), "
+    "the sub-document duplication that document-level dedup cannot "
+    "see and the #1 reason trained models parrot navigation chrome.  "
+    "Chunking is a map-only pass; the shuffle moves 16-byte digests.",
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(TX.token_chunks("text", 64, 48)).alias("chunk"),
+    )
+    grouped = chunks.groupBy(F.md5("chunk").alias("chunk_md5")).agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        grouped.filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk_md5")
+        )
+        .limit(20)
+    )
