@@ -101,6 +101,9 @@ QUERIES = [
     "pareto_revenue_share",
     "join_fanout_estimate",
     "state_dwell_times",
+    "lang_source_independence",
+    "activity_heatmap",
+    "boilerplate_chunks",
     # image_png_stats and audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
     # its exponent would be ~0 by construction — padding, not evidence
 ]
