@@ -209,8 +209,15 @@ def isotonic_fit(
         pdf["fit"] = fit
         return pdf
 
+    # the group column keeps ITS OWN type (hard-coding 'string' would
+    # fail at runtime for numeric group keys — the signature promises
+    # an arbitrary grouping column)
     schema = ", ".join(
-        ([f"{group} string"] if group else [])
+        (
+            [f"{group} {grain.schema[group].dataType.simpleString()}"]
+            if group
+            else []
+        )
         + [f"{x} double", "n bigint", "y_mean double", "fit double"]
     )
     grain = grain.withColumn(x, F.col(x).cast("double"))

@@ -616,7 +616,13 @@ def triangle_census_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_wav_features, synth_wav_bytes
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(256)
+    # deterministic asset sample: a bare limit() is partition-order
+    # dependent; the id predicate pushes down to the scan instead
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+    )
 
     import pandas as pd
 
@@ -725,7 +731,13 @@ def join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_png_stats, synth_png_bytes
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(256)
+    # deterministic asset sample: a bare limit() is partition-order
+    # dependent; the id predicate pushes down to the scan instead
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+    )
 
     import pandas as pd
 
@@ -776,7 +788,12 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_png_video_bytes,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(128)
+    # deterministic asset sample (see image_png_stats note)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 128)
+    )
 
     import pandas as pd
 

@@ -345,7 +345,7 @@ def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
         FROM events GROUP BY user_id),
     lat AS (
-        SELECT CAST(date_diff('second', s_ts, p_ts) AS DOUBLE) / 3600.0
+        SELECT (epoch_us(p_ts) - epoch_us(s_ts)) / 3600000000.0
                    AS hours
         FROM firsts
         WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts)
@@ -380,10 +380,15 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         # timestampdiff is timestamp-type-agnostic (works under both
         # TIMESTAMP and the driver session's TIMESTAMP_NTZ; casting a
-        # timestamp to double is not)
+        # timestamp to double is not).  MICROSECOND, not SECOND: the
+        # event timestamps carry sub-second parts, and truncated
+        # elapsed-seconds vs DuckDB's boundary-crossing date_diff
+        # disagree by 1s on ~half the users — both sides now compute
+        # the latency at full microsecond exactness (same discipline
+        # as timeseries.state_dwell_times).
         (
-            F.expr("timestampdiff(SECOND, s_ts, p_ts)").cast("double")
-            / 3600.0
+            F.expr("timestampdiff(MICROSECOND, s_ts, p_ts)").cast("double")
+            / 3.6e9
         ).alias("hours")
     )
     return lat.agg(

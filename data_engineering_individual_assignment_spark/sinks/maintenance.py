@@ -149,13 +149,24 @@ def find_orphan_files(path: str, manifest: DataFrame) -> list[str]:
 
     ``manifest``: a DataFrame with a ``file`` basename column (the
     scan_stats output, possibly round-tripped through its saved
-    form).  Returns sorted orphan basenames."""
+    form).  Returns sorted orphan paths RELATIVE to ``path`` — a
+    recursive walk, so debris inside partition subdirectories
+    (``dt=.../part-*.parquet``) is reported too, not just the flat
+    top-level layout."""
     import os
 
     committed = {r["file"] for r in manifest.select("file").collect()}
-    on_disk = {
-        name
-        for name in os.listdir(path)
-        if name.endswith(".parquet") and not name.startswith(("_", "."))
-    }
-    return sorted(on_disk - committed)
+    on_disk = set()
+    for root, dirs, files in os.walk(path):
+        # skip metadata dirs the way directory-listing readers do
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                rel = os.path.relpath(os.path.join(root, name), path)
+                on_disk.add(rel)
+    # manifests record basenames for flat tables; compare on the path
+    # for nested layouts and on the basename for flat ones
+    return sorted(
+        p for p in on_disk
+        if p not in committed and os.path.basename(p) not in committed
+    )
