@@ -323,15 +323,24 @@ def _md5_hash60(col: Column, salt: str | None = None) -> Column:
 
 
 def minhash_portable(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 4,
+    k: int = 3,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) MinHash signature with md5-derived hash
     functions — bit-identical across engines, so the signature itself is
     differential-testable.  The xxhash64 variant (minhash_signatures) is
-    the faster production path."""
-    rows = doc_shingles(df, text_col, id_col, k).select(
-        "doc_id", F.explode("shingles").alias("sh")
+    the faster production path.  Pass ``shingle_arrays`` (a
+    ``doc_shingles`` relation) to reuse an already-built one."""
+    sh = (
+        shingle_arrays
+        if shingle_arrays is not None
+        else doc_shingles(df, text_col, id_col, k)
     )
+    rows = sh.select("doc_id", F.explode("shingles").alias("sh"))
     hashed = rows.select(
         "doc_id",
         *[_md5_hash60(F.col("sh"), str(i)).alias(f"mh{i}") for i in range(num_hashes)],
@@ -362,6 +371,142 @@ def simhash_portable(df: DataFrame, text_col: str, id_col: str, bits: int = 16) 
             F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
         ).otherwise(F.lit(0).cast("bigint"))
     return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def near_dup_minhash_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_bands: int = 6,
+    rows_per_band: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Banded MinHash-LSH near-dup with ENGINE-PORTABLE hash functions:
+    the md5-derived 60-bit minhashes (``minhash_portable``) replace
+    xxhash64, and the band bucket key is the '|'-joined decimal
+    rendering of the band's row values — every step (signature, band
+    bucket, candidate join, exact Jaccard verify) is reproducible in
+    any engine with md5, so the WHOLE LSH pipeline is differential-
+    testable, not just its recall.  Same banding math and scale shape
+    as ``near_dup_minhash`` (bucket equi-join; shuffles carry
+    signatures, never documents); md5 costs ~4x xxhash64 per shingle,
+    which is the price of oracle-checkability — use the xxhash64
+    variant when nothing external needs to reproduce the buckets.
+
+    Returns (doc_a, doc_b, jaccard) for verified candidates, exact
+    word-shingle Jaccard >= threshold, doc_a < doc_b.
+    """
+    num_hashes = num_bands * rows_per_band
+    sh = _persist(doc_shingles(df, text_col, id_col, k))
+    sigs = minhash_portable(
+        df, text_col, id_col, num_hashes, k, shingle_arrays=sh
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bucket")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on STRING shingles (the same sets the oracle
+    # intersects), not the hashed arrays — candidates only
+    return (
+        cand.join(
+            sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a"
+        )
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates with ENGINE-PORTABLE signatures:
+    60-bit md5-derived token hashes (``simhash_portable``) banded into
+    4 x 15-bit keys (pigeonhole: hamming <= 3 pairs agree on >= 1 full
+    band), bucket equi-join, exact hamming verify via bit_count(xor).
+    Every hash is md5-derived, so candidates AND hamming distances are
+    bit-identical across engines — the xxhash64 64-bit variant
+    (``simhash_near_pairs``) is the cheaper production path.
+
+    Returns (doc_a, doc_b, hamming:int) with doc_a < doc_b.
+    """
+    assert bits % num_bands == 0
+    band_bits = bits // num_bands
+    mask = (1 << band_bits) - 1
+    sims = simhash_portable(df, text_col, id_col, bits=bits)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 # --------------------------------------------------------------------------

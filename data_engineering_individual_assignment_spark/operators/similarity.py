@@ -256,13 +256,24 @@ def hyperplane_lsh_pairs(
     P(bit agrees) = 1 - θ/π, so at cos=0.95 (θ≈18°) a 12-bit signature
     collides with p≈0.29 — run-to-run deterministic, recall measured in
     tests.  Work is linear in corpus size + candidate pairs.
+
+    The ±1 signs are md5-DERIVED (parity of md5("plane|dim")), not
+    RNG-seeded: any engine with md5 reproduces the exact planes, so the
+    whole LSH pipeline — signatures, buckets, candidates — is
+    differential-testable, which is what lets the driver oracle-check
+    this approximate operator instead of settling for a rows-only run.
     """
-    import random
+    import hashlib
 
     spark = corpus.sparkSession
-    rng = random.Random(42)
     planes = [
-        (j, i, float(rng.choice([-1.0, 1.0])))
+        (
+            j,
+            i,
+            1.0
+            if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15], 16) & 1
+            else -1.0,
+        )
         for j in range(num_planes)
         for i in range(dim)
     ]
@@ -357,6 +368,78 @@ def kmeans_centroids(
     )
 
 
+def lloyd_centroids(
+    corpus: DataFrame,
+    num_cells: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ENGINE-PORTABLE distributed Lloyd's k-means for IVF training:
+    init = the ``num_cells`` lowest-id corpus vectors (TakeOrdered —
+    layout-independent), then ``iters`` rounds of
+
+      assign:   nearest centroid by cosine (tie → lowest cell id)
+      update:   per-cell, per-dimension mean, ROUNDED to 6 dp
+                (empty cells keep their previous centroid)
+
+    Each round is one broadcast join + argmax + one aggregation —
+    fully distributed over the corpus; only the num_cells × dim
+    centroid matrix (tiny, bounded) ever reaches the driver.  The 6-dp
+    rounding after every mean is what makes the trajectory
+    cross-engine reproducible: sum-order float drift (~1e-14) is
+    absorbed before it can flip the next round's assignments, so an
+    independent engine running the identical recurrence (e.g. the
+    DuckDB oracle's unrolled CTEs) derives bit-equal centroids.
+    pyspark.ml's k-means|| (``kmeans_centroids``) remains the
+    engine-specific alternative.
+
+    Returns (id_col = cell ids 0..num_cells-1, vec_col).
+    """
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(num_cells).collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(v) for v in r[1]]) for i, r in enumerate(init_rows)
+    ]
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(cents, "cell_id long, cv array<double>")
+        scored = c.join(F.broadcast(cents_df)).withColumn(
+            "sim", cosine("v", "cv")
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("sim").desc(), F.col("cell_id").asc()
+        )
+        best = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("cell_id", "v")
+        )
+        means = (
+            best.select("cell_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell_id"], {})[r["dim"]] = r["m"]
+        cents = [
+            (
+                cell_id,
+                [by_cell[cell_id][d] for d in range(len(old))]
+                if cell_id in by_cell
+                else old,
+            )
+            for cell_id, old in cents
+        ]
+    return spark.createDataFrame(cents, f"{id_col} long, {vec_col} array<double>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -369,13 +452,14 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest cells per
     query.  Centroids = the ``num_cells`` lowest-id corpus vectors (a
-    deterministic stand-in) or a seeded k-means|| fit
-    (``use_kmeans=True`` — better cells, engine-specific determinism).
+    deterministic stand-in) or a trained Lloyd's fit
+    (``use_kmeans=True`` — real cells via ``lloyd_centroids``, whose
+    rounded-mean recurrence is engine-portable and oracle-checkable).
 
     Recall < 1 by design; pair with ``brute_force_topk`` to measure it.
     """
     if use_kmeans:
-        centroids = kmeans_centroids(corpus, num_cells, id_col, vec_col)
+        centroids = lloyd_centroids(corpus, num_cells, 3, id_col, vec_col)
     else:
         centroids = corpus.orderBy(id_col).limit(num_cells)
     cells = assign_cells(corpus, centroids, id_col, vec_col)

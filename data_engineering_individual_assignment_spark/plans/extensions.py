@@ -81,19 +81,79 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# 24 md5-derived minhash slots (6 bands x 4 rows) — the portable
+# signature scheme proven cross-engine by minhash_portable_sigs
+_LSH_HASHES, _LSH_BANDS, _LSH_ROWS = 24, 6, 4
+_LSH_SIG_TERMS = ",\n               ".join(
+    f"CAST(list_min(list_transform(shingles, s -> "
+    f"CAST('0x' || substr(md5('{i}|' || s), 1, 15) AS BIGINT))) AS BIGINT) AS mh{i}"
+    for i in range(_LSH_HASHES)
+)
+_LSH_BAND_STRUCTS = ",\n                   ".join(
+    "{'band': %d, 'bucket': %s}"
+    % (
+        b,
+        " || '|' || ".join(
+            f"CAST(mh{b * _LSH_ROWS + r} AS VARCHAR)" for r in range(_LSH_ROWS)
+        ),
+    )
+    for b in range(_LSH_BANDS)
+)
+
+
 @register(
     "near_dup_minhash",
-    sql=None,  # banded LSH recall < 1 by design: rows-only check
-    doc="APPROXIMATE near-dup pairs: MinHash signatures (24 hashes via "
-    "xxhash64 over shingles, JVM-side), 6 bands × 4 rows banding, bucket "
-    "equi-join, exact Jaccard verify of candidates. Recall ~0.96 at "
-    "j=0.8, ~1.0 at j=0.9; the constant-work scale path when the exact "
-    "prefix-join's candidate set grows too large.",
+    sql=rf"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    sigs AS (
+        SELECT doc_id,
+               {_LSH_SIG_TERMS}
+        FROM sh),
+    bands AS (
+        SELECT doc_id, bk.band AS band, bk.bucket AS bucket
+        FROM (SELECT doc_id,
+                     unnest([{_LSH_BAND_STRUCTS}]) AS bk
+              FROM sigs)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+    doc="APPROXIMATE near-dup pairs via banded MinHash-LSH: 24 "
+    "md5-PORTABLE minhashes (the signature scheme minhash_portable_sigs "
+    "proves bit-equal cross-engine), 6 bands × 4 rows banding, bucket "
+    "equi-join, exact Jaccard verify of candidates.  Because the hash "
+    "functions are engine-portable, the oracle replays the IDENTICAL "
+    "LSH — bands, buckets, candidates AND verification — so this "
+    "approximate operator is hash-checked end-to-end, not rows-only.  "
+    "Recall ~0.96 at j=0.8, ~1.0 at j=0.9; the constant-work scale "
+    "path when the exact prefix-join's candidate set grows too large "
+    "(operators/dedup.near_dup_minhash is the cheaper xxhash64 twin).",
 )
 def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return dedup.near_dup_minhash(
-        d, "text", "doc_id", threshold=0.7, num_bands=6, rows_per_band=4, k=3
+    return dedup.near_dup_minhash_portable(
+        d, "text", "doc_id", threshold=0.7, num_bands=_LSH_BANDS,
+        rows_per_band=_LSH_ROWS, k=3,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -291,19 +351,64 @@ def simhash_portable_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_portable(d, "text", "doc_id", bits=_SIM_BITS).orderBy("doc_id")
 
 
+# 60-bit portable SimHash banded 4 x 15 bits (pigeonhole: hamming<=3
+# pairs agree on >= 1 full band); 60 = md5-hash60's width
+_SIMC_BITS, _SIMC_BANDS = 60, 4
+_SIMC_BAND_BITS = _SIMC_BITS // _SIMC_BANDS
+_SIMC_MASK = (1 << _SIMC_BAND_BITS) - 1
+_SIMC_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SIMC_BITS)
+)
+_SIMC_RECOMBINE = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+    for b in range(_SIMC_BITS)
+)
+
+
 @register(
     "simhash_clusters",
-    sql=None,  # xxhash64 is Spark-specific: rows-only check by contract
-    doc="SimHash near-dup candidates: 64-bit token-hash sign aggregate, "
-    "4×16-bit band join, hamming <= 3 verification via bit_count(xor). "
-    "No SQL oracle (hash function is engine-specific); covered by unit "
-    "tests with planted near-dups.",
+    sql=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM tok),
+    bits AS (
+        SELECT doc_id,
+           {_SIMC_SUMS}
+        FROM h GROUP BY doc_id),
+    sims AS (
+        SELECT doc_id, CAST({_SIMC_RECOMBINE} AS BIGINT) AS simhash
+        FROM bits),
+    bands AS (
+        SELECT s.doc_id, s.simhash, bt.band,
+               (s.simhash >> (bt.band * {_SIMC_BAND_BITS})) & {_SIMC_MASK} AS key
+        FROM sims s
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bt)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dup candidates with ENGINE-PORTABLE signatures: "
+    "60-bit md5-derived token-hash sign aggregate (the construction "
+    "simhash_portable_check proves bit-equal cross-engine), 4×15-bit "
+    "band join, hamming <= 3 verification via bit_count(xor).  The "
+    "oracle replays the identical pipeline — signatures, bands, "
+    "hamming — so the approximate operator is hash-checked end-to-end "
+    "(operators/dedup.simhash_near_pairs is the cheaper 64-bit "
+    "xxhash64 production twin, recall-tested with planted near-dups).",
 )
 def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=3).orderBy(
-        "doc_a", "doc_b"
-    )
+    return dedup.simhash_near_pairs_portable(
+        d, "text", "doc_id", max_hamming=3, bits=_SIMC_BITS, num_bands=_SIMC_BANDS
+    ).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -360,12 +465,70 @@ def ann_block_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.block_topk(emb, queries, k=5).orderBy("query_id", "rnk")
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Guarded cosine between two DOUBLE[] expressions — the SQL twin of
+    functions/vectors.cosine (0.0 on zero norms)."""
+    dn = (
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    return (
+        f"CASE WHEN {dn} > 0 THEN list_dot_product({a}, {b}) / {dn} "
+        f"ELSE 0.0 END"
+    )
+
+
+# IVF probe/scan tail shared by both IVF oracles: given CTEs `c`
+# (vec_id, v) and `cents` (cell_id, cv), assign every vector to its
+# nearest cell, probe the 2 nearest cells per query, exact cosine
+# within probed cells, top-5 — Spark's ivf_topk replayed literally.
+_IVF_TAIL_SQL = f"""
+    assign AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT c.vec_id, c.v, ct.cell_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.v', 'ct.cv')} DESC,
+                                ct.cell_id ASC) AS rn
+            FROM c CROSS JOIN cents ct)
+        WHERE rn = 1),
+    probes AS (
+        SELECT query_id, qv, cell_id FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, ct.cell_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_cos_sql('q.v', 'ct.cv')} DESC,
+                                ct.cell_id ASC) AS rn
+            FROM c q CROSS JOIN cents ct
+            WHERE q.vec_id < 10)
+        WHERE rn <= 2),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_cos_sql('p.qv', 'a.v')} AS cos_sim
+        FROM assign a JOIN probes p USING (cell_id)
+        WHERE a.vec_id != p.query_id)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rnk,
+           round(cos_sim, 6) AS cos_sim
+    FROM scored
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """
+
+
 @register(
     "ann_ivf",
-    sql=None,  # approximate by design: rows-only check
+    sql=f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM c ORDER BY vec_id LIMIT 8),
+    {_IVF_TAIL_SQL}
+    """,
     doc="IVF approximate top-5: corpus bucketed to 8 deterministic "
-    "centroids, queries probe 2 cells. Recall measured against "
-    "ann_brute_force in tests. No oracle (approximate by design).",
+    "centroids (the lowest-id corpus vectors), queries probe 2 cells, "
+    "exact cosine within probed cells.  Every step — centroid choice, "
+    "assignment argmax, probe ranking, scoring — is deterministic with "
+    "lowest-id tie-breaks, so the oracle replays the IDENTICAL index "
+    "build and search; recall vs ann_brute_force is additionally "
+    "measured in tests.",
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -375,14 +538,56 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_iter_cte(i: int) -> str:
+    """One unrolled Lloyd's round: assign to nearest c{i-1} centroid
+    (cosine, lowest-cell tie-break), per-cell per-dim mean rounded to
+    6 dp, empty cells carry the previous centroid forward — the exact
+    recurrence of operators/similarity.lloyd_centroids."""
+    prev = f"c{i - 1}"
+    return f"""
+    a{i} AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT c.vec_id, c.v, ct.cell_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.v', 'ct.cv')} DESC,
+                                ct.cell_id ASC) AS rn
+            FROM c CROSS JOIN {prev} ct)
+        WHERE rn = 1),
+    g{i} AS (
+        SELECT cell_id, list(m ORDER BY dim) AS cv FROM (
+            SELECT cell_id, dim, round(avg(val), 6) AS m
+            FROM (SELECT cell_id,
+                         unnest(v) AS val,
+                         unnest(range(1, len(v) + 1)) AS dim
+                  FROM a{i})
+            GROUP BY cell_id, dim)
+        GROUP BY cell_id),
+    c{i} AS (
+        SELECT p.cell_id, coalesce(g.cv, p.cv) AS cv
+        FROM {prev} p LEFT JOIN g{i} g USING (cell_id))"""
+
+
 @register(
     "ann_ivf_kmeans",
-    sql=None,  # approximate + engine-specific training: rows-only check
-    doc="IVF approximate top-5 with REAL cells: seeded k-means|| "
-    "(pyspark.ml) trains the 8 centroids instead of the lowest-id "
-    "stand-ins — the production IVF path. Tests pin recall >= 0.4 at "
-    "nprobe=2 and exact brute-force equality at nprobe=num_cells. "
-    "No oracle (k-means training is engine-specific by nature).",
+    sql=(
+        """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+        FROM c ORDER BY vec_id LIMIT 8),"""
+        + ",".join(_kmeans_iter_cte(i) for i in range(1, 4))
+        + ",\n    cents AS (SELECT cell_id, cv FROM c3),\n    "
+        + _IVF_TAIL_SQL
+    ),
+    doc="IVF approximate top-5 with TRAINED cells: 3 rounds of "
+    "engine-portable Lloyd's k-means (init = lowest-id vectors; "
+    "assign by cosine with lowest-cell tie-break; per-dimension means "
+    "rounded to 6 dp each round so float sum-order drift can never "
+    "flip a later assignment) — then the same probe-2-cells search as "
+    "ann_ivf.  The oracle unrolls the identical recurrence as chained "
+    "CTEs, so the TRAINING TRAJECTORY itself is differential-tested, "
+    "not just the final search.  Tests additionally pin recall >= 0.4 "
+    "at nprobe=2 and exact brute-force equality at nprobe=num_cells.",
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -431,11 +636,54 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_lsh_near_dup",
-    sql=None,  # LSH recall < 1 by design: rows-only check
-    doc="APPROXIMATE embedding near-dup: 12-bit random-hyperplane "
-    "signatures (Charikar SimHash), bucket equi-join, exact cosine "
-    "verify. Linear-plus-candidates work; recall vs the exact query "
-    "is measured in unit tests. Same planted-clone domain as "
+    sql=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 5),
+    planes AS (
+        SELECT p.plane, d.dim,
+               CASE WHEN CAST('0x' || substr(md5(
+                        CAST(p.plane AS VARCHAR) || '|' ||
+                        CAST(d.dim AS VARCHAR)), 1, 15) AS BIGINT) & 1 = 1
+                    THEN 1.0 ELSE -1.0 END AS sign
+        FROM (SELECT unnest(range(0, 12)) AS plane) p
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d),
+    elems AS (
+        SELECT vec_id,
+               unnest(v) AS val,
+               unnest(range(0, len(v))) AS dim
+        FROM corpus),
+    proj AS (
+        SELECT e.vec_id, pl.plane, sum(e.val * pl.sign) AS proj
+        FROM elems e JOIN planes pl USING (dim)
+        GROUP BY e.vec_id, pl.plane),
+    buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN proj > 0 THEN power(2.0, plane)
+                             ELSE 0.0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b,
+           round({_cos_sql('ca.v', 'cb.v')}, 6) AS cos_sim
+    FROM cand c
+    JOIN corpus ca ON ca.vec_id = c.id_a
+    JOIN corpus cb ON cb.vec_id = c.id_b
+    WHERE {_cos_sql('ca.v', 'cb.v')} >= 0.95
+    ORDER BY id_a, id_b
+    """,
+    doc="APPROXIMATE embedding near-dup: 12-bit hyperplane signatures "
+    "(Charikar SimHash) with md5-DERIVED ±1 planes (parity of "
+    "md5('plane|dim') — any engine reproduces the exact planes), "
+    "bucket equi-join, exact cosine verify.  The oracle replays the "
+    "identical planes, projections, buckets and verification, so the "
+    "LSH pipeline is hash-checked end-to-end despite recall < 1 by "
+    "design.  Linear-plus-candidates work; recall vs the exact query "
+    "is measured in unit tests.  Same planted-clone domain as "
     "embedding_near_dup (identical vectors collide in every bucket, "
     "so the check is non-vacuous).",
 )

@@ -94,6 +94,37 @@ def test_minhash_agrees_with_exact_on_planted(docs_with_dups):
     assert approx <= exact  # verification guarantees no false positives
 
 
+def test_minhash_portable_agrees_with_exact_on_planted(docs_with_dups):
+    """The md5-portable LSH twin (the oracle-checked catalog path) has
+    the same recall/precision contract as the xxhash64 variant."""
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        jaccard_join,
+        near_dup_minhash_portable,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_join(
+        docs_with_dups, "text", "doc_id", threshold=0.5).collect()}
+    approx = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+              near_dup_minhash_portable(
+                  docs_with_dups, "text", "doc_id", threshold=0.5).collect()}
+    assert {(1, 2), (1, 5)} <= set(approx)
+    assert set(approx) <= set(exact)  # exact verify: no false positives
+    for pair, j in approx.items():
+        assert j == exact[pair]  # verification uses the same shingle sets
+
+
+def test_simhash_portable_pairs_hamming_zero_for_exact_dups(docs_with_dups):
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        simhash_near_pairs_portable,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_pairs_portable(
+                 docs_with_dups, "text", "doc_id", max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0  # token-identical docs
+    assert pairs[(1, 5)] == 0  # case/whitespace normalize to same tokens
+
+
 def test_simhash_hamming_zero_for_exact_dups(docs_with_dups):
     from data_engineering_individual_assignment_spark.operators.dedup import (
         simhash_near_pairs,
