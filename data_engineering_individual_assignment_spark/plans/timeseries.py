@@ -472,12 +472,16 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="capped decaying accumulator per customer: bal_i = "
     "min(cap, 0.9*bal_{i-1} + amount_i) — NON-associative (the cap "
     "absorbs, the decay orders), so no window/aggregate can express "
-    "it: the honest shapes are a grouped-map sequential pass (Spark) "
-    "vs a recursive CTE (oracle) running the identical float ops — "
-    "final balances compared unrounded because the sequential "
-    "trajectory is bit-identical across engines.  The loyalty-"
-    "balance / rate-limiter / token-bucket state pattern at "
-    "customer grain.",
+    "it: the honest shapes are a PARTITION-level segmented scan "
+    "(Spark) vs a recursive CTE (oracle) running the identical float "
+    "ops — final balances compared unrounded because the sequential "
+    "trajectory is bit-identical across engines.  One "
+    "repartition(cust) + sortWithinPartitions co-locates and orders "
+    "each customer's rows, then a single mapInPandas pass walks every "
+    "segment — ~1 Python invocation per PARTITION, not per group "
+    "(the applyInPandas form paid ~100k per-group dispatches at "
+    "sf0.1: 4x the whole headline suite).  The loyalty-balance / "
+    "rate-limiter / token-bucket state pattern at customer grain.",
 )
 def capped_decay_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -488,32 +492,49 @@ def capped_decay_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         "o_orderkey",
     )
-
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"]).reset_index(
-            drop=True
-        )
-        bal = 0.0
-        for i, amt in enumerate(pdf["amt"]):
-            # identical op order to the recursive-CTE oracle
-            bal = min(500000.0, amt) if i == 0 else min(
-                500000.0, 0.9 * bal + amt
-            )
-        return pd.DataFrame(
-            {
-                "cust": [pdf["cust"].iloc[0]],
-                "n_orders": [len(pdf)],
-                "final_balance": [bal],
-            }
-        )
-
-    return (
-        o.groupBy("cust")
-        .applyInPandas(
-            walk, schema="cust long, n_orders bigint, final_balance double"
-        )
-        .orderBy("cust")
+    # hash-partition on cust (each customer's rows land in ONE task),
+    # order the run (cust, date, key) — the scan below just walks runs
+    part = o.repartition("cust").sortWithinPartitions(
+        "cust", "o_orderdate", "o_orderkey"
     )
+    CAP = 500000.0
+
+    def walk_partition(batches):
+        # Arrow may hand one partition over as several batches: carry
+        # the open segment's state across batch boundaries, flush a
+        # customer only when the next one starts (or input ends)
+        cur = None
+        bal = 0.0
+        n = 0
+        out_c: list[int] = []
+        out_n: list[int] = []
+        out_b: list[float] = []
+        for pdf in batches:
+            for c, a in zip(pdf["cust"].tolist(), pdf["amt"].tolist()):
+                if c != cur:
+                    if cur is not None:
+                        out_c.append(cur)
+                        out_n.append(n)
+                        out_b.append(bal)
+                    cur = c
+                    # identical op order to the recursive-CTE oracle
+                    bal = min(CAP, a)
+                    n = 1
+                else:
+                    bal = min(CAP, 0.9 * bal + a)
+                    n += 1
+        if cur is not None:
+            out_c.append(cur)
+            out_n.append(n)
+            out_b.append(bal)
+        if out_c:
+            yield pd.DataFrame(
+                {"cust": out_c, "n_orders": out_n, "final_balance": out_b}
+            )
+
+    return part.mapInPandas(
+        walk_partition, schema="cust long, n_orders bigint, final_balance double"
+    ).orderBy("cust")
 
 
 @register(
