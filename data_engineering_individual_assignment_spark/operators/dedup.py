@@ -35,6 +35,25 @@ def _persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure a compute-dense map stage gets cluster-wide parallelism.
+
+    Shingling/hashing cost is per-ROW compute, not per-byte IO: when the
+    scan yields fewer partitions than cores (locally: one small parquet
+    file = one row group = ONE task; on a cluster: a handful of splits
+    feeding thousands of cores), the tokenize/explode/md5 stage
+    serializes on those few tasks.  Redistributing the (small, pre-
+    explode) document rows costs one cheap shuffle and unlocks every
+    core — measured 11.3 s -> 3.0 s for the t=0.5 prefix join at
+    sf0.1.  When the scan already has enough splits (the 100 TB case)
+    this is a no-op, so the big-data path never pays the shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def release_intermediates() -> int:
     """Unpersist every intermediate cached by jaccard_join /
     near_dup_minhash since the last call.  Call AFTER materializing the
@@ -84,9 +103,33 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     """(doc_id, shingles) string arrays with empty-shingle docs dropped.
     Readable/debuggable form; the join operators below use the hashed
     row form instead (higher-order functions don't codegen)."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("doc_id"), shingles(text_col, k).alias("shingles")
     ).filter(F.size("shingles") > 0)
+
+
+def shingle_string_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, sh) — one row per word-k-shingle occurrence as a STRING
+    (space-joined), built with the same codegen posexplode + lead-window
+    shape as ``hashed_shingle_rows`` instead of the interpreted
+    higher-order ``shingles()`` transform (~10x slower per row).  Rows
+    are a multiset (min-hash is multiset-invariant); apply collect_set
+    for set semantics.  Used by the md5-portable operators, which need
+    the string to hash."""
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "t0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        "t0",
+        *[F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)],
+    )
+    return grams.filter(F.col(f"t{k-1}").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("sh")
+    )
 
 
 def hashed_shingle_rows(
@@ -104,7 +147,7 @@ def hashed_shingle_rows(
     collisions are ~1e-7 at millions of distinct shingles — negligible
     against the exact-Jaccard thresholding.
     """
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "t0")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -322,6 +365,31 @@ def _md5_hash60(col: Column, salt: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(src), 1, 15), 16, 10).cast("long")
 
 
+# Universal-hash family for the portable MinHash: h_i(x) = (a_i*x + b_i)
+# mod P over x = md5(shingle) folded to 32 bits.  ONE md5 per shingle
+# (the dominant cost) instead of one per (slot, shingle); P is the
+# smallest prime > 2^32, a_i < 2^30 so a_i*x + b_i < 2^62 + 2^32 never
+# overflows signed 64-bit in ANY engine (overflow would wrap in Spark
+# but error/promote in others — the bound is what keeps the family
+# engine-reproducible), and the (a,b) pairs are themselves md5-derived
+# constants.
+_MH_PRIME = 4294967311
+_MH_FOLD = 4294967296  # 2^32
+_MH_AMAX = 1 << 30
+
+
+def _mh_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        (h32(f"a|{i}") % (_MH_AMAX - 1) + 1, h32(f"b|{i}") % _MH_PRIME)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_portable(
     df: DataFrame,
     text_col: str,
@@ -329,21 +397,30 @@ def minhash_portable(
     num_hashes: int = 4,
     k: int = 3,
     shingle_arrays: DataFrame | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}) MinHash signature with md5-derived hash
     functions — bit-identical across engines, so the signature itself is
-    differential-testable.  The xxhash64 variant (minhash_signatures) is
-    the faster production path.  Pass ``shingle_arrays`` (a
+    differential-testable.  One md5 per shingle, fanned to ``num_hashes``
+    slots via the (a_i*x + b_i) mod P universal family (see _mh_coeffs);
+    the xxhash64 variant (minhash_signatures) is the faster
+    non-portable production path.  Pass ``shingle_rows`` (a
+    ``shingle_string_rows`` relation) or ``shingle_arrays`` (a
     ``doc_shingles`` relation) to reuse an already-built one."""
-    sh = (
-        shingle_arrays
-        if shingle_arrays is not None
-        else doc_shingles(df, text_col, id_col, k)
-    )
-    rows = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    if shingle_rows is not None:
+        rows = shingle_rows
+    elif shingle_arrays is not None:
+        rows = shingle_arrays.select("doc_id", F.explode("shingles").alias("sh"))
+    else:
+        rows = shingle_string_rows(df, text_col, id_col, k)
+    x = _md5_hash60(F.col("sh")) % F.lit(_MH_FOLD)
+    coeffs = _mh_coeffs(num_hashes)
     hashed = rows.select(
         "doc_id",
-        *[_md5_hash60(F.col("sh"), str(i)).alias(f"mh{i}") for i in range(num_hashes)],
+        *[
+            ((F.lit(a) * x + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(num_hashes)]
@@ -354,7 +431,7 @@ def simhash_portable(df: DataFrame, text_col: str, id_col: str, bits: int = 16) 
     """(doc_id, simhash) with md5-derived token hashes and ``bits``-bit
     signatures — engine-portable for oracle checking (the 64-bit
     xxhash64 variant below is the production path)."""
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", _md5_hash60(F.col("tok")))
     bit_sums = tok.groupBy("doc_id").agg(
@@ -398,9 +475,13 @@ def near_dup_minhash_portable(
     word-shingle Jaccard >= threshold, doc_a < doc_b.
     """
     num_hashes = num_bands * rows_per_band
-    sh = _persist(doc_shingles(df, text_col, id_col, k))
+    # codegen shingle-occurrence rows, persisted: signatures consume the
+    # multiset directly (min is multiset-invariant); verification builds
+    # distinct arrays from the same relation with one collect_set
+    rows = _persist(shingle_string_rows(df, text_col, id_col, k))
+    sh = rows.groupBy("doc_id").agg(F.collect_set("sh").alias("shingles"))
     sigs = minhash_portable(
-        df, text_col, id_col, num_hashes, k, shingle_arrays=sh
+        df, text_col, id_col, num_hashes, k, shingle_rows=rows
     )
     bands = sigs.select(
         "doc_id",
@@ -517,7 +598,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     token hashes, sign -> bit.  Computed as an explode + 1 groupBy with 64
     conditional-sum aggregates (all codegen; one shuffle on doc_id).
     Returns (doc_id, simhash:bigint)."""
-    tok = df.select(
+    tok = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = tok.groupBy("doc_id").agg(

@@ -25,6 +25,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _mh_sql_terms(num_hashes: int) -> str:
+    """DuckDB twin of operators/dedup.minhash_portable's signature slots:
+    one md5 per shingle folded to 32 bits, fanned to slots via the same
+    md5-derived (a_i*x + b_i) mod P universal family."""
+    from ..operators.dedup import _MH_FOLD, _MH_PRIME, _mh_coeffs
+
+    return ",\n               ".join(
+        f"CAST(list_min(list_transform(shingles, s -> "
+        f"({a} * (CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {_MH_FOLD}) "
+        f"+ {b}) % {_MH_PRIME})) AS BIGINT) AS mh{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(num_hashes))
+    )
+
+
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -84,11 +100,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 24 md5-derived minhash slots (6 bands x 4 rows) — the portable
 # signature scheme proven cross-engine by minhash_portable_sigs
 _LSH_HASHES, _LSH_BANDS, _LSH_ROWS = 24, 6, 4
-_LSH_SIG_TERMS = ",\n               ".join(
-    f"CAST(list_min(list_transform(shingles, s -> "
-    f"CAST('0x' || substr(md5('{i}|' || s), 1, 15) AS BIGINT))) AS BIGINT) AS mh{i}"
-    for i in range(_LSH_HASHES)
-)
+_LSH_SIG_TERMS = _mh_sql_terms(_LSH_HASHES)
 _LSH_BAND_STRUCTS = ",\n                   ".join(
     "{'band': %d, 'bucket': %s}"
     % (
@@ -198,11 +210,7 @@ def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EST_HASHES = 16
-_EST_SIG_TERMS = ",\n               ".join(
-    f"CAST(list_min(list_transform(shingles, s -> "
-    f"CAST('0x' || substr(md5('{i}|' || s), 1, 15) AS BIGINT))) AS BIGINT) AS mh{i}"
-    for i in range(_EST_HASHES)
-)
+_EST_SIG_TERMS = _mh_sql_terms(_EST_HASHES)
 _EST_AGREE = " + ".join(
     f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(_EST_HASHES)
 )
@@ -245,14 +253,38 @@ _EST_AGREE = " + ".join(
     "minhashes — E[est]=J, the quantity LSH banding thresholds on) for "
     "every pair with exact J >= 0.5. Both engines compute identical "
     "md5-derived signatures, so the estimate itself is oracle-checked, "
-    "pinning cross-engine sketch portability.",
+    "pinning cross-engine sketch portability.  Signatures are computed "
+    "ONLY for pair participants (a semi-join on the checkpointed pair "
+    "set): 16 md5 evaluations per shingle across a whole corpus is "
+    "the dominant cost, and the measurement only needs sigs for docs "
+    "that appear in a pair — the oracle computes sigs for all docs "
+    "but joins the same pair set, so results are identical.",
 )
 def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.5, k=3).select(
-        "doc_a", "doc_b", F.col("jaccard").alias("exact_j")
+    # eager checkpoint: the pair set feeds BOTH the participant
+    # restriction and the final join — without it the whole
+    # prefix-filter join subtree would evaluate twice
+    pairs = (
+        dedup.jaccard_join(d, "text", "doc_id", threshold=0.5, k=3)
+        .select("doc_a", "doc_b", F.col("jaccard").alias("exact_j"))
+        .localCheckpoint()
     )
-    sigs = dedup.minhash_portable(d, "text", "doc_id", num_hashes=_EST_HASHES, k=3)
+    dedup.release_intermediates()
+    participants = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # restrict BEFORE shingling: the semi-join on the raw table prunes
+    # the corpus to pair participants ahead of the tokenize/hash work
+    # (a post-shingle filter would still shingle every document)
+    d_part = d.join(F.broadcast(participants), "doc_id", "left_semi")
+    # eager checkpoint again: the tiny sig relation feeds BOTH join
+    # sides (sa, sb) — lazy, the shingle+hash subtree would run twice
+    sigs = dedup.minhash_portable(
+        d_part, "text", "doc_id", num_hashes=_EST_HASHES, k=3
+    ).localCheckpoint()
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_EST_HASHES)],
@@ -278,10 +310,7 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MH_TERMS = ",\n           ".join(
-    f"CAST(list_min(list_transform(shingles, s -> CAST('0x' || substr(md5('{i}|' || s), 1, 15) AS BIGINT))) AS BIGINT) AS mh{i}"
-    for i in range(4)
-)
+_MH_TERMS = _mh_sql_terms(4)
 
 @register(
     "minhash_portable_sigs",

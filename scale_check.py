@@ -20,93 +20,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-QUERIES = [
-    "pricing_summary",
-    "star_join_revenue",
-    "regression_ols",
-    "rank_orders_per_customer",
-    "asof_join_events_orders",
-    "dedup_exact",
-    "near_dup_pairs",
-    "tumbling_window_counts",
-    "text_stats",
-    "contamination_check",
-    "chunk_documents",
-    "near_dup_clusters",
-    "tfidf_top_terms",
-    "event_funnel",
-    "volume_shipping",
-    "waiting_suppliers",
-    "dup_span_fraction",
-    "gap_fill_daily",
-    "near_dup_clusters_star",
-    "dedup_latest_event",
-    "minhash_estimate_accuracy",
-    "key_skew_profile",
-    "pagerank_near_dup",
-    "fuzzy_match_part_names",
-    "rollup_multires",
-    "kl_divergence_sources",
-    "nucleus_corpus_selection",
-    "interval_overlap_errors",
-    "asof_forward_next_purchase",
-    "heavy_hitter_tokens",
-    "triangle_census_near_dup",
-    "market_basket_lift",
-    "cusum_changepoint",
-    "vocab_coverage_curve",
-    "ewma_daily",
-    "expectation_suite",
-    "snapshot_diff",
-    "ab_test_conversion",
-    "trimmed_mean_values",
-    "kfold_ols_cv",
-    "temporal_state_join",
-    "small_order_parts",
-    "min_cost_supplier",
-    "embedding_pca_variance",
-    "benford_price_screen",
-    "zipf_fit_tokens",
-    "arrow_native_token_median",
-    "sql_scripting_coverage_search",
-    "ann_pq_adc",
-    # round 4 additions
-    "global_rank_scalable",
-    "decile_lift_scalable",
-    "mann_whitney_value_shift",
-    "chi_square_priority_status",
-    "holt_linear_daily",
-    "doc_cosine_pairs_sparse",
-    "sorted_neighborhood_pairs",
-    "cms_token_accuracy",
-    "exact_median_refinement",
-    "local_supplier_volume",
-    "supplier_relationship_count",
-    "dominant_part_suppliers",
-    "target_encode_loo",
-    "weighted_sample_topk",
-    "group_sample_deterministic",
-    "reconcile_corrupted_orders",
-    "bigram_lm_perplexity",
-    "negative_sampling_pairs",
-    "top_session_paths",
-    "near_dup_2core",
-    "isotonic_price_curve",
-    "rolling_distinct_users",
-    "capped_decay_balance",
-    "stl_decompose_anomalies",
-    "segment_overlap_jaccard",
-    "conversion_latency_quantiles",
-    "sql_pivot_unpivot",
-    "pareto_revenue_share",
-    "join_fanout_estimate",
-    "state_dwell_times",
-    "lang_source_independence",
-    "activity_heatmap",
-    "boilerplate_chunks",
-    # image_png_stats and audio_wav_features intentionally EXCLUDED: it caps at 256 docs, so
-    # its exponent would be ~0 by construction — padding, not evidence
-]
+# The sweep covers the ENTIRE catalog except queries whose input is
+# bounded by construction (fixed-size asset samples / literal id caps):
+# their exponent would be ~0 no matter what the operator does — that
+# would be padding, not evidence.  Deriving the list from the catalog
+# at run time means new queries are swept automatically instead of
+# waiting for someone to remember to add them.
+EXCLUDED = {
+    "image_png_stats": "256-doc synthetic asset cap by construction",
+    "audio_wav_features": "256-doc synthetic asset cap by construction",
+    "video_frame_sample_stats": "128-doc synthetic asset cap by construction",
+    "udtf_word_ngrams": "doc_id < 40 literal cap (row-at-a-time UDTF demo)",
+    "udtf_polymorphic_first_tokens": "doc_id < 40 literal cap",
+}
+
+
+def sweep_queries() -> list[str]:
+    from data_engineering_individual_assignment_spark import plans
+
+    return [q for q in sorted(plans.CATALOG) if q not in EXCLUDED]
+
+
+QUERIES: list[str] = []  # populated in main() once the session exists
 
 REPLICATED = ("lineitem", "orders", "customer", "events", "documents", "embeddings")
 COPIED = ("region", "nation", "supplier", "part")
@@ -187,6 +122,10 @@ def main() -> None:
 
     spark = get_spark("dei-spark-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
+    QUERIES.extend(sweep_queries())
+    print(f"sweeping {len(QUERIES)} catalog queries "
+          f"({len(EXCLUDED)} excluded as bounded-by-construction)",
+          file=sys.stderr)
     dst = tempfile.mkdtemp(prefix="dei_scale_")
     try:
         replicate(spark, src, dst, factor)
