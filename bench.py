@@ -58,14 +58,18 @@ def main() -> None:
     # median-of-3 per query makes the number adjudicable: a single
     # contended run can't masquerade as a regression, and a real
     # regression can't hide behind "contention".  The unpersist of
-    # dedup intermediates happens OUTSIDE the timed window.
+    # dedup intermediates happens OUTSIDE the timed window.  The two
+    # historically noisiest queries (mapInPandas/pair-join heavy, max/min
+    # sample ratio up to 4x on a contended box) get extra samples so
+    # their median stabilizes; total wall-clock stays < 90 s.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    extra_runs = {"near_dup_pairs": max(runs, 5), "ann_brute_force": max(runs, 5)}
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = plans.CATALOG[name]
         samples: list[float] = []
-        for _ in range(runs):
+        for _ in range(extra_runs.get(name, runs)):
             release_intermediates()  # outside the timed window
             t0 = time.perf_counter()
             run(q.fn(spark, sf_dir))

@@ -13,11 +13,18 @@ handled three ways, as the build contract requires:
   CRC-verified chunks, inflates with zlib and undoes all five filter
   types (pinned against an independent forward-filter implementation
   + analytic solid/gradient truth in tests).
-- JPEG (DCT/huffman) and video remain the clearly-marked
-  ``decode_image`` NotImplementedError seam where Pillow/ffmpeg plugs
-  in; the ``*_fake`` paths keep that plumbing (binary schema, Arrow
-  batch iteration, 1:N fan-out, partitioning) real and testable, with
-  a DuckDB oracle over the stand-in arithmetic.
+- Baseline JPEG is decoded for REAL as well: ``decode_jpeg`` walks
+  markers, reads the quant/huffman tables FROM THE STREAM, huffman-
+  decodes, dequantizes, runs the 8x8 IDCT, handles restart markers
+  and 1x1/2x2 sampling with nearest chroma upsampling — pinned
+  against an independent forward implementation (``synth_jpeg_bytes``
+  / ``encode_jpeg_planes``: RGB->YCbCr, forward DCT, Annex-K
+  quantization) plus analytic solid/gradient truth in tests.
+- Video codecs (H.264 etc.) remain the clearly-marked ``decode_image``
+  NotImplementedError seam where ffmpeg plugs in; the ``*_fake``
+  paths keep that plumbing (binary schema, Arrow batch iteration,
+  1:N fan-out, partitioning) real and testable, with a DuckDB oracle
+  over the stand-in arithmetic.
 
 At 100 TB: payloads stay columnar-binary end to end (no base64, no
 driver round-trip); frame sampling is a mapInPandas fan-out whose
@@ -34,17 +41,20 @@ from pyspark.sql import functions as F
 
 
 def decode_image(payload: bytes) -> dict:
-    """General image decode seam — intentionally unimplemented for
-    formats needing a real imaging library (JPEG/WebP/...).  PNG has a
-    REAL pure-stdlib decoder below (``decode_png``); a deployment with
-    Pillow installs this one as:
+    """General image decode: dispatch on container signature to the
+    REAL pure-stdlib codecs (``decode_png``, ``decode_jpeg``); other
+    formats (WebP/AVIF/...) remain the seam where Pillow plugs in:
         img = PIL.Image.open(io.BytesIO(payload))
         return {"width": img.width, "height": img.height, ...}
     """
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "non-PNG image decoding requires an imaging library not present "
-        "in this container; PNG decodes for real via decode_png, and the "
-        "*_fake paths cover plumbing tests"
+        "non-PNG/JPEG image decoding requires an imaging library not "
+        "present in this container; PNG and baseline JPEG decode for "
+        "real, and the *_fake paths cover plumbing tests"
     )
 
 
@@ -538,4 +548,566 @@ def sample_video_frames(
         gen,
         schema="doc_id long, frame_idx int, width int, height int, "
         "mean_luma double, decode_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG (pure stdlib + numpy): forward DCT + huffman ENCODER
+# and a marker-walking DECODER (DQT/DHT/SOF0/SOS parse, canonical huffman,
+# dequantize, 8x8 IDCT, YCbCr -> RGB, restart markers, 1x1/2x2 sampling
+# with nearest upsampling).  Same discipline as the PNG pair: the encoder
+# is an INDEPENDENT forward implementation of the transform the decoder
+# inverts, so round-trip tests verify both against each other, and solid
+# -color images pin against analytic truth (a flat block is DC-only, so
+# quantization error is bounded by one DC step).  The decoder reads the
+# tables embedded in the stream, so any baseline JFIF decodes — the
+# remaining seam is video codecs (H.264 needs ffmpeg), not stills.
+# ---------------------------------------------------------------------------
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# ITU-T T.81 Annex K.1/K.2 quantization tables (natural order via zigzag)
+_JPEG_QL_ZZ = [
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+]
+_JPEG_QC_ZZ = [
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def _jpeg_dct_matrix():
+    """8x8 DCT-II basis A with A[u,x] = C(u)/2 * cos((2x+1)u*pi/16):
+    forward DCT of block B is A @ B @ A.T, inverse is A.T @ F @ A."""
+    import math
+
+    import numpy as np
+
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return A
+
+
+# Encoder huffman tables: fixed-length canonical codes (12 DC symbols at
+# 5 bits, 162 AC symbols at 8 bits).  Deliberately NOT Annex K's typical
+# tables: any valid table works because the DHT segment embeds it in the
+# stream (the decoder reads tables from the stream, never assumes) —
+# fixed-length codes cost compression, not correctness, and cannot be
+# silently mistranscribed in a way a round-trip test would miss.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical_codes(counts: list[int], symbols: list[int]) -> dict:
+    """JPEG canonical huffman: symbol -> (code, length) from the 16-entry
+    counts list (counts[i] codes of length i+1)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _enc_tables():
+    dc_counts = [0] * 16
+    dc_counts[4] = len(_DC_SYMS)  # all 12 DC categories at 5 bits
+    ac_counts = [0] * 16
+    ac_counts[7] = len(_AC_SYMS)  # all 162 AC symbols at 8 bits
+    return (
+        dc_counts,
+        _DC_SYMS,
+        _canonical_codes(dc_counts, _DC_SYMS),
+        ac_counts,
+        _AC_SYMS,
+        _canonical_codes(ac_counts, _AC_SYMS),
+    )
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def synth_jpeg_bytes(width: int, height: int, rgb=(128, 64, 32)) -> bytes:
+    """Deterministic baseline JFIF ENCODER (4:4:4, 8-bit): RGB ->
+    YCbCr, 8x8 forward DCT, Annex-K quantization, canonical huffman.
+    Solid ``rgb`` fill; real marker structure (SOI APP0 DQT SOF0 DHT
+    SOS ... EOI) readable by any baseline decoder."""
+    import struct
+
+    import numpy as np
+
+    r, g, b = (float(v) for v in rgb)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [
+        np.full((height, width), y),
+        np.full((height, width), cb),
+        np.full((height, width), cr),
+    ]
+    return encode_jpeg_planes(planes, width, height)
+
+
+def _enc_block(bw, block, q, A, dc_codes, ac_codes, pred, ci) -> None:
+    """Forward-DCT, quantize and entropy-code one 8x8 block."""
+    import numpy as np
+
+    F8 = A @ (block - 128.0) @ A.T
+    coef = np.round(F8 / q).astype(int)
+    zz = coef.flatten()[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    cat = _jpeg_category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        v = diff if diff > 0 else diff + (1 << cat) - 1
+        bw.write(v, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _jpeg_category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bits = v if v > 0 else v + (1 << cat) - 1
+        bw.write(bits, cat)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+
+
+def encode_jpeg_planes(
+    planes,
+    width: int,
+    height: int,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode explicit Y/Cb/Cr float planes (each (height, width)) as a
+    baseline JFIF stream — the general entry the synth helpers and
+    tests drive with arbitrary pixel content.  ``subsample=True``
+    emits 4:2:0 (Y at 2x2 factors, chroma 2x2-mean-downsampled,
+    16x16 MCUs); ``restart_interval`` emits DRI + RSTn markers every N
+    MCUs — both exist so the decoder's generic sampling/restart paths
+    are exercised by a genuinely different forward implementation."""
+    import struct
+
+    import numpy as np
+
+    A = _jpeg_dct_matrix()
+    dc_counts, dc_syms, dc_codes, ac_counts, ac_syms, ac_codes = _enc_tables()
+    ql = np.array(_JPEG_QL_ZZ)[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    qc = np.array(_JPEG_QC_ZZ)[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+
+    def pad_to(plane, ph, pw):
+        p = np.asarray(plane, dtype=np.float64)
+        out = np.zeros((ph, pw))
+        h, w = p.shape
+        out[:h, :w] = p
+        out[h:, :] = out[h - 1 : h, :]  # edge replication
+        out[:, w:] = out[:, w - 1 : w]
+        return out
+
+    if subsample:
+        factors = [(2, 2), (1, 1), (1, 1)]
+        mcux = (width + 15) // 16
+        mcuy = (height + 15) // 16
+        # chroma: 2x2 mean downsample of an even-padded plane
+        ep_h, ep_w = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+        comp_planes = [pad_to(planes[0], mcuy * 16, mcux * 16)]
+        for ch in planes[1:]:
+            p = pad_to(ch, ep_h, ep_w)
+            ds = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            comp_planes.append(pad_to(ds, mcuy * 8, mcux * 8))
+    else:
+        factors = [(1, 1), (1, 1), (1, 1)]
+        mcux = (width + 7) // 8
+        mcuy = (height + 7) // 8
+        comp_planes = [pad_to(p, mcuy * 8, mcux * 8) for p in planes]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu_count += 1
+            for ci, (plane, (fh, fv)) in enumerate(zip(comp_planes, factors)):
+                q = ql if ci == 0 else qc
+                for byi in range(fv):
+                    for bxi in range(fh):
+                        ys = (my * fv + byi) * 8
+                        xs = (mx * fh + bxi) * 8
+                        _enc_block(
+                            bw, plane[ys : ys + 8, xs : xs + 8], q, A,
+                            dc_codes, ac_codes, pred, ci,
+                        )
+    bw.flush()
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(_JPEG_QL_ZZ))
+    out += seg(0xDB, bytes([0x01]) + bytes(_JPEG_QC_ZZ))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for (cid, q), (fh, fv) in zip(((1, 0), (2, 1), (3, 1)), factors):
+        sof += bytes((cid, (fh << 4) | fv, q))
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    out += seg(0xC4, bytes([0x01]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x11]) + bytes(ac_counts) + bytes(ac_syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3]) + bytes((1, 0x00, 2, 0x11, 3, 0x11)) + bytes((0, 63, 0))
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: un-stuffs 0xFF00, stops at markers
+    (reporting RSTn so the caller can reset DC predictors)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits < 25:
+            if self.pos >= len(d):
+                return
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:  # stuffed literal FF
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # RSTn (caller resyncs) or EOI/next segment: stop here
+                self.marker = nxt
+                return
+            self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                raise ValueError("JPEG entropy stream exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def resync_restart(self) -> None:
+        """Consume an expected RSTn marker and realign to byte boundary."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2
+            self.marker = None
+
+
+def _huff_decode_map(counts: list[int], symbols: list[int]) -> dict:
+    """(length, code) -> symbol map for canonical JPEG huffman."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
+    canonical huffman, dequantize, 8x8 IDCT, nearest chroma upsampling
+    (1x1 or 2x2 factors), YCbCr->RGB, restart-marker aware.  Tables
+    come from the STREAM, so any baseline JFIF decodes — progressive
+    (SOF2) and arithmetic coding raise, like the PNG decoder raises on
+    interlace.  Returns {width, height, channels, pixels (h, w*c
+    uint8)} matching decode_png's contract."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps = []
+    restart_interval = 0
+    scan_comps = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(data[i + 1 : i + 65], dtype=np.uint8)
+                qtables[tq] = zz[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8).astype(
+                    np.float64
+                )
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                syms = list(data[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _huff_decode_map(counts, syms)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + c * 3 : 9 + c * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            sof = (width, height)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = data[1 + c * 2 : 3 + c * 2]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            pos = pos + 2 + length
+            break
+        pos += 2 + length
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    width, height = sof
+    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
+        raise ValueError("sampling factors beyond 2x2 unsupported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    for cs, td, ta in scan_comps:
+        by_id[cs]["dc"] = htables[(0, td)]
+        by_id[cs]["ac"] = htables[(1, ta)]
+    A = _jpeg_dct_matrix()
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    pred = [0] * len(comps)
+    br = _BitReader(payload, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.resync_restart()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                q = qtables[c["tq"]]
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        cat = _huff_read(br, c["dc"])
+                        diff = _extend(br.read_bits(cat), cat) if cat else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, c["ac"])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run overflow")
+                            s = rs & 0xF
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_JPEG_ZIGZAG] = zz
+                        block = A.T @ (coef.reshape(8, 8) * q) @ A + 128.0
+                        ys = (my * c["v"] + byi) * 8
+                        xs = (mx * c["h"] + bxi) * 8
+                        planes[ci][ys : ys + 8, xs : xs + 8] = block
+    # upsample subsampled components to full resolution (nearest)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:height, :width])
+    if len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+        px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixels": px.reshape(height, width * 3),
+        }
+    px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return {"width": width, "height": height, "channels": 1, "pixels": px}
+
+
+def decode_jpeg_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL JPEG decode + stats over a binary column — the DCT-codec
+    twin of decode_png_stats (same output contract: dimensions,
+    channel means, Rec.601 luma, decode_ok degradation)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "mean_luma": [],
+                "decode_ok": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_jpeg(bytes(payload))
+                    px = img["pixels"].astype(np.float64)
+                    c = img["channels"]
+                    planes = [px[:, i::c] for i in range(c)]
+                    if c == 1:
+                        r = g = b = float(planes[0].mean())
+                    else:
+                        r = float(planes[0].mean())
+                        g = float(planes[1].mean())
+                        b = float(planes[2].mean())
+                    out["width"].append(img["width"])
+                    out["height"].append(img["height"])
+                    out["channels"].append(c)
+                    out["mean_r"].append(round(r, 4))
+                    out["mean_g"].append(round(g, 4))
+                    out["mean_b"].append(round(b, 4))
+                    out["mean_luma"].append(
+                        round(0.299 * r + 0.587 * g + 0.114 * b, 4)
+                    )
+                    out["decode_ok"].append(True)
+                except Exception:
+                    for k in ("width", "height", "channels"):
+                        out[k].append(None)
+                    for k in ("mean_r", "mean_g", "mean_b", "mean_luma"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema="doc_id long, width int, height int, channels int, "
+        "mean_r double, mean_g double, mean_b double, mean_luma double, "
+        "decode_ok boolean",
     )

@@ -769,6 +769,64 @@ def image_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_jpeg_stats",
+    sql=None,  # huffman + IDCT is not SQL-expressible; the codec is
+    # pinned against the independent forward implementation (encoder)
+    # and analytic solid/gradient truth in tests/test_diagnostics.py
+    doc="REAL JPEG decode path: deterministic baseline JFIF images "
+    "(solid color keyed by doc_id, built by the independent stdlib "
+    "ENCODER operators/multimodal.synth_jpeg_bytes — RGB->YCbCr, "
+    "forward DCT, Annex-K quantization, canonical huffman) are "
+    "decoded with the pure-stdlib DECODER decode_jpeg (marker walk, "
+    "stream-embedded tables, dequantize, IDCT, restart/4:2:0 aware) "
+    "inside mapInPandas and reduced to per-color corpus stats.  "
+    "Payloads stay columnar on executors; corrupt assets degrade to "
+    "decode_ok=false.  JPEG joins PNG and WAV as a fully-real "
+    "modality — the remaining NotImplementedError seam is video "
+    "codecs only (H.264 needs ffmpeg).  Solid JPEG blocks are "
+    "DC-only, so decoded channel means sit within one quantization "
+    "step of the synthesized color (asserted in tests).",
+)
+def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_jpeg_stats, synth_jpeg_bytes
+
+    # deterministic asset sample (see image_png_stats note)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+    )
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                synth_jpeg_bytes(
+                    16, 16, ((int(d) * 37) % 256, (int(d) * 59) % 256,
+                             (int(d) * 83) % 256)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jpgs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    stats = decode_jpeg_stats(jpgs)
+    return (
+        stats.where(F.col("decode_ok"))
+        .groupBy("width", "height", "channels")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.round(F.avg("mean_r"), 4).alias("avg_r"),
+            F.round(F.avg("mean_g"), 4).alias("avg_g"),
+            F.round(F.avg("mean_b"), 4).alias("avg_b"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        )
+        .orderBy("width", "height", "channels")
+    )
+
+
+@register(
     "video_frame_sample_stats",
     sql=None,  # container parse + PNG inflate is not SQL-expressible;
     # sampling semantics + analytic luma pinned in tests

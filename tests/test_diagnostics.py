@@ -575,3 +575,133 @@ def test_video_frame_sampling_real(spark):
     assert ok == [(0, 100.0), (4, 128.0), (8, 156.0)]
     bad = [r for r in got if r.doc_id == 2]
     assert len(bad) == 1 and not bad[0].decode_ok
+
+
+# ---------------------------------------------------------------------------
+# REAL JPEG codec: the decoder is pinned against the INDEPENDENT forward
+# implementation (encoder) plus analytic truth — same discipline as the
+# PNG filter round-trip above.  Solid images are DC-only in every 8x8
+# block, so quantization error is bounded by half a DC quant step
+# (8/2 * 1/0.299-ish per channel after color transform): means must land
+# within ±3 of the synthesized color.
+# ---------------------------------------------------------------------------
+def test_jpeg_solid_color_analytic():
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    for rgb in [(200, 30, 100), (0, 0, 0), (255, 255, 255), (17, 230, 9)]:
+        img = decode_jpeg(synth_jpeg_bytes(16, 16, rgb))
+        assert (img["width"], img["height"], img["channels"]) == (16, 16, 3)
+        px = img["pixels"].astype(np.float64)
+        means = [px[:, i::3].mean() for i in range(3)]
+        for got, want in zip(means, rgb):
+            assert abs(got - want) <= 3.0, (rgb, means)
+
+
+def test_jpeg_gradient_roundtrip_all_paths():
+    """Gradient content exercises AC coefficients; 4:4:4, 4:2:0 and
+    restart-marker streams must all reconstruct the luma ramp with
+    small RMS error (JPEG is lossy; Annex-K tables keep a smooth ramp
+    within ~2 levels RMS)."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_planes,
+    )
+
+    w, h = 32, 16
+    xs = np.arange(w)[None, :].repeat(h, 0).astype(float)
+    yv = 16 + xs * (224.0 / (w - 1))
+    flat = np.full((h, w), 128.0)
+    for kwargs in (
+        {},
+        {"subsample": True},
+        {"restart_interval": 2},
+        {"subsample": True, "restart_interval": 1},
+    ):
+        buf = encode_jpeg_planes([yv, flat, flat], w, h, **kwargs)
+        img = decode_jpeg(buf)
+        assert (img["width"], img["height"]) == (w, h)
+        px = img["pixels"].astype(np.float64)
+        lum = 0.299 * px[:, 0::3] + 0.587 * px[:, 1::3] + 0.114 * px[:, 2::3]
+        rms = float(np.sqrt(((lum - yv) ** 2).mean()))
+        assert rms < 2.5, (kwargs, rms)
+
+
+def test_jpeg_odd_dimensions_edge_replication():
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    img = decode_jpeg(synth_jpeg_bytes(13, 9, (10, 250, 70)))
+    assert (img["width"], img["height"]) == (13, 9)
+    px = img["pixels"].astype(np.float64)
+    means = [px[:, i::3].mean() for i in range(3)]
+    for got, want in zip(means, (10, 250, 70)):
+        assert abs(got - want) <= 3.0
+
+
+def test_jpeg_rejects_malformed():
+    import pytest as _pytest
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    buf = bytearray(synth_jpeg_bytes(8, 8, (1, 2, 3)))
+    # corrupt the SOF marker into a progressive SOF2: must raise, not
+    # silently misdecode
+    idx = bytes(buf).find(b"\xff\xc0")
+    buf[idx + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_stats_query_and_degradation(spark):
+    """decode_jpeg_stats over good + corrupt payloads: per-asset stats
+    match the synthesized colors; garbage degrades to decode_ok=false
+    without failing the task."""
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_jpeg_stats,
+        synth_jpeg_bytes,
+    )
+
+    rows = [
+        (1, bytearray(synth_jpeg_bytes(16, 8, (200, 100, 50)))),
+        (2, bytearray(synth_jpeg_bytes(8, 8, (0, 0, 255)))),
+        (3, bytearray(b"JFIF but not really")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_jpeg_stats(df).collect()}
+    assert got[1].decode_ok and got[2].decode_ok and not got[3].decode_ok
+    assert (got[1].width, got[1].height) == (16, 8)
+    assert abs(got[1].mean_r - 200) <= 3 and abs(got[1].mean_b - 50) <= 3
+    assert abs(got[2].mean_b - 255) <= 3 and got[2].mean_r <= 3
+
+
+def test_decode_image_dispatch():
+    """decode_image routes PNG and JPEG to the real codecs and keeps
+    the NotImplementedError seam for everything else."""
+    import pytest as _pytest
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_image,
+        synth_jpeg_bytes,
+        synth_png_bytes,
+    )
+
+    assert decode_image(synth_png_bytes(8, 8, (1, 2, 3)))["channels"] == 3
+    assert decode_image(synth_jpeg_bytes(8, 8, (1, 2, 3)))["channels"] == 3
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBP")
