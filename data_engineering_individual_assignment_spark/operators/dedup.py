@@ -48,6 +48,10 @@ def _spread(df: DataFrame) -> DataFrame:
     sf0.1.  When the scan already has enough splits (the 100 TB case)
     this is a no-op, so the big-data path never pays the shuffle.
     """
+    if df.isStreaming:
+        # .rdd is illegal on a streaming plan; micro-batches already
+        # arrive pre-split by the source's maxFilesPerTrigger sizing
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -461,6 +461,25 @@ def decode_png_stats(
 # MJPEG/image2 pipeline produces).
 # ---------------------------------------------------------------------------
 _VID_MAGIC = b"PNGV"
+_MJPG_MAGIC = b"MJPG"
+
+
+def synth_mjpeg_video_bytes(n_frames: int, width: int = 16, height: int = 16,
+                            base: int = 0) -> bytes:
+    """Deterministic MJPEG-style 'video': ``n_frames`` real baseline
+    JPEG frames (frame i is solid gray level (base + 7*i) % 256) in the
+    same length-prefixed container as the PNG variant: magic | u32
+    n_frames | (u32 len | jpeg_bytes)*.  With the real JPEG codec this
+    makes video-as-a-column fully real up to the container layer — the
+    remaining seam is inter-frame codecs (H.264) only."""
+    import struct
+
+    out = bytearray(_MJPG_MAGIC + struct.pack(">I", n_frames))
+    for i in range(n_frames):
+        g = (base + 7 * i) % 256
+        jpg = synth_jpeg_bytes(width, height, (g, g, g))
+        out += struct.pack(">I", len(jpg)) + jpg
+    return bytes(out)
 
 
 def synth_png_video_bytes(n_frames: int, width: int = 8, height: int = 8,
@@ -506,7 +525,7 @@ def sample_video_frames(
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     buf = bytes(payload)
-                    if buf[:4] != _VID_MAGIC:
+                    if buf[:4] not in (_VID_MAGIC, _MJPG_MAGIC):
                         raise ValueError("bad container magic")
                     (n,) = struct.unpack(">I", buf[4:8])
                     pos = 8
@@ -517,7 +536,8 @@ def sample_video_frames(
                         pos += ln
                         if i % every_k:
                             continue  # skipped frames are never decoded
-                        img = decode_png(frame)
+                        # signature dispatch: PNG or baseline JPEG frames
+                        img = decode_image(frame)
                         px = img["pixels"].astype(np.float64)
                         c = img["channels"]
                         planes = [px[:, j::c] for j in range(max(c, 1))]

@@ -827,6 +827,57 @@ def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_mjpeg_frame_stats",
+    sql=None,  # container parse + JPEG huffman/IDCT not SQL-expressible;
+    # sampling semantics + analytic gray-level truth pinned in tests
+    doc="REAL MJPEG-style video path: length-prefixed containers of "
+    "real baseline JPEG frames (operators/multimodal."
+    "synth_mjpeg_video_bytes) parsed in mapInPandas, every 4th frame "
+    "decoded with the pure-stdlib JPEG codec (signature-dispatched by "
+    "decode_image) and fanned out 1:N; unsampled frames are SKIPPED "
+    "via the length prefixes, never decoded.  With PNG and JPEG both "
+    "real, video-as-a-column is real up to the container layer — the "
+    "remaining seam is INTER-frame codecs (H.264 via ffmpeg) only.",
+)
+def video_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        sample_video_frames,
+        synth_mjpeg_video_bytes,
+    )
+
+    # deterministic asset sample (see image_png_stats note)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 128)
+    )
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                synth_mjpeg_video_bytes(12, base=int(d) % 256)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    frames = sample_video_frames(vids, every_k=4)
+    return (
+        frames.where(F.col("decode_ok"))
+        .groupBy("frame_idx")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+            F.round(F.min("mean_luma"), 4).alias("min_luma"),
+            F.round(F.max("mean_luma"), 4).alias("max_luma"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
+@register(
     "video_frame_sample_stats",
     sql=None,  # container parse + PNG inflate is not SQL-expressible;
     # sampling semantics + analytic luma pinned in tests

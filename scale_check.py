@@ -31,6 +31,7 @@ EXCLUDED = {
     "image_jpeg_stats": "256-doc synthetic asset cap by construction",
     "audio_wav_features": "256-doc synthetic asset cap by construction",
     "video_frame_sample_stats": "128-doc synthetic asset cap by construction",
+    "video_mjpeg_frame_stats": "128-doc synthetic asset cap by construction",
     "udtf_word_ngrams": "doc_id < 40 literal cap (row-at-a-time UDTF demo)",
     "udtf_polymorphic_first_tokens": "doc_id < 40 literal cap",
 }

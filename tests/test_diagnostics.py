@@ -705,3 +705,28 @@ def test_decode_image_dispatch():
     assert decode_image(synth_jpeg_bytes(8, 8, (1, 2, 3)))["channels"] == 3
     with _pytest.raises(NotImplementedError):
         decode_image(b"RIFF....WEBP")
+
+
+def test_mjpeg_video_sampling_and_luma(spark):
+    """MJPEG container: every-k sampling decodes exactly frames 0, k,
+    2k... through the REAL JPEG codec; decoded gray levels track the
+    synthesized (base + 7*i) ramp within JPEG quantization error."""
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_mjpeg_video_bytes,
+    )
+
+    vid = synth_mjpeg_video_bytes(10, base=100)  # frames gray 100,107,...
+    df = spark.createDataFrame(
+        [(1, bytearray(vid)), (2, bytearray(b"nonsense"))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_video_frames(df, every_k=3).collect()
+    ok = sorted(
+        (r.frame_idx, r.mean_luma) for r in rows if r.doc_id == 1
+    )
+    assert [i for i, _ in ok] == [0, 3, 6, 9]
+    for i, luma in ok:
+        assert abs(luma - (100 + 7 * i)) <= 3.0, (i, luma)
+    bad = [r for r in rows if r.doc_id == 2]
+    assert len(bad) == 1 and not bad[0].decode_ok
