@@ -288,20 +288,31 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bucket
     ORDER BY bucket
     """,
-    doc="equi-depth (decile) histogram via ntile over the price order: "
-    "per-bucket count/min/max/sum. Tie-safe: ordering by the price "
-    "alone means rows straddling a bucket boundary are identical in "
-    "the only aggregated column, so the output is deterministic. This "
-    "exact formulation needs a global sort window; the 100 TB path is "
-    "approx_percentile boundaries + a broadcast range join (the "
-    "equi-WIDTH twin price_histogram already scans shuffle-free) — "
-    "exactness here is the oracle anchor for that approximation.",
+    doc="equi-depth (decile) histogram: per-bucket count/min/max/sum. "
+    "Tie-safe: rows straddling a bucket boundary are identical in the "
+    "only aggregated column, so the output is invariant to tie order. "
+    "The oracle keeps DuckDB's native ntile-over-sort; the Spark side "
+    "deliberately does NOT use the single-task Window.orderBy ntile — "
+    "buckets come from operators/ranking.global_rank + ntile_from_rank "
+    "(range bucketing, per-bucket row_number, tiny prefix-sum offsets), "
+    "so the exact equi-depth split stays distributed at 100 TB while "
+    "still hashing identically against the windowed SQL formulation.",
 )
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank, ntile_from_rank
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice")
-    bucketed = li.select(
-        "l_extendedprice", F.ntile(10).over(w).cast("int").alias("bucket")
+    pts = li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    total = pts.agg(F.count("*").alias("__total"))
+    ranked = global_rank(
+        pts,
+        "l_extendedprice",
+        [F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rank_col="__rnk",
+    )
+    bucketed = ranked.crossJoin(F.broadcast(total)).select(
+        "l_extendedprice",
+        ntile_from_rank(F.col("__rnk"), F.col("__total"), 10).alias("bucket"),
     )
     return (
         bucketed.groupBy("bucket")
