@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Regenerate SCALING.md from SCALING_RUN.json (the raw output of
+scale_check.py).  The measured table is data; the design prose below it
+is maintained here.  Run: python docs_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Queries whose Spark plan intentionally keeps a single-task global
+# window because they exist as the DIFFERENTIAL ANCHOR for a scalable
+# twin that is measured alongside (same oracle SQL on both).
+ANCHORS = {
+    "decile_lift_chart": "decile_lift_scalable",
+}
+
+HEADER = """# SCALING — measured headroom + 100 TB design notes
+
+## Measured: 10× replication check (`python scale_check.py 10`)
+
+sf0.1 tables replicated 10× with key-shifting (≈ sf1: 6M lineitem rows,
+100k orders-per-replica joins kept at original selectivity, 50k
+documents, 1M events, 200k embeddings), local[32] (round 5: the FULL
+catalog swept — every registered query except the {n_excluded}
+bounded-by-construction asset caps listed in `scale_check.EXCLUDED`;
+base timings are the second warm pass, raw numbers in
+SCALING_RUN.json, re-measured entries merged via
+`scale_check.py 10 --queries ...`).
+Document replicas get a token-remapped (disjoint) vocabulary: verbatim
+copies would make every doc gain factor-1 exact duplicates, growing the
+TRUE near-dup pair/cluster/graph answer quadratically in the factor —
+that measures output size, not operator scaling (measured: verbatim
+replication pushes near_dup_pairs to exponent ~1.06; remapped, the same
+plan is 0.28).
+
+Table sorted by exponent (worst first).
+
+| query | sf0.1 (s) | ×10 (s) | scaling exponent* |
+|---|---|---|---|
+"""
+
+MIDDLE = """
+\\* log(t_big/t_small)/log(10) — 1.0 = linear, <1 = overhead-dominated
+(good headroom), ≈2 would flag an accidental quadratic.
+
+**{n} queries measured; max exponent {maxe:.2f}** excluding the one
+documented single-task-window anchor: `decile_lift_chart` ({anchor_e:.2f})
+deliberately keeps `Window.orderBy().ntile()` as the three-way
+differential anchor (Spark window ntile == DuckDB window ntile == the
+bucketed reconstruction), while its production form
+`decile_lift_scalable` — same oracle SQL, `global_rank +
+ntile_from_rank` — measures {twin_e:.2f}.  Prior rounds: r4 max 0.53 over 82
+queries, r3 0.56, r2 0.79.
+
+This harness has now caught and fixed one real super-linear bug per
+round it grew:
+
+- round 4: `doc_cosine_pairs_sparse` measured 2.54 with only a relative
+  (10%-of-corpus) document-frequency cap — replica-local stopwords kept
+  per-token df flat while n grew, letting df² posting joins through; an
+  absolute df<=200 posting cap brought it to ~0.15.
+- round 5 (full-catalog sweep): `embedding_near_dup` measured **1.45**
+  (403 s at ×10) — the exact cosine baseline materialized every
+  candidate pair as a shuffled row.  Rewritten as a block-pair grid
+  (O(n·blocks) replication, chunked BLAS gemm per grid cell, pairs
+  above threshold only): **0.37** (2.7 s at ×10).  The same sweep
+  exposed `asof_join_pandas_variant`'s per-KEY Python invocation
+  (38.9 s base constant; exponent was fine) — bucketed
+  `merge_asof(by=key)` cut it to 1.8 s — and the single-task ntile
+  window in `equi_depth_histogram` (0.73 → 0.17 via `global_rank +
+  ntile_from_rank`).
+
+Near-zero or negative exponents are fixed-cost-dominated queries whose
+×10 run reuses JIT'd code and warmed parquet footers.  Nothing outside
+the documented anchor exhibits exponent > {maxe:.2f}.
+"""
+
+TAIL = """
+## Why the same plans hold at 1000 executors / 100 TB
+
+- **Scans**: predicates and projections are pushed into parquet
+  (PLANS.md, tests/test_plans.py) — bytes read scale with selectivity,
+  not table size.  Partitioned warehouse writes add partition pruning
+  on ingest_date for the daily tables.
+- **Joins**: dimensions broadcast (no fact shuffle); fact-fact joins can
+  pre-pay their shuffle via bucketed tables (zero-Exchange SMJ proven in
+  tests); hot keys have AQE skew-split plus explicit `salted_join`.
+- **Aggregations**: partial+final everywhere (map-side combine), so the
+  shuffle carries one row per (partition × group), not per input row.
+  Sketches (`approx_sketches`) swap exactness for constant memory when
+  group cardinality explodes.
+- **Dedup/similarity**: shuffle payloads are digests (16-byte md5 /
+  8-byte xxhash64), never documents.  Near-dup candidate generation is
+  prefix-filter or banded-LSH bucket joins — O(n·candidates), no
+  all-pairs operator exists in any plan (asserted: no CartesianProduct).
+  The one exact all-pairs QUERY (`embedding_near_dup`, the oracle
+  anchor for the LSH path) is a block-grid gemm: Θ(n²) flops by
+  definition, but O(n·blocks) shuffle rows and O((n/blocks)·dim)
+  per-task memory — raise `num_blocks` with n.
+- **As-of**: union-merge carry-forward — O((|L|+|R|) log) per key,
+  immune to per-key fan-out, one shuffle; the Arrow `merge_asof` twin
+  buckets keys so Python is called per BUCKET, never per key.
+- **Windows/streaming**: identical logical plans run as
+  Structured-Streaming with watermark-bounded state; ingestion is
+  checkpointed AvailableNow with per-partition dynamic overwrite —
+  reruns and retries cannot duplicate.  Global numbering (rank, ntile,
+  Pareto shares, equi-depth buckets) never uses the single-task
+  `Window.orderBy()` — `operators/ranking.global_rank` keeps it
+  distributed (the one documented anchor above excepted).
+- **Python boundary**: only Arrow-vectorized (pandas UDF / mapInPandas)
+  and only where JVM expressions can't express the op (codec stubs,
+  merge_asof variant, block cosine).  No row-at-a-time Python UDFs, no
+  driver-side loops, and the only `collect()` in the package pulls one
+  row at the serving boundary.
+
+## Knobs that change per deployment (not per query)
+
+`spark.sql.shuffle.partitions` sized to ~128-256 MB post-shuffle
+partitions; `spark.sql.files.maxPartitionBytes` likewise for scans; AQE
+coalescing then right-sizes at runtime.  Bucket counts for the bucketed
+warehouse tables follow data volume (tests use 8; a 100 TB fact table
+wants thousands).  All set in `session.py` / table DDL, never inside
+operator code.
+"""
+
+
+def main() -> None:
+    with open(os.path.join(HERE, "SCALING_RUN.json")) as f:
+        run = json.load(f)
+    import scale_check
+
+    rows = sorted(
+        run.items(), key=lambda kv: -kv[1]["scaling_exponent"]
+    )
+    lines = [HEADER.format(n_excluded=len(scale_check.EXCLUDED))]
+    for name, r in rows:
+        mark = " †" if name in ANCHORS else ""
+        lines.append(
+            f"| {name}{mark} | {r['sf0.1_sec']:.2f} | {r['x10_sec']:.2f} "
+            f"| {r['scaling_exponent']:.2f} |\n"
+        )
+    lines.append(
+        "\n† single-task-window differential anchor by design — see note "
+        "below.\n"
+    )
+    non_anchor = [
+        r["scaling_exponent"] for n, r in run.items() if n not in ANCHORS
+    ]
+    lines.append(
+        MIDDLE.format(
+            n=len(run),
+            maxe=max(non_anchor),
+            anchor_e=run["decile_lift_chart"]["scaling_exponent"],
+            twin_e=run["decile_lift_scalable"]["scaling_exponent"],
+        )
+    )
+    lines.append(TAIL)
+    with open(os.path.join(HERE, "SCALING.md"), "w") as f:
+        f.write("".join(lines))
+    print(f"SCALING.md: {len(run)} rows, max non-anchor exponent "
+          f"{max(non_anchor):.2f}")
+
+
+if __name__ == "__main__":
+    main()

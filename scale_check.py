@@ -118,13 +118,22 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # usage: scale_check.py [factor] [--queries a,b,c]
+    # --queries re-measures a subset and MERGES it into SCALING_RUN.json
+    # (the full-sweep numbers for untouched queries stay valid).
+    argv = list(sys.argv[1:])
+    subset: list[str] | None = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        subset = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    factor = int(argv[0]) if argv else 10
     src = "/root/testdata/sf0.1"
     from data_engineering_individual_assignment_spark.session import get_spark
 
     spark = get_spark("dei-spark-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES.extend(sweep_queries())
+    QUERIES.extend(subset if subset else sweep_queries())
     print(f"sweeping {len(QUERIES)} catalog queries "
           f"({len(EXCLUDED)} excluded as bounded-by-construction)",
           file=sys.stderr)
@@ -143,10 +152,15 @@ def main() -> None:
                 "scaling_exponent": round(exponent, 2),
             }
         print(json.dumps(report, indent=2))
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING_RUN.json"),
-            "w",
-        ) as f:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "SCALING_RUN.json"
+        )
+        if subset and os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+            merged.update(report)
+            report = merged
+        with open(out_path, "w") as f:
             json.dump(report, f, indent=2)
     finally:
         shutil.rmtree(dst, ignore_errors=True)
