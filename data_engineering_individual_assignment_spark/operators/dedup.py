@@ -231,15 +231,26 @@ def jaccard_join(
     k: int = 3,
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (Vernica et al.,
-    SIGMOD 2010 'Efficient Parallel Set-Similarity Joins Using MapReduce').
+    SIGMOD 2010 'Efficient Parallel Set-Similarity Joins Using MapReduce')
+    with PPJoin's positional filter (Xiao et al., WWW 2008 'Efficient
+    Similarity Joins for Near Duplicate Detection').
 
     Shingles are globally ordered by document frequency (rarest first);
     a pair with Jaccard >= t must share a shingle within each side's first
     |d| - ceil(t*|d|) + 1 shingles, so candidates are generated by an
     equi-join on *rare* prefix shingles only — small buckets, no skew —
-    plus a length filter (t*|A| <= |B| <= |A|/t).  Exact verification on
-    the candidate set.  No false negatives: matches a brute-force oracle
-    at any scale while doing near-linear work.
+    plus a length filter (t*|A| <= |B| <= |A|/t) and the POSITIONAL
+    filter: a match at (1-based, df-sorted) positions (i, j) bounds the
+    intersection above by 1 + min(|A|-i, |B|-j), while Jaccard >= t
+    forces intersection >= t·(|A|+|B|)/(1+t); rows whose bound can't
+    reach that are pruned before the distinct.  Sound: every common
+    shingle of a qualifying pair sits at-or-after its FIRST common
+    shingle, so that row's bound >= the true intersection and survives.
+    The filter matters most at LOW thresholds (t=0.5 halves the prefix
+    selectivity), where plain prefix filtering lets most of the
+    candidate set through.  Exact verification on the candidate set.
+    No false negatives: matches a brute-force oracle at any scale while
+    doing near-linear work.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
     to 6 places.
@@ -257,7 +268,13 @@ def jaccard_join(
         tok.join(dfreq, "shingle_h")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.col("sz") * threshold) + 1)
-        .select("doc_id", "sz", "shingle_h")
+        .select("doc_id", "sz", "rnk", "shingle_h")
+    )
+    # required overlap: I >= t(|A|+|B|)/(1+t); the 1e-9 slack keeps an
+    # exactly-integer bound from rounding UP through fp noise (pruning
+    # must stay conservative — sizes are << 1e9 so the slack dominates)
+    min_overlap = F.ceil(
+        (F.col("a.sz") + F.col("b.sz")) * threshold / (1.0 + threshold) - 1e-9
     )
     cand = (
         prefix.alias("a")
@@ -267,7 +284,16 @@ def jaccard_join(
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: jaccard >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("b.sz") >= F.col("a.sz") * threshold)
-            & (F.col("a.sz") >= F.col("b.sz") * threshold),
+            & (F.col("a.sz") >= F.col("b.sz") * threshold)
+            # positional filter (PPJoin): overlap upper bound from the
+            # match positions must reach the required overlap
+            & (
+                1
+                + F.least(
+                    F.col("a.sz") - F.col("a.rnk"), F.col("b.sz") - F.col("b.rnk")
+                )
+                >= min_overlap
+            ),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

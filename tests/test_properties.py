@@ -160,3 +160,90 @@ def test_exact_kth_smallest_property(spark, values, k_seed):
     k = (k_seed - 1) % len(values) + 1
     df = spark.createDataFrame([(v,) for v in values], "x double")
     assert exact_kth_smallest(df, "x", k) == sorted(values)[k - 1]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        # docs as token-index lists over a SMALL vocabulary so generated
+        # corpora actually contain overlapping shingle sets (including
+        # boundary pairs whose intersection exactly equals the required
+        # overlap — the case PPJoin's positional bound must not prune)
+        st.lists(st.integers(min_value=0, max_value=7), min_size=3, max_size=12),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_jaccard_join_equals_brute_force(spark, token_lists, threshold):
+    """Prefix + length + PPJoin positional filtering is EXACT: the
+    pruned join returns precisely the brute-force pair set (no false
+    negatives from any filter, no false positives past verification)."""
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        jaccard_join,
+        release_intermediates,
+    )
+
+    k = 3
+    texts = [" ".join(f"w{t}" for t in toks) for toks in token_lists]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_join(df, "text", "doc_id", threshold=threshold, k=k).collect()
+    }
+    release_intermediates()
+
+    def shingles(toks):
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    want = {}
+    sets = [shingles(t) for t in token_lists]
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_cosine_near_dup_pairs_equals_brute_force(spark, data):
+    """Block-grid GEMM pair search is EXACT: equals the O(n²) python
+    loop for random corpora with planted near-duplicates, across block
+    counts (1 block = single-cell triangle; >n blocks = mostly empty
+    cells) and thresholds."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    n = data.draw(st.integers(min_value=2, max_value=20))
+    dim = 8
+    num_blocks = data.draw(st.sampled_from([1, 3, 16]))
+    threshold = data.draw(st.sampled_from([0.8, 0.95]))
+    V = rng.normal(size=(n, dim))
+    # plant a few near-identical clones so the threshold set is non-empty
+    for i in range(0, n - 1, 5):
+        V[i + 1] = V[i] + rng.normal(scale=1e-3, size=dim)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in cosine_near_dup_pairs(
+            df, threshold=threshold, num_blocks=num_blocks
+        ).collect()
+    }
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            c = float(Vn[a] @ Vn[b])
+            if c >= threshold:
+                want[(a, b)] = round(c, 6)
+    assert got == want
