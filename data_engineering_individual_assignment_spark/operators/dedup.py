@@ -112,56 +112,66 @@ def doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     ).filter(F.size("shingles") > 0)
 
 
+def _gram_structs(
+    df: DataFrame, text_col: str, id_col: str, k: int, distinct: bool = False
+) -> DataFrame:
+    """(doc_id, s:struct<t0..t{k-1}>) — one row per word-k-shingle
+    occurrence, built as explode(arrays_zip(slice(toks,1,m), ...,
+    slice(toks,k,m))) with m = n-k+1.  Every slice has exactly m
+    elements, so the zip never null-pads; docs with < k tokens yield
+    m = 0 → no rows.  The whole thing is ONE whole-stage-codegen map
+    stage over the scan: no window, no Exchange — unlike the previous
+    posexplode + lead()-window shape, which shuffled the entire exploded
+    corpus just to co-locate doc rows that were already contiguous
+    (measured 1.4 s → 0.7 s at sf0.1, and removes a full corpus shuffle
+    from every shingle consumer at 100 TB).
+
+    ``distinct=True`` wraps the zipped array in array_distinct BEFORE the
+    explode: per-doc SET semantics computed row-locally — stateless, so
+    it stays legal on streaming plans (a post-explode distinct would be
+    a stateful streaming dedup) and still shuffle-free."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(k)])
+    if distinct:
+        zipped = F.array_distinct(zipped)
+    return _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(zipped).alias("s")
+    )
+
+
 def shingle_string_rows(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
     """(doc_id, sh) — one row per word-k-shingle occurrence as a STRING
-    (space-joined), built with the same codegen posexplode + lead-window
-    shape as ``hashed_shingle_rows`` instead of the interpreted
-    higher-order ``shingles()`` transform (~10x slower per row).  Rows
-    are a multiset (min-hash is multiset-invariant); apply collect_set
-    for set semantics.  Used by the md5-portable operators, which need
-    the string to hash."""
-    tok = _spread(df).select(
-        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "t0")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = tok.select(
-        "doc_id",
-        "t0",
-        *[F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)],
-    )
-    return grams.filter(F.col(f"t{k-1}").isNotNull()).select(
-        "doc_id", F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("sh")
+    (space-joined), built with the shuffle-free zip-slice gram shape
+    (``_gram_structs``) instead of the interpreted higher-order
+    ``shingles()`` transform (~10x slower per row).  Rows are a multiset
+    (min-hash is multiset-invariant); apply collect_set for set
+    semantics.  Used by the md5-portable operators, which need the
+    string to hash."""
+    return _gram_structs(df, text_col, id_col, k).select(
+        "doc_id", F.concat_ws(" ", *[F.col(f"s.t{i}") for i in range(k)]).alias("sh")
     )
 
 
 def hashed_shingle_rows(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
-    """(doc_id, shingle_h) — one row per DISTINCT word-k-shingle, shingles
-    hashed to int64 on the fly.
+    """(doc_id, shingle_h) — one row per word-k-shingle occurrence,
+    shingles hashed to int64 on the fly.
 
-    posexplode(tokens) + window lead() builds each k-gram without any
-    higher-order function, and xxhash64(tok, lead1, .., leadk-1) hashes
-    the k columns directly — no string concatenation.  Everything stays
-    in whole-stage codegen; the only shuffle is the doc_id window.
-    Downstream set ops (document frequency, prefix join, intersection)
-    then work on 8-byte longs instead of ~20-byte strings.  64-bit
-    collisions are ~1e-7 at millions of distinct shingles — negligible
-    against the exact-Jaccard thresholding.
+    The zip-slice gram shape (``_gram_structs``) builds each k-gram
+    without any higher-order function or window, and
+    xxhash64(t0, .., tk-1) hashes the k fields directly — no string
+    concatenation.  Everything is one whole-stage-codegen map stage with
+    ZERO shuffles.  Downstream set ops (document frequency, prefix join,
+    intersection) then work on 8-byte longs instead of ~20-byte strings.
+    64-bit collisions are ~1e-7 at millions of distinct shingles —
+    negligible against the exact-Jaccard thresholding.
     """
-    tok = _spread(df).select(
-        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "t0")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = tok.select(
-        "doc_id",
-        "t0",
-        *[F.lead("t0", i).over(w).alias(f"t{i}") for i in range(1, k)],
-    )
-    return grams.filter(F.col(f"t{k-1}").isNotNull()).select(
-        "doc_id", F.xxhash64(*[f"t{i}" for i in range(k)]).alias("shingle_h")
+    return _gram_structs(df, text_col, id_col, k).select(
+        "doc_id", F.xxhash64(*[F.col(f"s.t{i}") for i in range(k)]).alias("shingle_h")
     )
     # NOTE: rows are NOT per-doc distinct — min-hash is multiset-invariant
     # so minhash_signatures can consume them directly; set semantics are
@@ -695,6 +705,18 @@ def simhash_near_pairs(
 # --------------------------------------------------------------------------
 # Benchmark contamination (n-gram overlap against an eval/benchmark set)
 # --------------------------------------------------------------------------
+def _contamination_side(
+    df: DataFrame, text_col: str, id_col: str, k: int, out_id: str
+) -> DataFrame:
+    """(out_id, shingle_h) with per-doc DISTINCT shingles, computed as
+    one shuffle-free codegen map stage (zip-slice grams + row-local
+    array_distinct + xxhash64 of the k token fields)."""
+    return _gram_structs(df, text_col, id_col, k, distinct=True).select(
+        F.col("doc_id").alias(out_id),
+        F.xxhash64(*[F.col(f"s.t{i}") for i in range(k)]).alias("shingle_h"),
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -708,30 +730,25 @@ def contamination_pairs(
 
     The benchmark side is the small one by construction (eval suites are
     KBs-to-MBs against a 100 TB corpus), so its exploded shingle relation
-    is broadcast — the corpus is ONE streamed map pass: per-row shingle
-    array (higher-order transform, no window, so NO corpus shuffle —
-    unlike hashed_shingle_rows, whose lead() window exchanges the whole
-    exploded corpus), explode, hash-join against the broadcast.  The only
-    shuffle is the per-pair count over MATCHED rows, which is bounded by
-    the contamination volume, not the corpus.
+    is broadcast — the corpus is ONE streamed whole-stage-codegen map
+    pass (zip-slice grams, NO corpus shuffle), explode, hash-join
+    against the broadcast.  The only shuffle is the per-pair count over
+    MATCHED rows, which is bounded by the contamination volume, not the
+    corpus.
 
     Returns (doc_id, bench_id, n_shared) with n_shared = the number of
-    distinct shared k-grams.  Shingles are per-doc DISTINCT (set
-    semantics), so each shared gram counts once.
+    distinct shared k-grams.  Both sides use per-doc SET semantics
+    computed ROW-LOCALLY (array_distinct on the zipped gram array before
+    the explode — no corpus shuffle, and stateless so the same operator
+    serves the streaming twin), so count(*) over the matched rows is the
+    distinct shared-gram count.
     """
-
-    def exploded(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            doc_shingles(df, text_col, id_col, k)
-            .select(F.col("doc_id").alias(out_id), F.explode("shingles").alias("g"))
-            # 8-byte hash instead of the ~20-byte gram string: smaller
-            # broadcast and cheaper join keys (collisions ~1e-7)
-            .select(out_id, F.xxhash64("g").alias("shingle_h"))
-        )
-
     return (
-        exploded(corpus, "doc_id")
-        .join(F.broadcast(exploded(benchmark, "bench_id")), "shingle_h")
+        _contamination_side(corpus, text_col, id_col, k, "doc_id")
+        .join(
+            F.broadcast(_contamination_side(benchmark, text_col, id_col, k, "bench_id")),
+            "shingle_h",
+        )
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
@@ -969,24 +986,28 @@ def bloom_membership(
     verify candidates exactly; false negatives are impossible, so a
     bloom-prefiltered exact operator returns identical results.
     """
-    spark = small_hashes.sparkSession
-    n_items = small_hashes.select(hash_col).distinct().count()
+    # ONE job: collect the n_hash raw probe hashes per distinct item and
+    # size m afterwards — Python's % on a positive modulus matches
+    # Spark's pmod, so reducing driver-side is exact.  (The previous
+    # two-job shape — a distinct().count() to size m, then a second
+    # pass for positions — recomputed the whole small-side subtree
+    # twice; measured ~3.1 s → ~0.7 s of the contamination_bloom
+    # constant at sf0.1.)
+    rows = (
+        small_hashes.select(hash_col)
+        .distinct()
+        .select(*[F.xxhash64(F.col(hash_col), F.lit(i)) for i in range(n_hash)])
+        .collect()
+    )
+    n_items = len(rows)
     m = 64
     while m < n_items * bits_per_item:
         m *= 2
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col(hash_col), F.lit(i)), F.lit(m)).cast("long")
-        for i in range(n_hash)
-    ]
-    positions = (
-        small_hashes.select(F.explode(F.array(*pos_cols)).alias("p"))
-        .distinct()
-        .collect()
-    )
     words = [0] * (m // 64)
-    for r in positions:
-        p = r["p"]
-        words[p >> 6] |= 1 << (p & 63)
+    for r in rows:
+        for h in r:
+            p = h % m
+            words[p >> 6] |= 1 << (p & 63)
     # int64 two's complement for the Spark literal
     longs = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     bitset = F.array(*[F.lit(w).cast("long") for w in longs])
@@ -1018,20 +1039,12 @@ def contamination_pairs_bloom(
     bloom false positives, so results are identical to the unfiltered
     operator.
     """
-
-    def exploded(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            doc_shingles(df, text_col, id_col, k)
-            .select(F.col("doc_id").alias(out_id), F.explode("shingles").alias("g"))
-            .select(out_id, F.xxhash64("g").alias("shingle_h"))
-        )
-
-    bench = exploded(benchmark, "bench_id")
+    bench = _contamination_side(benchmark, text_col, id_col, k, "bench_id")
     member = bloom_membership(
         bench.select("shingle_h").distinct(), "shingle_h", F.col("shingle_h")
     )
     return (
-        exploded(corpus, "doc_id")
+        _contamination_side(corpus, text_col, id_col, k, "doc_id")
         .filter(member)
         .join(F.broadcast(bench), "shingle_h")
         .groupBy("doc_id", "bench_id")

@@ -572,11 +572,12 @@ def weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="cross-document duplicated-span signal (RefinedWeb-style): the "
     "fraction of each document's DISTINCT word-8-grams that also occur "
-    "in at least one other document. 8-grams are built by posexplode + "
-    "lead (no higher-order functions) and hashed to int64, so the "
-    "document-frequency aggregation shuffles 8-byte keys; the per-doc "
-    "fraction is a second small aggregation. Linear in corpus size — "
-    "the scalable form of exact-substring contamination scoring.",
+    "in at least one other document. 8-grams are built in one "
+    "shuffle-free codegen map stage (zip-of-shifted-slices) and hashed "
+    "to int64, so the document-frequency aggregation shuffles 8-byte "
+    "keys; the per-doc fraction is a second small aggregation. Linear "
+    "in corpus size — the scalable form of exact-substring "
+    "contamination scoring.",
 )
 def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup

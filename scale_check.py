@@ -155,6 +155,9 @@ def main() -> None:
         out_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "SCALING_RUN.json"
         )
+        if factor != 10:
+            return  # spot-check at another factor: print only, never
+            # merge mixed-factor rows into the canonical x10 JSON
         if subset and os.path.exists(out_path):
             with open(out_path) as f:
                 merged = json.load(f)
