@@ -126,11 +126,20 @@ def repetition_ratio(c: Column | str) -> Column:
 
 def bigram_repetition_ratio(c: Column | str) -> Column:
     """Fraction of word bigrams that repeat: 1 - distinct_bigrams/total.
-    Catches looping text that token-level repetition misses."""
+    Catches looping text that token-level repetition misses.
+
+    Distinct bigrams are counted as array_distinct over
+    arrays_zip(toks[0:n-1], toks[1:n-1]) — pair-struct equality equals
+    joined-string equality because tokens can't contain whitespace —
+    avoiding the interpreted higher-order ``shingles()`` transform
+    (~4x per-row cost on the documents table)."""
     toks = tokens(c)
     total = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, total).alias("a"), F.slice(toks, 2, total).alias("b")
+    )
     return F.when(
-        total > 0, (total - F.size(shingles(c, 2))) / total
+        total > 0, (total - F.size(F.array_distinct(pairs))) / total
     ).otherwise(F.lit(0.0))
 
 

@@ -404,15 +404,21 @@ def assign_cells(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
     )
     scored = corpus.join(F.broadcast(cents)).withColumn(
-        "cent_sim", cosine(vec_col, "cent_vec")
+        "cent_sim", cosine_pandas(vec_col, "cent_vec")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cent_sim").desc(), F.col("cell_id").asc()
+    # argmax via max_by aggregation (hash agg with map-side combine —
+    # the broadcast join leaves all num_cells candidate rows of a vector
+    # in one task, so the partial agg fully reduces before any shuffle)
+    # instead of a row_number() window, which SORTS the num_cells-way
+    # fan-out.  Tie-break: max (sim, -cell_id) == lowest cell id.
+    best = F.max_by(
+        F.struct(F.col("cell_id"), F.col(vec_col).alias("v")),
+        F.struct(F.col("cent_sim"), (-F.col("cell_id")).alias("nc")),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cell_id")
+        scored.groupBy(id_col)
+        .agg(best.alias("b"))
+        .select(id_col, F.col("b.v").alias(vec_col), F.col("b.cell_id").alias("cell_id"))
     )
 
 
@@ -477,40 +483,51 @@ def lloyd_centroids(
     cents: list[tuple[int, list[float]]] = [
         (i, [float(v) for v in r[1]]) for i, r in enumerate(init_rows)
     ]
+    # one projected-corpus cache shared by all rounds: every round is a
+    # driver-synchronous job, and without the persist each re-reads the
+    # parquet and re-casts (iters+1 redundant scans)
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    for _ in range(iters):
-        cents_df = spark.createDataFrame(cents, "cell_id long, cv array<double>")
-        scored = c.join(F.broadcast(cents_df)).withColumn(
-            "sim", cosine("v", "cv")
-        )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("sim").desc(), F.col("cell_id").asc()
-        )
-        best = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("cell_id", "v")
-        )
-        means = (
-            best.select("cell_id", F.posexplode("v").alias("dim", "val"))
-            .groupBy("cell_id", "dim")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell_id"], {})[r["dim"]] = r["m"]
-        cents = [
-            (
-                cell_id,
-                [by_cell[cell_id][d] for d in range(len(old))]
-                if cell_id in by_cell
-                else old,
+    ).persist()
+    try:
+        for _ in range(iters):
+            cents_df = spark.createDataFrame(cents, "cell_id long, cv array<double>")
+            scored = c.join(F.broadcast(cents_df)).withColumn(
+                "sim", cosine_pandas("v", "cv")
             )
-            for cell_id, old in cents
-        ]
+            # same max_by argmax shape as assign_cells (no fan-out sort);
+            # Arrow-batch cosine: fp drift vs the sequential form is
+            # ~1e-15 relative, orders of magnitude inside the 6-dp
+            # rounding that makes the trajectory cross-engine portable
+            best_agg = F.max_by(
+                F.struct(F.col("cell_id"), F.col("v")),
+                F.struct(F.col("sim"), (-F.col("cell_id")).alias("nc")),
+            )
+            best = (
+                scored.groupBy("vid")
+                .agg(best_agg.alias("b"))
+                .select(F.col("b.cell_id").alias("cell_id"), F.col("b.v").alias("v"))
+            )
+            means = (
+                best.select("cell_id", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cell_id", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["cell_id"], {})[r["dim"]] = r["m"]
+            cents = [
+                (
+                    cell_id,
+                    [by_cell[cell_id][d] for d in range(len(old))]
+                    if cell_id in by_cell
+                    else old,
+                )
+                for cell_id, old in cents
+            ]
+    finally:
+        c.unpersist()
     return spark.createDataFrame(cents, f"{id_col} long, {vec_col} array<double>")
 
 
@@ -555,7 +572,7 @@ def ivf_topk(
     scored = (
         cells.join(F.broadcast(probes), "cell_id")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos_sim", cosine("q_vec", vec_col))
+        .withColumn("cos_sim", cosine_pandas("q_vec", vec_col))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()

@@ -492,29 +492,42 @@ def percentile_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.order_stats import exact_kth_smallest
 
     li = load_table(spark, sf_dir, "lineitem")
-    vals = li.filter(F.col("l_extendedprice").isNotNull())
-    n = vals.count()
-    approx = vals.agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9], 1000).alias("a")
-    ).first()["a"]
-    rows = []
-    for p, a in zip((0.5, 0.9), approx):
-        k = math.ceil(n * p)  # == (n+1)//2 at p=0.5; >= 1 since n >= 1
-        exact = exact_kth_smallest(vals, "l_extendedprice", k)
-        # observed rank of the approx answer (how many rows <= it)
-        rank_of_approx = vals.filter(
-            F.col("l_extendedprice") <= F.lit(a)
-        ).count()
-        rows.append(
-            (
-                p,
-                float(n),
-                round(a, 2),
-                round(exact, 2),
-                round(abs(a - exact), 2),
-                int(abs(rank_of_approx - k)),
+    # the audit is ~a dozen driver-synchronous jobs (count, approx agg,
+    # 2 refinement loops, 2 rank probes) over ONE projected column —
+    # persist it once so each job reads the cached column instead of
+    # rescanning the parquet (7.6 s -> ~2 s at sf0.1).  Everything is
+    # materialized inside this function, so the persist is released
+    # before returning.
+    vals = (
+        li.select("l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .persist()
+    )
+    try:
+        n = vals.count()
+        approx = vals.agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9], 1000).alias("a")
+        ).first()["a"]
+        rows = []
+        for p, a in zip((0.5, 0.9), approx):
+            k = math.ceil(n * p)  # == (n+1)//2 at p=0.5; >= 1 since n >= 1
+            exact = exact_kth_smallest(vals, "l_extendedprice", k)
+            # observed rank of the approx answer (how many rows <= it)
+            rank_of_approx = vals.filter(
+                F.col("l_extendedprice") <= F.lit(a)
+            ).count()
+            rows.append(
+                (
+                    p,
+                    float(n),
+                    round(a, 2),
+                    round(exact, 2),
+                    round(abs(a - exact), 2),
+                    int(abs(rank_of_approx - k)),
+                )
             )
-        )
+    finally:
+        vals.unpersist()
     return spark.createDataFrame(
         rows,
         "p double, n double, approx double, exact double, "

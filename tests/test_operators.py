@@ -491,3 +491,72 @@ def test_k_core_raises_on_round_exhaustion(spark):
         k_core(pairs, k=2, max_rounds=3)
     # with enough rounds the pure chain's 2-core is empty
     assert k_core(pairs, k=2, max_rounds=30).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Zip-slice gram builder vs an independent Python reference
+# --------------------------------------------------------------------------
+def test_shingle_rows_match_python_reference(spark):
+    """hashed_shingle_rows / shingle_string_rows build k-grams via
+    explode(arrays_zip(slice..)) with no window — pin the produced
+    multiset per doc against a plain Python sliding-window reference,
+    including the edge docs (< k tokens, exactly k, repeated grams,
+    messy whitespace/case)."""
+    from data_engineering_individual_assignment_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "one two"),              # < k tokens -> no grams
+        (3, "x y z"),                # exactly k -> one gram
+        (4, "a b a b a b"),          # repeated grams (multiset!)
+        (5, "  Mixed   CASE  spacing\there "),
+        (6, ""),                     # empty text -> no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 3
+
+    def ref_grams(text):
+        toks = text.strip().lower().split()
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    expected = {}
+    for doc_id, text in rows:
+        for g in ref_grams(text):
+            expected[(doc_id, g)] = expected.get((doc_id, g), 0) + 1
+
+    got = {}
+    for r in dedup.shingle_string_rows(df, "text", "doc_id", k).collect():
+        key = (r["doc_id"], r["sh"])
+        got[key] = got.get(key, 0) + 1
+    assert got == expected
+
+    # hashed form: same per-doc multiset CARDINALITIES and the hash of
+    # equal grams must collide exactly (doc 4's repeats)
+    hrows = dedup.hashed_shingle_rows(df, "text", "doc_id", k).collect()
+    per_doc = {}
+    for r in hrows:
+        per_doc.setdefault(r["doc_id"], []).append(r["shingle_h"])
+    assert {d: len(v) for d, v in per_doc.items() if v} == {
+        d: len([g for g in ref_grams(t)]) for d, t in rows if ref_grams(t)
+    }
+    assert len(set(per_doc[4])) == 2  # "a b a"/"b a b" alternate
+
+
+def test_contamination_set_semantics_counts_repeats_once(spark):
+    """A gram repeated many times inside one corpus doc counts ONCE in
+    n_shared (per-doc set semantics via row-local array_distinct)."""
+    from data_engineering_individual_assignment_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "p q r p q r p q r p q r s t u")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(1, "p q r x y z q r s")], "doc_id long, text string"
+    )
+    out = dedup.contamination_pairs(
+        corpus, bench, "text", "doc_id", k=3, min_shared=1
+    ).collect()
+    assert len(out) == 1
+    # shared DISTINCT 3-grams are {"p q r", "q r s"}: "p q r" occurs 4x
+    # in the corpus doc but counts once
+    assert out[0]["n_shared"] == 2

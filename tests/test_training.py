@@ -294,3 +294,17 @@ def test_isotonic_per_group(spark):
     }
     assert got[("a", 1.0)] == got[("a", 2.0)] == 3.0  # violation pooled
     assert got[("b", 1.0)] == 0.0 and got[("b", 2.0)] == 9.0  # already monotone
+
+
+def test_quality_classifier_learns_separable_signal(spark):
+    """The unrolled-GD logistic classifier must genuinely learn on the
+    synthetic corpus: positive weight on the centered length feature
+    (content predicts the n_chars metadata gate) and accuracy strictly
+    better than the majority class."""
+    from data_engineering_individual_assignment_spark import plans
+
+    row = plans.CATALOG["quality_classifier_gd"].fn(spark, SF_SMALL).collect()[0]
+    assert row["b1"] > 0.5  # length feature carries the signal
+    majority = max(row["n_pos"], row["n_docs"] - row["n_pos"])
+    assert row["n_correct"] > majority
+    assert 0.0 <= row["mean_p_neg"] < row["mean_p_pos"] <= 1.0
