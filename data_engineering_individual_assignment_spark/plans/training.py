@@ -495,7 +495,8 @@ from ..functions.text import EN_STOPWORDS as _LR_SW  # noqa: E402
 _LR_STOPS = "', '".join(_LR_SW)
 
 _LR_FEATS_SQL = rf"""
-        SELECT CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+        SELECT doc_id,
+               CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
                1.0 AS x0,
                (len({_TOKS}) - 50.0) / 50.0 AS x1,
                (len({_TOKS}) - len(list_distinct({_TOKS}))) * 1.0
@@ -526,6 +527,48 @@ def _lr_gd_cte(i: int) -> str:
 _LR_FINAL_Z = " + ".join(
     f"(SELECT b{j} FROM r{_LR_ROUNDS})*{x}" for j, x in enumerate(_LR_XS)
 )
+
+
+def _lr_feature_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, y, x0..x3) — label + text-derived features, shared by the
+    trainer and the calibration/AUC audits."""
+    return d.select(
+        "doc_id",
+        (F.col("n_chars") >= 300).cast("double").alias("y"),
+        F.lit(1.0).alias("x0"),
+        ((TX.token_count("text") - F.lit(50.0)) / F.lit(50.0)).alias("x1"),
+        TX.repetition_ratio("text").alias("x2"),
+        TX.stopword_ratio("text").alias("x3"),
+    )
+
+
+def _lr_z(betas: list[float]):
+    return sum(F.lit(b) * F.col(x) for b, x in zip(betas, _LR_XS))
+
+
+def _lr_sigmoid(betas: list[float]):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-_lr_z(betas)))
+
+
+def _lr_train(f: DataFrame) -> list[float]:
+    """3 unrolled GD steps over a (pre-persisted) feature frame; each
+    step is one distributed avg-gradient aggregation, betas rounded to
+    6 dp IN SPARK so the rounding mode matches the DuckDB oracle."""
+    betas = [0.0] * len(_LR_XS)
+    for _ in range(_LR_ROUNDS):
+        p = _lr_sigmoid(betas)
+        row = f.agg(
+            *[
+                F.round(
+                    F.lit(b) + F.lit(_LR_ETA) * F.avg((F.col("y") - p) * F.col(x)),
+                    6,
+                ).alias(x)
+                for b, x in zip(betas, _LR_XS)
+            ]
+        ).first()
+        betas = [row[x] for x in _LR_XS]
+    return betas
+
 
 
 @register(
@@ -567,34 +610,11 @@ _LR_FINAL_Z = " + ".join(
 )
 def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    f = d.select(
-        (F.col("n_chars") >= 300).cast("double").alias("y"),
-        F.lit(1.0).alias("x0"),
-        ((TX.token_count("text") - F.lit(50.0)) / F.lit(50.0)).alias("x1"),
-        TX.repetition_ratio("text").alias("x2"),
-        TX.stopword_ratio("text").alias("x3"),
-    ).persist()  # 4 driver-synchronous jobs share one feature scan
+    # 4 driver-synchronous jobs share one feature scan
+    f = _lr_feature_frame(d).persist()
     try:
-        betas = [0.0] * len(_LR_XS)
-
-        def z_of(bs: list[float]):
-            return sum(F.lit(b) * F.col(x) for b, x in zip(bs, _LR_XS))
-
-        for _ in range(_LR_ROUNDS):
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_of(betas)))
-            row = f.agg(
-                *[
-                    F.round(
-                        F.lit(b)
-                        + F.lit(_LR_ETA) * F.avg((F.col("y") - p) * F.col(x)),
-                        6,
-                    ).alias(x)
-                    for b, x in zip(betas, _LR_XS)
-                ]
-            ).first()
-            betas = [row[x] for x in _LR_XS]
-
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_of(betas)))
+        betas = _lr_train(f)
+        p = _lr_sigmoid(betas)
         pred_ok = ((p >= 0.5) == (F.col("y") == 1.0)).cast("bigint")
         out = f.agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -622,4 +642,90 @@ def quality_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "b0 double, b1 double, b2 double, b3 double, n_docs bigint, n_pos bigint, "
         "n_correct bigint, mean_p_pos double, mean_p_neg double",
+    )
+
+
+_LR_TRAIN_CTES = (
+    "r0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),\n    "
+    + ",\n    ".join(_lr_gd_cte(i) for i in range(1, _LR_ROUNDS + 1))
+)
+
+
+@register(
+    "classifier_calibration",
+    sql=(
+        f"WITH f AS MATERIALIZED ({_LR_FEATS_SQL}),\n    "
+        + _LR_TRAIN_CTES
+        + f""",
+    m AS MATERIALIZED (
+        SELECT doc_id, y, 1.0/(1.0+exp(-({_LR_FINAL_Z}))) AS p FROM f),
+    ranked AS (
+        SELECT y, CAST(row_number() OVER (ORDER BY p, doc_id) AS DOUBLE) AS r
+        FROM m),
+    auc AS (
+        -- rank sums as doubles: at corpus scale sum(r) ~ n^2/2
+        -- overflows int64 long before the data stops fitting
+        SELECT round((sum(CASE WHEN y = 1.0 THEN r ELSE 0.0 END)
+                      - sum(y)*(sum(y)+1)/2.0)
+                     / (sum(y) * (count(*) - sum(y))), 4) AS auc
+        FROM ranked)
+    SELECT CAST(least(floor(p*10), 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 4) AS mean_p,
+           round(avg(y), 4) AS frac_pos,
+           (SELECT auc FROM auc) AS auc
+    FROM m
+    GROUP BY 1
+    ORDER BY 1"""
+    ),
+    doc="classifier accountability audit: reliability-curve bins (decile "
+    "of predicted probability -> observed positive rate; a calibrated "
+    "model has mean_p tracking frac_pos) plus rank AUC for the "
+    "quality_classifier_gd model, retrained by the same portable GD "
+    "trajectory.  The global probability ranking uses the bucketed "
+    "global_rank operator (no single-task window), and the bin "
+    "aggregation is a 10-key groupBy — both map-side-combine shapes "
+    "that hold at 100 TB.  AUC from distinct row_number ranks with a "
+    "doc_id tiebreak, derived identically in the oracle.",
+)
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    f = _lr_feature_frame(d).persist()
+    try:
+        betas = _lr_train(f)
+        scored = f.select("doc_id", "y", _lr_sigmoid(betas).alias("p"))
+        ranked = global_rank(
+            scored, "p", [F.col("doc_id")], ascending=True, rank_col="r"
+        )
+        n1 = F.sum("y")
+        # rank sums as doubles — sum of ranks ~ n^2/2 overflows int64
+        # at corpus scale (ANSI mode would raise, not wrap)
+        r_d = F.col("r").cast("double")
+        auc_row = ranked.agg(
+            F.round(
+                (F.sum(F.when(F.col("y") == 1.0, r_d).otherwise(0.0))
+                 - n1 * (n1 + 1) / 2.0)
+                / (n1 * (F.count("*") - n1)),
+                4,
+            ).alias("auc")
+        ).first()
+        bins = (
+            scored.groupBy(
+                F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("int").alias("bin")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.avg("p"), 4).alias("mean_p"),
+                F.round(F.avg("y"), 4).alias("frac_pos"),
+            )
+            .withColumn("auc", F.lit(float(auc_row["auc"])))
+            .orderBy("bin")
+        )
+        rows = bins.collect()
+    finally:
+        f.unpersist()
+    return spark.createDataFrame(
+        rows, "bin int, n bigint, mean_p double, frac_pos double, auc double"
     )

@@ -56,6 +56,12 @@ bucketed reconstruction), while its production form
 ntile_from_rank` — measures {twin_e:.2f}.  Prior rounds: r4 max 0.53 over 82
 queries, r3 0.56, r2 0.79.
 
+Worst current non-anchor, `late_shipment_priority`, is the Q4
+left-semi equi+range join crossing the broadcast threshold at ×10:
+Spark correctly switches the filtered-orders side from broadcast to a
+shuffle join, a one-time strategy step (each regime is itself linear),
+not a super-linear operator.
+
 This harness has now caught and fixed one real super-linear bug per
 round it grew:
 

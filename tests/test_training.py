@@ -308,3 +308,42 @@ def test_quality_classifier_learns_separable_signal(spark):
     majority = max(row["n_pos"], row["n_docs"] - row["n_pos"])
     assert row["n_correct"] > majority
     assert 0.0 <= row["mean_p_neg"] < row["mean_p_pos"] <= 1.0
+
+
+def test_classifier_calibration_bins_and_auc(spark):
+    """Reliability bins must partition the corpus, be monotone-ish in
+    mean_p, and the rank AUC must beat coin-flip on the separable
+    signal (and agree with a direct numpy AUC computation)."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.plans.training import (
+        _lr_feature_frame,
+        _lr_sigmoid,
+        _lr_train,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        load_table,
+    )
+
+    out = plans.CATALOG["classifier_calibration"].fn(spark, SF_SMALL).collect()
+    rows = sorted(out, key=lambda r: r["bin"])
+    d = load_table(spark, SF_SMALL, "documents")
+    assert sum(r["n"] for r in rows) == d.count()
+    mean_ps = [r["mean_p"] for r in rows]
+    assert mean_ps == sorted(mean_ps)  # bin means are ordered by bin
+    auc = rows[0]["auc"]
+    assert all(r["auc"] == auc for r in rows)
+    assert auc > 0.8  # the length signal separates strongly
+
+    # independent AUC: numpy mid-rank-free row_number with the same
+    # (p, doc_id) tiebreak
+    f = _lr_feature_frame(d)
+    betas = _lr_train(f)
+    scored = f.select("doc_id", "y", _lr_sigmoid(betas).alias("p")).collect()
+    arr = sorted(scored, key=lambda r: (r["p"], r["doc_id"]))
+    ranks = {r["doc_id"]: i + 1 for i, r in enumerate(arr)}
+    pos = [r for r in scored if r["y"] == 1.0]
+    n1, n0 = len(pos), len(scored) - len(pos)
+    u = sum(ranks[r["doc_id"]] for r in pos) - n1 * (n1 + 1) / 2.0
+    assert abs(auc - round(u / (n1 * n0), 4)) < 1e-9
