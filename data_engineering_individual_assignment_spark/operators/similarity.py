@@ -422,6 +422,100 @@ def assign_cells(
     )
 
 
+def semdedup_pairs(
+    corpus: DataFrame,
+    num_cells: int = 8,
+    threshold: float = 0.95,
+    window: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding space, then look for near-identical vectors WITHIN each
+    cluster only — never across the whole corpus.
+
+    Scale design (the published method made shuffle-bounded):
+
+    - cells: the ``num_cells`` lowest-id corpus vectors serve as
+      deterministic centroids (same scheme as ``ivf_topk``; k-means is a
+      drop-in).  Assignment is one broadcast join + argmax — a map pass.
+    - within-cell candidates: a raw within-cell self-join is
+      O(cell_size²).  Instead, members are RANKED by their (6-dp rounded)
+      cosine to the cell centroid, and only pairs within ``window`` ranks
+      of each other are scored — near-identical vectors have
+      near-identical centroid similarity, so true duplicates land on
+      adjacent ranks while pair work drops to O(n·window) (the
+      sorted-neighborhood blocking idea, Hernandez-Stolfo 1995, applied
+      in similarity space).
+    - verdict: exact cosine >= ``threshold`` on candidates only; each
+      dropped vector reports its lowest-id keeper.
+
+    The 6-dp rounding before ranking absorbs cross-engine float drift so
+    an independent engine replaying the identical recurrence derives the
+    same ranks — this is what makes the whole pipeline differential-
+    testable rather than rows-only.
+
+    Returns (cell_id, kept_id, dropped_id, cos_sim): one row per dropped
+    vector; survivors = corpus ids absent from dropped_id.
+    """
+    cents = corpus.select(id_col, vec_col).orderBy(id_col).limit(num_cells)
+    scored = corpus.select(id_col, vec_col).join(
+        F.broadcast(
+            cents.select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
+    ).withColumn("cent_sim", cosine_pandas(vec_col, "cent_vec"))
+    # argmax carries the winning similarity out so the rank pass below
+    # doesn't need to re-score (same max_by shape as assign_cells)
+    best = F.max_by(
+        F.struct(F.col("cell_id"), F.col(vec_col).alias("v"), F.col("cent_sim")),
+        F.struct(F.col("cent_sim"), (-F.col("cell_id")).alias("nc")),
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(best.alias("b"))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col("b.v").alias("v"),
+            F.col("b.cell_id").alias("cell_id"),
+            F.round(F.col("b.cent_sim"), 6).alias("r_sim"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cell_id").orderBy(F.col("r_sim").desc(), F.col("vid"))
+    )
+    ranked = assigned.withColumn("rn", rn)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + window),
+        )
+        .select(
+            F.col("a.cell_id").alias("cell_id"),
+            F.least("a.vid", "b.vid").alias("kept_id"),
+            F.greatest("a.vid", "b.vid").alias("dropped_id"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
+        )
+        .withColumn("cos_sim", cosine_pandas("v_a", "v_b"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    first_keeper = F.row_number().over(
+        Window.partitionBy("dropped_id").orderBy("kept_id")
+    )
+    return (
+        cand.withColumn("rk", first_keeper)
+        .filter(F.col("rk") == 1)
+        .select(
+            "cell_id", "kept_id", "dropped_id", F.round("cos_sim", 6).alias("cos_sim")
+        )
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     num_cells: int,

@@ -664,6 +664,76 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_cells",
+    sql=f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        -- planted exact clones (ids +1e6) so the 0.95 gate compares a
+        -- non-empty drop set (natural max pairwise cos is ~0.5)
+        SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 5),
+    cents AS (
+        SELECT vec_id AS cell_id, v AS cv FROM c ORDER BY vec_id LIMIT 8),
+    assign AS (
+        SELECT vec_id, v, cell_id, round(cs, 6) AS r_sim FROM (
+            SELECT c.vec_id, c.v, ct.cell_id,
+                   {_cos_sql('c.v', 'ct.cv')} AS cs,
+                   row_number() OVER (PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.v', 'ct.cv')} DESC,
+                                ct.cell_id ASC) AS rn
+            FROM c CROSS JOIN cents ct)
+        WHERE rn = 1),
+    ranked AS (
+        SELECT vec_id, v, cell_id,
+               row_number() OVER (PARTITION BY cell_id
+                   ORDER BY r_sim DESC, vec_id ASC) AS rn
+        FROM assign),
+    cand AS (
+        SELECT a.cell_id,
+               least(a.vec_id, b.vec_id)    AS kept_id,
+               greatest(a.vec_id, b.vec_id) AS dropped_id,
+               {_cos_sql('a.v', 'b.v')}     AS cs
+        FROM ranked a JOIN ranked b
+          ON a.cell_id = b.cell_id
+         AND b.rn > a.rn AND b.rn <= a.rn + 4
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.95),
+    one AS (
+        SELECT cell_id, kept_id, dropped_id, round(cs, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY dropped_id
+                                  ORDER BY kept_id ASC) AS rk
+        FROM cand)
+    SELECT cell_id, kept_id, dropped_id, cos_sim
+    FROM one WHERE rk = 1
+    ORDER BY dropped_id
+    """,
+    doc="SemDeDup (Abbas 2023) as a shuffle-bounded plan: embeddings "
+    "clustered to 8 deterministic centroids (ivf_topk's scheme), then "
+    "near-identical pairs searched WITHIN cells only — and within a "
+    "cell, only between members whose centroid-similarity ranks are "
+    "<= 4 apart (sorted-neighborhood blocking in similarity space: true "
+    "duplicates have near-identical centroid cosine, so pair work is "
+    "O(n*window) instead of O(cell^2)).  Exact cosine >= 0.95 verifies "
+    "candidates; each dropped vector reports its lowest-id keeper.  "
+    "Ranks order by the 6-dp ROUNDED centroid similarity so float "
+    "sum-order drift cannot flip a rank, which is why the oracle can "
+    "replay the identical cluster/rank/verify pipeline end-to-end.  "
+    "operators/similarity.py:semdedup_pairs; recall vs the exact "
+    "all-pairs query is pinned in tests.",
+)
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.semdedup_pairs(
+        corpus, num_cells=8, threshold=0.95, window=4
+    ).orderBy("dropped_id")
+
+
+@register(
     "embedding_lsh_near_dup",
     sql=f"""
     WITH corpus AS (

@@ -520,14 +520,24 @@ def discounted_revenue_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q4 shape (commitdate-free): orders from one quarter having "
     "at least one lineitem shipped >30 days after order date, counted per "
     "priority. The EXISTS is a left-semi join with an equi key plus a "
-    "range residual — no fan-out, no distinct needed.",
+    "range residual — no fan-out, no distinct needed.  The lineitem side "
+    "carries the DERIVED predicate l_shipdate > quarter_start + 30d "
+    "(implied by the orders date window through the join's range "
+    "residual, which Catalyst cannot infer itself) so the probe side is "
+    "pruned at the scan instead of shuffling every lineitem row.",
 )
 def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ts("1996-07-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1996-10-01 00:00:00"))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # o_orderdate >= 1996-07-01 and l_shipdate > o_orderdate + 30d
+    # together imply l_shipdate > 1996-07-31: result-preserving scan prune
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(F.col("l_shipdate") > _ts("1996-07-31 00:00:00"))
+    )
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     )

