@@ -117,10 +117,10 @@ _BM25_B = 0.75
 _TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
-@register(
-    "bm25_topk",
-    sql=rf"""
-    WITH dl AS (
+# the BM25 scoring pipeline as shared CTE text: bm25_topk consumes it
+# directly; hybrid_rrf_fusion reuses the identical lexical ranking as
+# one leg of the fusion
+_BM25_CTES = rf"""dl AS (
         SELECT doc_id, len({_TOKS}) AS dl FROM documents),
     stats AS (
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -143,33 +143,19 @@ _TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
         FROM tf
         JOIN dl ON tf.doc_id = dl.doc_id
         JOIN idf ON tf.tok = idf.tok
-        CROSS JOIN stats)
-    SELECT doc_id, round(sum(s), 4) AS bm25
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY sum(s) DESC, doc_id
-    LIMIT 10
-    """,
-    doc="BM25 keyword retrieval (Robertson/Sparck-Jones, k1=1.2 b=0.75) "
-    "for a fixed query over the corpus: tf per (doc, term) from a "
-    "filtered token explode, df per term and the (N, avgdl) corpus "
-    "constants as tiny broadcast relations, score as a pure column "
-    "expression, TakeOrdered top-10.  avgdl is computed as an exact "
-    "integer sum over a double division so the constant is "
-    "bit-identical across engines.  At 100 TB: the only corpus-sized "
-    "relation is the term-filtered explode (terms are selective), "
-    "everything it joins against is broadcast.",
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+        CROSS JOIN stats)"""
+
+
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, _s) raw BM25 score relation for the fixed term query —
+    the Spark twin of ``_BM25_CTES``, shared by bm25_topk and
+    hybrid_rrf_fusion."""
     dl = d.select("doc_id", TX.token_count("text").cast("long").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    toks = d.select(
-        "doc_id", F.explode(TX.tokens("text")).alias("tok")
-    )
+    toks = d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
     tf = (
         toks.filter(F.col("tok").isin(*_BM25_TERMS))
         .groupBy("doc_id", "tok")
@@ -191,12 +177,136 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
     )
+    return scored.groupBy("doc_id").agg(F.sum("s").alias("_s"))
+
+
+@register(
+    "bm25_topk",
+    sql=rf"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, round(sum(s), 4) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY sum(s) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="BM25 keyword retrieval (Robertson/Sparck-Jones, k1=1.2 b=0.75) "
+    "for a fixed query over the corpus: tf per (doc, term) from a "
+    "filtered token explode, df per term and the (N, avgdl) corpus "
+    "constants as tiny broadcast relations, score as a pure column "
+    "expression, TakeOrdered top-10.  avgdl is computed as an exact "
+    "integer sum over a double division so the constant is "
+    "bit-identical across engines.  At 100 TB: the only corpus-sized "
+    "relation is the term-filtered explode (terms are selective), "
+    "everything it joins against is broadcast.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("s").alias("_s"))
+        _bm25_scored(d)
         .orderBy(F.col("_s").desc(), F.col("doc_id"))
         .limit(10)
         .select("doc_id", F.round("_s", 4).alias("bm25"))
+    )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+@register(
+    "hybrid_rrf_fusion",
+    sql=rf"""
+    WITH {_BM25_CTES},
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sum(s) DESC, doc_id)
+                    AS INT) AS lex_rank
+        FROM scored GROUP BY doc_id
+        QUALIFY lex_rank <= {_RRF_DEPTH}),
+    qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    vres AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
+                            AS INT) AS vec_rank
+        FROM (SELECT e.vec_id AS doc_id,
+                     list_dot_product(e.embedding::DOUBLE[], qv.q)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(qv.q, qv.q))) AS cs
+              FROM embeddings e CROSS JOIN qv)
+        QUALIFY vec_rank <= {_RRF_DEPTH})
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           coalesce(l.lex_rank, 0) AS lex_rank,
+           coalesce(v.vec_rank, 0) AS vec_rank,
+           coalesce(CAST(round(1000000.0 / ({_RRF_K} + l.lex_rank)) AS BIGINT), 0)
+         + coalesce(CAST(round(1000000.0 / ({_RRF_K} + v.vec_rank)) AS BIGINT), 0)
+               AS rrf_micro
+    FROM lex l FULL OUTER JOIN vres v ON l.doc_id = v.doc_id
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT 10
+    """,
+    doc="hybrid retrieval via Reciprocal Rank Fusion (Cormack 2009, "
+    f"k={_RRF_K}): the BM25 lexical top-{_RRF_DEPTH} and the dense "
+    "cosine top-20 for one query (terms + doc-0's embedding, the "
+    "standard two-leg RAG query) fused by 1/(k+rank) — computed in "
+    "INTEGER micro-units so the fusion arithmetic is exact "
+    "cross-engine; absent legs rank 0.  Each leg is a distributed "
+    "TakeOrdered (never a global sort); the fusion join touches "
+    f"2x{_RRF_DEPTH} rows.  vec_id doubles as doc_id (the embeddings "
+    "table is the documents table's vector column).  At 100 TB both "
+    "legs stay one-scan + top-k fan-in; rank windows only ever see "
+    f"{_RRF_DEPTH} rows.",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_pandas
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex20 = (
+        _bm25_scored(d)
+        .orderBy(F.col("_s").desc(), F.col("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    # rank windows run AFTER the distributed TakeOrdered, over <= 20 rows
+    lex = lex20.withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("_s").desc(), F.col("doc_id")))
+        .cast("int"),
+    ).select("doc_id", "lex_rank")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    v20 = (
+        emb.crossJoin(F.broadcast(qv))
+        .withColumn("cs", cosine_pandas("embedding", "qvec"))
+        .select(F.col("vec_id").alias("doc_id"), "cs")
+        .orderBy(F.col("cs").desc(), F.col("doc_id"))
+        .limit(_RRF_DEPTH)
+    )
+    vres = v20.withColumn(
+        "vec_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("cs").desc(), F.col("doc_id")))
+        .cast("int"),
+    ).select("doc_id", "vec_rank")
+    rrf_leg = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1_000_000.0) / (_RRF_K + F.col(r))).cast("bigint"), F.lit(0)
+    )
+    # rrf computed BEFORE the rank coalesce: Spark 4 lateral column
+    # aliases would otherwise bind rrf's rank reference to the
+    # 0-coalesced alias and give absent legs 1/(k+0) instead of 0
+    return (
+        lex.join(vres, "doc_id", "full_outer")
+        .withColumn("rrf_micro", rrf_leg("lex_rank") + rrf_leg("vec_rank"))
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+            "rrf_micro",
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(10)
     )
 
 

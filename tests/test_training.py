@@ -427,3 +427,33 @@ def test_semdedup_operator_window_blocking_is_linear_in_candidates(spark):
     # with the contract schema, not error
     assert out.columns == ["cell_id", "kept_id", "dropped_id", "cos_sim"]
     assert out.count() == 0
+
+
+# --------------------------------------------------------- hybrid fusion
+def test_hybrid_rrf_fusion_legs_and_arithmetic(spark):
+    rows = _q(spark, "hybrid_rrf_fusion").collect()
+    assert 0 < len(rows) <= 10
+    # fused scores descend; exact integer micro-unit arithmetic
+    scores = [r.rrf_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        expect = 0
+        for rank in (r.lex_rank, r.vec_rank):
+            if rank > 0:
+                expect += round(1_000_000.0 / (60 + rank))
+        assert r.rrf_micro == expect
+        assert r.lex_rank > 0 or r.vec_rank > 0
+    # the query's own embedding (vec 0) must lead the dense leg
+    by_doc = {r.doc_id: r for r in rows}
+    assert 0 in by_doc and by_doc[0].vec_rank == 1
+    # lexical leg rank 1 == bm25_topk's top document
+    bm25_first = _q(spark, "bm25_topk").collect()[0].doc_id
+    lex1 = [r.doc_id for r in rows if r.lex_rank == 1]
+    assert lex1 == [bm25_first]
+    # a doc present on both legs must outrank single-leg docs with
+    # comparable ranks (the point of fusion)
+    both = [r for r in rows if r.lex_rank > 0 and r.vec_rank > 0]
+    if both:
+        single = [r for r in rows if (r.lex_rank > 0) != (r.vec_rank > 0)]
+        assert all(b.rrf_micro > s.rrf_micro for b in both for s in single
+                   if max(s.lex_rank, s.vec_rank) >= max(b.lex_rank, b.vec_rank))
