@@ -853,6 +853,64 @@ _DSIR_BUCKET_SQL = (
 )
 
 
+def _dsir_doc_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket, cnt) hashed-bigram feature counts per doc."""
+    toks = TX.tokens("text")
+    total = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, total).alias("a"), F.slice(toks, 2, total).alias("b")
+    )
+    bg = d.select(
+        "doc_id", "lang", F.explode(pairs).alias("p")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "p.a", "p.b")), 1, 8), 16, 10
+            ).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    return bg.groupBy("doc_id", "lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def dsir_lr_table(d: DataFrame, target_lang: str = "en") -> DataFrame:
+    """(bucket, lr_micro): the FROZEN DSIR importance model — per-bucket
+    add-1-smoothed log(p_target/p_raw) in int64 micro-units.  Bounded at
+    ``_DSIR_BUCKETS`` rows; train once on the reference corpus, then
+    score any shard/stream map-only (streaming/windows.dsir_score_stream)."""
+    doc_b = _dsir_doc_buckets(d)
+    raw = doc_b.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("r"))
+    tgt = (
+        doc_b.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("t"))
+    )
+    tot = raw.agg(F.sum("r").cast("double").alias("nr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("nt"))
+    )
+    B = float(_DSIR_BUCKETS)
+    return (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.coalesce(F.col("t"), F.lit(0)) + 1.0) / (F.col("nt") + B))
+                    - F.log((F.col("r") + 1.0) / (F.col("nr") + B))
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+
+
 @register(
     "dsir_importance_weights",
     sql=rf"""
@@ -905,54 +963,8 @@ _DSIR_BUCKET_SQL = (
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
-    total = F.greatest(F.size(toks) - 1, F.lit(0))
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, total).alias("a"), F.slice(toks, 2, total).alias("b")
-    )
-    bg = d.select(
-        "doc_id", "lang", F.explode(pairs).alias("p")
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(
-                F.substring(F.md5(F.concat_ws(" ", "p.a", "p.b")), 1, 8), 16, 10
-            ).cast("long")
-            % _DSIR_BUCKETS
-        ).alias("bucket"),
-    )
-    doc_b = bg.groupBy("doc_id", "lang", "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
-    raw = doc_b.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("r"))
-    tgt = (
-        doc_b.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.sum("cnt").cast("bigint").alias("t"))
-    )
-    tot = raw.agg(F.sum("r").cast("double").alias("nr")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("nt"))
-    )
-    B = float(_DSIR_BUCKETS)
-    lr = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.round(
-                (
-                    F.log((F.coalesce(F.col("t"), F.lit(0)) + 1.0) / (F.col("nt") + B))
-                    - F.log((F.col("r") + 1.0) / (F.col("nr") + B))
-                )
-                * 1_000_000
-            )
-            .cast("bigint")
-            .alias("lr_micro"),
-        )
-    )
     return (
-        doc_b.join(F.broadcast(lr), "bucket")
+        _dsir_doc_buckets(d).join(F.broadcast(dsir_lr_table(d)), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_bigrams"),

@@ -410,6 +410,54 @@ def contamination_stream(
     )
 
 
+def dsir_score_stream(
+    docs_stream: DataFrame, lr_table: DataFrame, n_buckets: int = 512
+) -> DataFrame:
+    """DSIR importance scoring at ingest — the deployment shape of
+    importance resampling: the log-ratio model is fit ONCE on a
+    reference corpus (plans/training.dsir_lr_table, bounded at
+    n_buckets rows) and every incoming document is scored map-only
+    against the frozen table.  The bounded model is collected into the
+    closure, so the stream side has NO aggregation and no state: append
+    mode, watermark-free, retry-idempotent.
+
+    Hashing parity with the batch scorer is exact: md5 first-8-hex-
+    digits of the space-joined lowercase bigram, mod n_buckets —
+    hashlib.md5 == Spark md5() == DuckDB md5(), and whitespace-run
+    str.split() == split(trim(lower()), '\\s+') on whitespace-delimited
+    text.  Weights are int64 micro-unit sums, so stream == batch is
+    bit-exact (asserted in tests), not approximately equal."""
+    import hashlib
+
+    lut = {r["bucket"]: r["lr_micro"] for r in lr_table.collect()}
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                toks = (text or "").strip().lower().split()
+                n = 0
+                w = 0
+                for a, b in zip(toks, toks[1:]):
+                    h = (
+                        int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16)
+                        % n_buckets
+                    )
+                    n += 1
+                    w += lut.get(h, 0)
+                if n:
+                    rows.append((doc_id, lang, n, w))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "n_bigrams", "weight_micro"]
+            )
+
+    return docs_stream.mapInPandas(
+        score, "doc_id long, lang string, n_bigrams bigint, weight_micro bigint"
+    )
+
+
 def incremental_dedup_stream(
     docs_stream: DataFrame, store_fingerprints: DataFrame
 ) -> DataFrame:

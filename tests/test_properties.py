@@ -247,3 +247,139 @@ def test_cosine_near_dup_pairs_equals_brute_force(spark, data):
             if c >= threshold:
                 want[(a, b)] = round(c, 6)
     assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=6,
+        max_size=30,
+    )
+)
+def test_semdedup_window_inf_equals_within_cell_brute_force(spark, vectors):
+    """With window >= cell size, semdedup_pairs must report EXACTLY the
+    within-cell cos>=threshold pairs (dropped = greater id, keeper = the
+    LOWEST matching smaller id) that a numpy brute force derives from
+    the same deterministic assignment."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    thr = 0.9
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n_cells = 3
+    got = {
+        (r.cell_id, r.kept_id, r.dropped_id)
+        for r in semdedup_pairs(
+            df, num_cells=n_cells, threshold=thr, window=len(rows)
+        ).collect()
+    }
+
+    # numpy reference: same centroid choice, same argmax w/ lowest-cell
+    # tie-break, all within-cell pairs
+    V = np.array([v for _, v in rows], dtype=float)
+    cents = {i: V[i] for i in range(min(n_cells, len(rows)))}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else 0.0
+
+    assign = {}
+    for i in range(len(rows)):
+        best = max(cents, key=lambda c: (cos(V[i], cents[c]), -c))
+        assign[i] = best
+    expect = {}
+    for j in range(len(rows)):
+        keepers = [
+            i
+            for i in range(j)
+            if assign[i] == assign[j] and cos(V[i], V[j]) >= thr
+        ]
+        if keepers:
+            expect[(assign[j], min(keepers), j)] = True
+    assert got == set(expect)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.lists(st.sampled_from("abcdefg"), min_size=2, max_size=12),
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_dsir_weights_equal_numpy_reference(spark, corpus):
+    """The whole DSIR pipeline (hash buckets, smoothed distributions,
+    micro-unit rounding, int64 sums) must equal an independent plain-
+    Python derivation on generated corpora."""
+    import hashlib
+    import math
+
+    from data_engineering_individual_assignment_spark.plans.training import (
+        _DSIR_BUCKETS,
+        _dsir_doc_buckets,
+        dsir_lr_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, lang, " ".join(toks)) for i, (lang, toks) in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.weight_micro)
+        for r in (
+            _dsir_doc_buckets(df)
+            .join(F.broadcast(dsir_lr_table(df)), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n_bigrams"),
+                F.sum(F.col("cnt") * F.col("lr_micro"))
+                .cast("bigint")
+                .alias("weight_micro"),
+            )
+            .collect()
+        )
+    }
+
+    def bucket(bg):
+        return int(hashlib.md5(bg.encode()).hexdigest()[:8], 16) % _DSIR_BUCKETS
+
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for i, lang, text in rows:
+        toks = text.strip().lower().split()
+        for a, b in zip(toks, toks[1:]):
+            h = bucket(f"{a} {b}")
+            raw[h] = raw.get(h, 0) + 1
+            if lang == "en":
+                tgt[h] = tgt.get(h, 0) + 1
+            per_doc.setdefault(i, {})[h] = per_doc.get(i, {}).get(h, 0) + 1
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    B = float(_DSIR_BUCKETS)
+
+    def rnd(x):  # round-half-away-from-zero, matching both engines
+        return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+    lr = {
+        h: rnd(
+            (math.log((tgt.get(h, 0) + 1.0) / (nt + B)) - math.log((r + 1.0) / (nr + B)))
+            * 1_000_000
+        )
+        for h, r in raw.items()
+    }
+    expect = {
+        i: (sum(c.values()), sum(cnt * lr[h] for h, cnt in c.items()))
+        for i, c in per_doc.items()
+    }
+    assert got == expect

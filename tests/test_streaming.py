@@ -490,3 +490,29 @@ def test_cms_stream_equals_batch(spark, tmp_path):
     s = {(r.row, r.bucket): r.n for r in stream_cells.collect()}
     b = {(r.row, r.bucket): r.n for r in batch_cells.collect()}
     assert s == b and len(s) > 0
+
+
+def test_dsir_score_stream_equals_batch(spark, tmp_path):
+    """Frozen-model importance scoring at ingest: the streamed corpus
+    scored against the batch-trained log-ratio table must reproduce the
+    batch catalog query BIT-EXACTLY (int64 micro-unit arithmetic on
+    both paths)."""
+    from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.plans.training import (
+        dsir_lr_table,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    d = load_table(spark, SF_SMALL, "documents")
+    landing = str(tmp_path / "dsir_docs")
+    d.write.parquet(landing)
+
+    stream_out = W.run_to_memory(
+        spark,
+        W.dsir_score_stream(W.stream_documents(spark, landing), dsir_lr_table(d)),
+        mode="append",
+    )
+    batch_out = plans.CATALOG["dsir_importance_weights"].fn(spark, SF_SMALL)
+    cols = ["doc_id", "lang", "n_bigrams", "weight_micro"]
+    assert _canon(stream_out, cols) == _canon(batch_out, cols)
