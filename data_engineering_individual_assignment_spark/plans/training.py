@@ -1072,3 +1072,172 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(scheme("length_bucketed", ["len_bucket", "shard"]))
         .orderBy("scheme")
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval evaluation: recall@k / MRR / nDCG against label relevance
+# --------------------------------------------------------------------------
+_RM_COS = (
+    "list_dot_product(c.v, q.qv)"
+    " / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@register(
+    "retrieval_metrics",
+    sql=f"""
+    WITH c AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, label AS q_label, v AS qv
+        FROM c WHERE vec_id < 10),
+    top5 AS (
+        SELECT query_id, q_label, n_label, rnk FROM (
+            SELECT q.query_id, q.q_label, c.label AS n_label,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_RM_COS} DESC, c.vec_id ASC) AS rnk
+            FROM c JOIN q ON c.vec_id != q.query_id)
+        WHERE rnk <= 5),
+    nrel AS (
+        SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM c JOIN q ON c.vec_id != q.query_id AND c.label = q.q_label
+        GROUP BY q.query_id),
+    hits AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               min(CASE WHEN n_label = q_label THEN rnk END) AS first_rel,
+               sum(CASE WHEN n_label = q_label
+                        THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+        FROM top5 GROUP BY query_id)
+    SELECT h.query_id, n.n_rel, h.n_hits,
+           round(h.n_hits * 1.0 / least(5, n.n_rel), 6) AS recall_at_5,
+           round(coalesce(1.0 / h.first_rel, 0.0), 6) AS mrr,
+           round(h.dcg / list_sum([1.0 / log2(i + 1)
+                                   for i in range(1, least(5, n.n_rel) + 1)]),
+                 6) AS ndcg_at_5
+    FROM hits h JOIN nrel n USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="retrieval evaluation harness: exact cosine top-5 per query "
+    "(ann_brute_force's run), graded against label relevance "
+    "(neighbor relevant iff it shares the query's label) as recall@5, "
+    "MRR, and nDCG@5 with the standard min(k, n_rel) ideal-DCG "
+    "normalizer.  The metric relations are per-query aggregates over "
+    "the top-k run — evaluating retrieval at corpus scale costs one "
+    "run + a label-count aggregate, nothing pairwise beyond the run "
+    "itself.  The oracle replays run AND grading end-to-end.",
+)
+def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    run = similarity.brute_force_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    top5 = (
+        run.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+            ),
+            "neighbor_id",
+        )
+    )
+    rel = F.col("n_label") == F.col("q_label")
+    hits = top5.groupBy("query_id").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        F.min(F.when(rel, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.when(rel, F.lit(1.0) / F.log2(F.col("rnk") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    nrel = (
+        emb.select("vec_id", "label")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("q_label"),
+                )
+            ),
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_rel"))
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, int(least(5, n_rel))), 0D,"
+        " (acc, i) -> acc + 1.0 / log2(i + 1))"
+    )
+    return (
+        hits.join(nrel, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.least(F.lit(5), F.col("n_rel")), 6
+            ).alias("recall_at_5"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    sql=rf"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS bpe_tokens,
+           round(sum(len(regexp_extract_all(text,
+                    '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]'))) * 1.0
+                 / sum(len({_TOKS})), 6) AS fertility,
+           round(sum(n_chars) * 1.0
+                 / sum(len(regexp_extract_all(text,
+                      '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9\s]'))), 6)
+               AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="tokenizer fertility by language: BPE-ish subword tokens per "
+    "whitespace word and characters per subword token, per lang — the "
+    "standard multilingual-tokenizer budget audit (fertility >> 1 for "
+    "a language means its documents cost disproportionate context "
+    "window and training FLOPs per word).  One codegen map pass + a "
+    "|langs|-key aggregate.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "lang",
+        TX.token_count("text").cast("long").alias("ws"),
+        bpe_ish_token_count("text").cast("long").alias("bpe"),
+        F.col("n_chars"),
+    ).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6).alias("fertility"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("bpe"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+    return g.orderBy("lang")

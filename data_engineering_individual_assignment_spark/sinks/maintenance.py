@@ -170,3 +170,66 @@ def find_orphan_files(path: str, manifest: DataFrame) -> list[str]:
         p for p in on_disk
         if p not in committed and os.path.basename(p) not in committed
     )
+
+
+def targeted_delete(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    key_values: list,
+) -> dict:
+    """Right-to-be-forgotten deletion that rewrites ONLY the part files
+    whose ``key_col`` min/max range can contain a target key — the
+    Delta/Iceberg DELETE file-pruning pattern expressed on plain
+    parquet.  At 100 TB this is the difference between rewriting a
+    table and rewriting a handful of files: the ``scan_stats`` manifest
+    (metadata-sized) identifies candidate files; untouched files are
+    never read, never rewritten, and keep their identity (mtime, stats,
+    cache residency).
+
+    Touched files are rewritten IN PLACE (same basename) with the
+    matching rows filtered out, so the manifest's untouched rows stay
+    valid.  A clustered layout (``zorder_write`` / range-partitioned
+    writes) is what makes the pruning selective: on a random layout
+    every file's range contains every key and this degrades —
+    measurably, see the test — to a full rewrite.
+
+    Returns {"files_total", "files_rewritten", "rows_deleted"}.
+    """
+    manifest = scan_stats(spark, path, [key_col]).collect()
+    lo, hi = f"{key_col}_min", f"{key_col}_max"
+    touched = [
+        r["file"]
+        for r in manifest
+        if any(r[lo] <= v <= r[hi] for v in key_values)
+    ]
+    rows_deleted = 0
+    for fname in touched:
+        fpath = os.path.join(path, fname)
+        df = spark.read.parquet(fpath)
+        keep = df.filter(~F.col(key_col).isin(key_values))
+        n_before = df.count()
+        # write to a sibling temp dir, then swap the single part file in
+        # place of the original so the table layout is unchanged
+        tmp = fpath + ".__rewrite__"
+        keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        n_after = spark.read.parquet(os.path.join(tmp, part)).count()
+        rows_deleted += n_before - n_after
+        os.replace(os.path.join(tmp, part), fpath)
+        # the local Hadoop FS keeps a sibling checksum per part file;
+        # stale ones would fail the next read of the replaced file
+        crc = os.path.join(path, f".{fname}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "files_total": len(manifest),
+        "files_rewritten": len(touched),
+        "rows_deleted": rows_deleted,
+    }

@@ -155,3 +155,30 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path).withColumn(
         "source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, required: dict[str, str] | None = None
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema=true`` takes
+    the UNION of every file footer's schema (a crawl that gained a
+    column mid-run reads as one relation; files written before the
+    column carry nulls), then ``required`` {column: type} backstops the
+    contract — a column absent from EVERY file is materialized as a
+    typed null column, and present columns are cast to the declared
+    type so downstream plans never depend on which files happened to be
+    scanned.
+
+    mergeSchema costs one footer read per file (driver-side, metadata
+    only) — at 100 TB prefer declaring the superset schema explicitly
+    via ``required`` and leaving mergeSchema to the ragged-landing-zone
+    case it exists for."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, typ in (required or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.col(col).cast(typ))
+        else:
+            df = df.withColumn(col, F.lit(None).cast(typ))
+    return df

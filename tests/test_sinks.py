@@ -354,3 +354,62 @@ def test_find_orphan_files(spark, tmp_path):
 
     os.remove(os.path.join(d, debris))  # "vacuum"
     assert find_orphan_files(d, manifest) == []
+
+
+def test_read_parquet_evolved_merges_and_backstops(spark, tmp_path):
+    """Schema evolution: files written before a column appeared must read
+    as nulls under the merged schema, and the required-contract backstop
+    must add a typed null column absent from every file."""
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    base = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(base)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(base)
+
+    out = read_parquet_evolved(
+        spark, base, required={"score": "double", "tier": "int"}
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert set(out.columns) == {"id", "name", "score", "tier"}
+    assert rows[1].score is None and rows[2].score == 9.5
+    assert rows[1].tier is None and rows[2].tier is None
+    assert dict(out.dtypes)["tier"] == "int"
+
+
+def test_targeted_delete_prunes_files_on_clustered_layout(spark, tmp_path):
+    """On a range-clustered layout the delete must rewrite only the
+    files whose min/max contain the keys; on a round-robin layout the
+    same delete degrades to touching every file — the test pins BOTH,
+    because the pruning claim is only real if the counter-case shows."""
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        targeted_delete,
+    )
+
+    df = spark.range(0, 4000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    )
+
+    clustered = str(tmp_path / "clustered")
+    df.repartitionByRange(8, "id").write.parquet(clustered)
+    out = targeted_delete(spark, clustered, "id", [7, 11])
+    assert out["files_total"] == 8
+    assert out["files_rewritten"] == 1  # 7 and 11 live in the same range file
+    assert out["rows_deleted"] == 2
+    remaining = spark.read.parquet(clustered)
+    assert remaining.count() == 3998
+    assert remaining.filter(F.col("id").isin(7, 11)).count() == 0
+
+    scattered = str(tmp_path / "scattered")
+    df.repartition(8).write.parquet(scattered)  # round-robin: no locality
+    out2 = targeted_delete(spark, scattered, "id", [7, 11])
+    assert out2["rows_deleted"] == 2
+    # no locality => many files' ranges span the keys; the clustered
+    # layout's pruning advantage must be strict
+    assert out2["files_rewritten"] > out["files_rewritten"]
+    assert spark.read.parquet(scattered).count() == 3998

@@ -457,3 +457,56 @@ def test_hybrid_rrf_fusion_legs_and_arithmetic(spark):
         single = [r for r in rows if (r.lex_rank > 0) != (r.vec_rank > 0)]
         assert all(b.rrf_micro > s.rrf_micro for b in both for s in single
                    if max(s.lex_rank, s.vec_rank) >= max(b.lex_rank, b.vec_rank))
+
+
+# ------------------------------------------------------ retrieval eval
+def test_retrieval_metrics_bounds_and_numpy_agreement(spark):
+    import numpy as np
+
+    rows = {r.query_id: r for r in _q(spark, "retrieval_metrics").collect()}
+    assert len(rows) == 10
+    for r in rows.values():
+        assert 0 <= r.n_hits <= 5
+        assert 0.0 <= r.recall_at_5 <= 1.0
+        assert r.mrr == 0.0 or 0.2 - 1e-9 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg_at_5 <= 1.0 + 1e-9
+        assert r.n_rel > 0
+
+    # independent numpy derivation of every query's metrics
+    emb = load_table(spark, SF_SMALL, "embeddings").collect()
+    V = {e.vec_id: np.array(e.embedding, dtype=float) for e in emb}
+    L = {e.vec_id: e.label for e in emb}
+    for qid in range(10):
+        sims = sorted(
+            ((float(V[i] @ V[qid] / (np.linalg.norm(V[i]) * np.linalg.norm(V[qid]))), i)
+             for i in V if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        rel = [1 if L[i] == L[qid] else 0 for _, i in sims]
+        n_rel = sum(1 for i in V if i != qid and L[i] == L[qid])
+        r = rows[qid]
+        assert r.n_rel == n_rel
+        assert r.n_hits == sum(rel)
+        assert r.recall_at_5 == round(sum(rel) / min(5, n_rel), 6)
+        first = next((k + 1 for k, x in enumerate(rel) if x), None)
+        assert r.mrr == (round(1.0 / first, 6) if first else 0.0)
+        dcg = sum(x / np.log2(k + 2) for k, x in enumerate(rel))
+        idcg = sum(1.0 / np.log2(k + 2) for k in range(min(5, n_rel)))
+        assert abs(r.ndcg_at_5 - round(dcg / idcg, 6)) < 2e-6
+
+
+def test_tokenizer_fertility_conservation(spark):
+    from data_engineering_individual_assignment_spark.functions.text import (
+        token_count,
+    )
+
+    rows = _q(spark, "tokenizer_fertility").collect()
+    d = load_table(spark, SF_SMALL, "documents")
+    assert {r.lang for r in rows} == {
+        x.lang for x in d.select("lang").distinct().collect()
+    }
+    total_ws = d.select(F.sum(token_count("text"))).first()[0]
+    assert sum(r.ws_tokens for r in rows) == total_ws
+    for r in rows:
+        assert r.fertility > 0 and r.chars_per_token > 0
+        assert r.bpe_tokens >= r.ws_tokens  # subwords at least split words
