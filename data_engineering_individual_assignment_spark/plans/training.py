@@ -1178,7 +1178,9 @@ def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (acc, i) -> acc + 1.0 / log2(i + 1))"
     )
     return (
-        hits.join(nrel, "query_id")
+        # both sides are query-count-sized (10 rows); without the hint the
+        # post-aggregation stats estimate picks a SortMergeJoin
+        hits.join(F.broadcast(nrel), "query_id")
         .select(
             "query_id",
             "n_rel",

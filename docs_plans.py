@@ -48,6 +48,21 @@ SHOW = {
     "digest aggregates compared via a 64-row full-outer join; the "
     "row-level pass joins only buckets flagged different (broadcast of "
     "the damaged-bucket list).",
+    "semdedup_cells": "SemDeDup: centroid assignment is a broadcast join "
+    "+ max_by argmax (one corpus scan); the within-cell candidate join "
+    "is an equi join on cell_id with the rank-window residual — no "
+    "CartesianProduct, pair fan-out bounded by the window.",
+    "dsir_importance_weights": "DSIR scoring: one bigram explode, a "
+    "(doc, bucket) combine-heavy hash aggregate, and the 512-row "
+    "log-ratio model broadcast back — per-doc weights are int64 sums, "
+    "no float accumulation anywhere.",
+    "hybrid_rrf_fusion": "RRF fusion: each retrieval leg ends in "
+    "TakeOrderedAndProject (distributed top-k, no global sort); the "
+    "20-row rank windows and the full-outer fusion join run on "
+    "query-depth-sized relations.",
+    "retrieval_metrics": "Retrieval eval: the run is the broadcast "
+    "brute-force top-k; grading joins broadcast the 10-row query-label "
+    "relation; metrics are per-query aggregates — no SortMergeJoin.",
 }
 
 

@@ -291,3 +291,37 @@ def test_hll_error_within_bounds(spark):
     for r in rows:
         assert abs(r["rel_err_rsd05"]) <= 0.15, r
         assert abs(r["rel_err_rsd01"]) <= 0.03, r
+
+
+def test_dsir_scan_prunes_documents_columns(spark):
+    """DSIR must read only (doc_id, lang, text) from the documents scan —
+    n_chars and source pruned away; the lr relations join broadcast."""
+    plan = _plan(spark, "dsir_importance_weights", execute=True)
+    for read in plan.split("ReadSchema")[1:]:
+        head = read.split("\n")[0]
+        assert "n_chars" not in head and "source" not in head
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tokenizer_fertility_scan_prunes(spark):
+    """Fertility reads (lang, text, n_chars) only — doc_id/source pruned."""
+    plan = _plan(spark, "tokenizer_fertility")
+    head = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "doc_id" not in head and "source" not in head
+
+
+def test_retrieval_metrics_broadcasts_queries_and_labels(spark):
+    """The run side (corpus x 10 queries) and the grading joins must all
+    broadcast the tiny side - no SortMergeJoin anywhere."""
+    plan = _plan(spark, "retrieval_metrics", execute=True)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_semdedup_no_cartesian_and_bounded_window_join(spark):
+    """The within-cell pair join must be a real join on cell_id (no
+    CartesianProduct); centroid assignment broadcasts the 8 centroids."""
+    plan = _plan(spark, "semdedup_cells", execute=True)
+    assert "CartesianProduct" not in plan
