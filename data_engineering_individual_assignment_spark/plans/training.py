@@ -1243,3 +1243,105 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return g.orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Next-fit-decreasing bin packing (document-boundary-respecting layout)
+# --------------------------------------------------------------------------
+_BIN_CAP = 128
+
+
+@register(
+    "bin_packing_manifest",
+    sql=rf"""
+    WITH RECURSIVE seq AS (
+        SELECT shard, n,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n DESC, doc_id) AS rn
+        FROM (SELECT doc_id, doc_id % {_N_SHARDS} AS shard,
+                     len({_TOKS}) AS n
+              FROM documents)
+        WHERE n BETWEEN 1 AND {_BIN_CAP}),
+    walk AS (
+        SELECT shard, rn, n, 0 AS bin_id, n AS tok
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.shard, s.rn, s.n,
+               CASE WHEN w.tok + s.n > {_BIN_CAP}
+                    THEN w.bin_id + 1 ELSE w.bin_id END,
+               CASE WHEN w.tok + s.n > {_BIN_CAP}
+                    THEN s.n ELSE w.tok + s.n END
+        FROM seq s JOIN walk w ON s.shard = w.shard AND s.rn = w.rn + 1)
+    SELECT CAST(shard AS BIGINT)  AS shard,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT)   AS tokens_filled,
+           round(sum(n) / {_BIN_CAP}.0, 6) AS fill_pct
+    FROM walk GROUP BY shard, bin_id
+    ORDER BY shard, bin_id
+    """,
+    doc="document-boundary-respecting sequence layout: next-fit-"
+    f"DECREASING bin packing into {_BIN_CAP}-token bins — the "
+    "alternative to sequence_packing's concat-and-chop when documents "
+    "must not cross sequence boundaries (no attention-mask "
+    "fragmentation; the waste moves into per-bin slack, which this "
+    "manifest makes measurable).  The greedy open-bin recurrence is "
+    "NON-associative, so the honest shapes are a partition-level "
+    "segmented scan (one repartition(shard) + sortWithinPartitions + "
+    "one mapInPandas walk, ~1 Python call per PARTITION — the "
+    "capped_decay_balance discipline) vs a recursive CTE replaying the "
+    "IDENTICAL integer recurrence; every column is exact int64, so the "
+    "comparison has zero float slack.  Shards bound the sequential "
+    "chains: at 100 TB the shard count scales with the cluster and "
+    "each chain is one task's linear walk.",
+)
+def bin_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        TX.token_count("text").cast("long").alias("n"),
+    ).filter(F.col("n").between(1, _BIN_CAP))
+    part = docs.repartition("shard").sortWithinPartitions(
+        "shard", F.col("n").desc(), F.col("doc_id")
+    )
+    CAP = _BIN_CAP
+
+    def walk(batches):
+        cur = None
+        bin_id = 0
+        tok = 0
+        n_docs = 0
+        out: list[tuple[int, int, int, int]] = []
+        for pdf in batches:
+            for s, n in zip(pdf["shard"].tolist(), pdf["n"].tolist()):
+                if s != cur:
+                    if cur is not None:
+                        out.append((cur, bin_id, n_docs, tok))
+                    cur, bin_id, tok, n_docs = s, 0, n, 1
+                elif tok + n > CAP:
+                    out.append((cur, bin_id, n_docs, tok))
+                    bin_id += 1
+                    tok, n_docs = n, 1
+                else:
+                    tok += n
+                    n_docs += 1
+        if cur is not None:
+            out.append((cur, bin_id, n_docs, tok))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["shard", "bin_id", "n_docs", "tokens_filled"]
+            )
+
+    packed = part.mapInPandas(
+        walk, schema="shard long, bin_id long, n_docs bigint, tokens_filled bigint"
+    )
+    return packed.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        "tokens_filled",
+        F.round(F.col("tokens_filled") / float(CAP), 6).alias("fill_pct"),
+    ).orderBy("shard", "bin_id")

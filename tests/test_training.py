@@ -510,3 +510,55 @@ def test_tokenizer_fertility_conservation(spark):
     for r in rows:
         assert r.fertility > 0 and r.chars_per_token > 0
         assert r.bpe_tokens >= r.ws_tokens  # subwords at least split words
+
+
+# ------------------------------------------------------- bin packing
+def test_bin_packing_invariants_and_python_replay(spark):
+    from data_engineering_individual_assignment_spark.plans.training import (
+        _BIN_CAP,
+        _N_SHARDS,
+    )
+    from data_engineering_individual_assignment_spark.functions.text import (
+        token_count,
+    )
+
+    rows = _q(spark, "bin_packing_manifest").collect()
+    d = load_table(spark, SF_SMALL, "documents")
+    eligible = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % _N_SHARDS).alias("shard"),
+            token_count("text").cast("long").alias("n"),
+        )
+        .filter(F.col("n").between(1, _BIN_CAP))
+        .collect()
+    )
+    # conservation + cap + density
+    assert sum(r.tokens_filled for r in rows) == sum(e.n for e in eligible)
+    assert sum(r.n_docs for r in rows) == len(eligible)
+    per_shard: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.tokens_filled <= _BIN_CAP
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, bins in per_shard.items():
+        bins.sort(key=lambda r: r.bin_id)
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+    # full plain-Python replay of the next-fit-decreasing recurrence
+    expect: dict[tuple[int, int], tuple[int, int]] = {}
+    for shard in sorted({e.shard for e in eligible}):
+        docs = sorted(
+            ((e.n, e.doc_id) for e in eligible if e.shard == shard),
+            key=lambda t: (-t[0], t[1]),
+        )
+        bin_id, tok, n_docs = 0, 0, 0
+        for n, _ in docs:
+            if n_docs and tok + n > _BIN_CAP:
+                expect[(shard, bin_id)] = (n_docs, tok)
+                bin_id, tok, n_docs = bin_id + 1, n, 1
+            else:
+                tok += n
+                n_docs += 1
+        if n_docs:
+            expect[(shard, bin_id)] = (n_docs, tok)
+    got = {(r.shard, r.bin_id): (r.n_docs, r.tokens_filled) for r in rows}
+    assert got == expect
