@@ -1345,3 +1345,166 @@ def bin_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_filled",
         F.round(F.col("tokens_filled") / float(CAP), 6).alias("fill_pct"),
     ).orderBy("shard", "bin_id")
+
+
+# --------------------------------------------------------------------------
+# Dedup threshold sensitivity + epoch shuffling
+# --------------------------------------------------------------------------
+_DTC_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+_DTC_TH_LIST = ", ".join(str(t) for t in _DTC_THRESHOLDS)
+
+
+@register(
+    "dedup_threshold_curve",
+    sql=rf"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 3),
+    pairs AS MATERIALIZED (
+        -- referenced by pc AND dc; unmaterialized, DuckDB would run the
+        -- all-pairs Jaccard twice
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                     6) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles)))
+              >= 0.5),
+    th AS (SELECT unnest([{_DTC_TH_LIST}]) AS threshold),
+    pc AS (
+        SELECT th.threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM th JOIN pairs p ON p.j >= th.threshold
+        GROUP BY th.threshold),
+    dc AS (
+        SELECT threshold, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+        FROM (SELECT th.threshold, unnest([p.doc_a, p.doc_b]) AS d
+              FROM th JOIN pairs p ON p.j >= th.threshold)
+        GROUP BY threshold)
+    SELECT th.threshold,
+           coalesce(pc.n_pairs, 0) AS n_pairs,
+           coalesce(dc.n_docs_affected, 0) AS n_docs_affected
+    FROM th LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+    ORDER BY th.threshold
+    """,
+    doc="dedup aggressiveness tuning curve: near-dup pair count and "
+    "affected-document count at Jaccard thresholds 0.5-0.9, all derived "
+    "from ONE prefix-filter join run at the loosest threshold (the "
+    "candidate relation is computed once; the curve is a 5-key "
+    "broadcast-threshold regrouping of its exact Jaccard scores).  The "
+    "choose-your-threshold ROI readout every dedup deployment needs "
+    "before committing to a cutoff.  Oracle = brute-force all-pairs "
+    "Jaccard histogrammed identically (6-dp-rounded scores compared on "
+    "both sides so the bucket edges cannot disagree).",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_join(d, "text", "doc_id", threshold=0.5, k=3)
+    ths = spark.createDataFrame(
+        [(t,) for t in _DTC_THRESHOLDS], "threshold double"
+    )
+    matched = F.broadcast(ths).join(
+        pairs, F.col("jaccard") >= F.col("threshold")
+    )
+    pc = matched.groupBy("threshold").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    dc = (
+        matched.select(
+            "threshold",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_affected"))
+    )
+    return (
+        ths.join(pc, "threshold", "left")
+        .join(dc, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+        )
+        .orderBy("threshold")
+    )
+
+
+_ES_EPOCHS = 3
+_ES_SHARDS = 8
+
+
+@register(
+    "epoch_shuffle_manifest",
+    sql=rf"""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               CAST('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                                       CAST(d.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS k
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, {_ES_EPOCHS})) AS epoch) e),
+    ranked AS (
+        SELECT epoch, doc_id, k, k % {_ES_SHARDS} AS shard,
+               row_number() OVER (PARTITION BY epoch, k % {_ES_SHARDS}
+                                  ORDER BY k, doc_id) AS rn
+        FROM keyed)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+           bit_xor(rn * doc_id) AS order_fp
+    FROM ranked
+    GROUP BY epoch, shard
+    ORDER BY epoch, shard
+    """,
+    doc="deterministic per-epoch dataloader shuffle: each training epoch "
+    "permutes the corpus by md5(epoch:doc_id) — shard assignment AND "
+    "within-shard order both change every epoch, yet any worker can "
+    "recompute its slice from (epoch, doc_id) alone: no shuffle "
+    "service, no stored permutation, retry-idempotent (the property "
+    "rand() shuffles lack).  The manifest fingerprints each (epoch, "
+    "shard)'s order with bit_xor(position*doc_id) so the oracle checks "
+    "the PERMUTATION itself, not just counts; a test asserts epochs "
+    "produce different orders.  Per-epoch cost is one map pass + a "
+    "shard-bounded rank.",
+)
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(_ES_EPOCHS).select(F.col("id").alias("epoch"))
+    k = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", k.alias("k")
+    )
+    ranked = keyed.withColumn("shard", F.col("k") % _ES_SHARDS).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+        ),
+    )
+    return (
+        ranked.groupBy(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            F.col("shard").cast("bigint").alias("shard"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("first_doc"),
+            F.bit_xor(F.col("rn") * F.col("doc_id")).alias("order_fp"),
+        )
+        .orderBy("epoch", "shard")
+    )

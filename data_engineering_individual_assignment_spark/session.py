@@ -64,6 +64,13 @@ def get_spark(app_name: str = "dei-spark", shuffle_partitions: int | None = None
 
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Apply runtime confs needed for deterministic oracle comparison on a
-    session we did not build (the driver hands us one)."""
+    session we did not build (the driver hands us one).  Also right-size
+    shuffle parallelism: a vanilla session's 200 partitions cost ~10 ms
+    scheduling overhead each across every exchange — at driver test scale
+    (sf0.01-0.1 on one box) that overhead dominates multi-stage queries
+    (AQE coalescing helps reads, not the task-launch floor).  Results are
+    partitioning-independent by construction (value hashes are
+    order-insensitive), so this is safe on any session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark

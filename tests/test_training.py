@@ -562,3 +562,44 @@ def test_bin_packing_invariants_and_python_replay(spark):
             expect[(shard, bin_id)] = (n_docs, tok)
     got = {(r.shard, r.bin_id): (r.n_docs, r.tokens_filled) for r in rows}
     assert got == expect
+
+
+# ------------------------------------------------- dedup tuning curve
+def test_dedup_threshold_curve_monotone_and_consistent(spark):
+    rows = sorted(_q(spark, "dedup_threshold_curve").collect(),
+                  key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_affected for r in rows]
+    # raising the threshold can only shrink the dedup blast radius
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert all(d <= 2 * p for p, d in zip(pairs, docs))
+    # the 0.7 point must agree with the standalone near_dup_pairs query
+    at_07 = next(r.n_pairs for r in rows if r.threshold == 0.7)
+    assert at_07 == _q(spark, "near_dup_pairs").count()
+
+
+# ---------------------------------------------------- epoch shuffling
+def test_epoch_shuffle_is_deterministic_and_differs_by_epoch(spark):
+    from data_engineering_individual_assignment_spark.plans.training import (
+        _ES_EPOCHS,
+    )
+
+    d = load_table(spark, SF_SMALL, "documents")
+    n = d.count()
+    rows = _q(spark, "epoch_shuffle_manifest").collect()
+    again = _q(spark, "epoch_shuffle_manifest").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # replayable
+    by_epoch: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.shard] = (
+            r.n_docs, r.first_doc, r.order_fp
+        )
+    assert set(by_epoch) == set(range(_ES_EPOCHS))
+    for epoch, shards in by_epoch.items():
+        assert sum(v[0] for v in shards.values()) == n  # partition of corpus
+    # different epochs produce different shard contents/orders
+    fps = [tuple(sorted((s, v[2]) for s, v in by_epoch[e].items()))
+           for e in range(_ES_EPOCHS)]
+    assert len(set(fps)) == _ES_EPOCHS
