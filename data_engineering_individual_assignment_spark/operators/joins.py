@@ -191,7 +191,13 @@ def asof_join_pandas(
     slim_cols = list(right_cols)
     if tie_break and tie_break not in slim_cols:
         slim_cols.append(tie_break)  # the sort key must ride along
-    right_slim = right.select(right_by, right_ts, *slim_cols)
+    # null-ts / null-by right rows can never be picked: dropping them
+    # SPARK-side (not in pandas) keeps the Arrow handoff null-free, so
+    # an int64 by-key arrives as int64 — a null-bearing long column
+    # would cross Arrow as float64 and round keys above 2^53
+    right_slim = right.select(right_by, right_ts, *slim_cols).filter(
+        F.col(right_by).isNotNull() & F.col(right_ts).isNotNull()
+    )
 
     bkt = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(num_buckets)).cast("int")  # noqa: E731
     left_b = left.withColumn("__asof_bkt", bkt(left_by))
@@ -218,10 +224,21 @@ def asof_join_pandas(
                 lpdf[c] = None
             return pd.concat([lpdf, null_left])[out_cols] if not null_left.empty else lpdf[out_cols]
         # by-keys must agree in dtype for merge_asof (Arrow hands a
-        # null-bearing long column over as float64): unify on mismatch
+        # null-bearing long column over as float64): unify on mismatch.
+        # Integer-family keys unify on nullable Int64 — a float64 cast
+        # would lose precision above 2^53 and let distinct keys collide;
+        # float64 is only the fallback for genuinely float keys.
         if lpdf[left_by].dtype != rpdf[right_by].dtype:
-            lpdf = lpdf.assign(**{left_by: lpdf[left_by].astype("float64")})
-            rpdf = rpdf.assign(**{right_by: rpdf[right_by].astype("float64")})
+            try:
+                # nullable Int64 is exact for the int64-vs-float64(nulls)
+                # mismatch; raises on genuinely fractional float keys
+                lk = lpdf[left_by].astype("Int64")
+                rk = rpdf[right_by].astype("Int64")
+            except (TypeError, ValueError):
+                lk = lpdf[left_by].astype("float64")
+                rk = rpdf[right_by].astype("float64")
+            lpdf = lpdf.assign(**{left_by: lk})
+            rpdf = rpdf.assign(**{right_by: rk})
         # secondary sort makes equal-ts winners deterministic: merge_asof
         # keeps the LAST equal-ts row (per by-group) going backward and
         # the FIRST going forward, so (ts, tie)-ascending order picks

@@ -949,9 +949,17 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # legal streams may pad with repeated 0xFF fill bytes ahead of
+        # the marker code (ITU T.81 B.1.1.2) — skip to the last one
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length field)
+            pos += 2
+            continue
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         data = payload[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

@@ -38,8 +38,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     LIMIT 10
     """,
     doc="TPC-H Q3 shape: selective dimension filter -> two fact joins -> "
-    "grouped revenue -> top-10. Customer filter broadcast-prunes orders "
-    "before lineitem joins; limit folds into TakeOrderedAndProject.",
+    "grouped revenue -> top-10. The filtered customer side is UNHINTED: "
+    "AQE broadcast-prunes orders while it fits under the session "
+    "threshold and flips to SMJ at scale; limit folds into "
+    "TakeOrderedAndProject.",
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -51,7 +53,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -92,7 +94,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg.withColumnRenamed("l_partkey", "pa_key"),
               F.col("l_partkey") == F.col("pa_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
@@ -134,7 +136,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         totals.join(o, totals.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",

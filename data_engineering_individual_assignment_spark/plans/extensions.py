@@ -279,7 +279,7 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restrict BEFORE shingling: the semi-join on the raw table prunes
     # the corpus to pair participants ahead of the tokenize/hash work
     # (a post-shingle filter would still shingle every document)
-    d_part = d.join(F.broadcast(participants), "doc_id", "left_semi")
+    d_part = d.join(participants, "doc_id", "left_semi")
     # eager checkpoint again: the tiny sig relation feeds BOTH join
     # sides (sa, sb) — lazy, the shingle+hash subtree would run twice
     sigs = dedup.minhash_portable(

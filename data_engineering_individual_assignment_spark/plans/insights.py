@@ -67,7 +67,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     basket = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("t"))
         .distinct()
     )
@@ -897,9 +897,7 @@ def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     rev = (
-        orders.join(
-            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
-        )
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

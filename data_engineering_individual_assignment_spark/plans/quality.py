@@ -105,7 +105,7 @@ def expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS (check_name, n_checked, n_violations)"""
     )
     orphans = orders.join(
-        F.broadcast(customer.select("c_custkey")),
+        customer.select("c_custkey"),
         orders["o_custkey"] == customer["c_custkey"],
         "left_anti",
     ).agg(F.count("*").alias("n_violations"))

@@ -9,8 +9,11 @@ capability its schema implies, exercised on the driver's TPC-H-ish tables.
 Scale notes appear per query; the common themes:
 - filters/projections are expressed before joins so Catalyst pushes them
   into the parquet scan (check: PushedFilters in .explain("formatted"));
-- dimension tables (region/nation/customer at fact-scale ratios) are
-  broadcast — no shuffle of the fact table for star joins;
+- BOUNDED dimension tables (region=5, nation=25) are broadcast — no
+  shuffle of the fact table for those star-join legs; sf-SCALING
+  relations (customer, part: TPC-H ×sf ratios) are left unhinted so
+  Catalyst/AQE picks BHJ below autoBroadcastJoinThreshold and degrades
+  to SMJ — never OOM — when they outgrow executor memory at 100 TB;
 - aggregations are partial+final automatically (map-side combine);
 - top-k is orderBy+limit => TakeOrderedAndProject, never a global sort.
 """
@@ -177,8 +180,10 @@ def multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r.r_name, n.n_name
     """,
     doc="video_id-star analog (§2.3): fact⋈dim equi-joins. nation/region "
-    "(and customer at TPC-H ratios) are broadcast — the orders fact table "
-    "is never shuffled for the join; only the final small groupBy shuffles.",
+    "(bounded: 25/5 rows) are broadcast-hinted; customer scales with sf "
+    "so it is UNHINTED — AQE broadcasts it while it fits under the "
+    "session threshold and flips to shuffle join beyond, instead of "
+    "OOMing a pinned broadcast at 100 TB.",
 )
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -186,7 +191,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -226,13 +226,17 @@ _RRF_DEPTH = 20
         QUALIFY lex_rank <= {_RRF_DEPTH}),
     qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
     vres AS (
-        SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
+        -- rank on the 6-dp-ROUNDED cosine (the semdedup/lloyd
+        -- discipline): Spark's Arrow-batch float sums vs
+        -- list_dot_product can drift in the last ulps, and an
+        -- unrounded order lets a near-tie flip ranks at the cut
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY cs6 DESC, doc_id)
                             AS INT) AS vec_rank
         FROM (SELECT e.vec_id AS doc_id,
-                     list_dot_product(e.embedding::DOUBLE[], qv.q)
+                     round(list_dot_product(e.embedding::DOUBLE[], qv.q)
                        / (sqrt(list_dot_product(e.embedding::DOUBLE[],
                                                 e.embedding::DOUBLE[]))
-                          * sqrt(list_dot_product(qv.q, qv.q))) AS cs
+                          * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cs6
               FROM embeddings e CROSS JOIN qv)
         QUALIFY vec_rank <= {_RRF_DEPTH})
     SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
@@ -277,17 +281,19 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
+    # cut and rank on the 6-dp-ROUNDED cosine so boundary near-ties
+    # resolve identically to the oracle (float-sum drift discipline)
     v20 = (
         emb.crossJoin(F.broadcast(qv))
-        .withColumn("cs", cosine_pandas("embedding", "qvec"))
-        .select(F.col("vec_id").alias("doc_id"), "cs")
-        .orderBy(F.col("cs").desc(), F.col("doc_id"))
+        .withColumn("cs6", F.round(cosine_pandas("embedding", "qvec"), 6))
+        .select(F.col("vec_id").alias("doc_id"), "cs6")
+        .orderBy(F.col("cs6").desc(), F.col("doc_id"))
         .limit(_RRF_DEPTH)
     )
     vres = v20.withColumn(
         "vec_rank",
         F.row_number()
-        .over(Window.orderBy(F.col("cs").desc(), F.col("doc_id")))
+        .over(Window.orderBy(F.col("cs6").desc(), F.col("doc_id")))
         .cast("int"),
     ).select("doc_id", "vec_rank")
     rrf_leg = lambda r: F.coalesce(  # noqa: E731
@@ -943,8 +949,8 @@ def dsir_lr_table(d: DataFrame, target_lang: str = "en") -> DataFrame:
         FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot)
     SELECT d.doc_id, d.lang,
            CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
-           CAST(sum(d.cnt * lr.lr_micro) AS BIGINT) AS weight_micro
-    FROM doc_b d JOIN lr USING (bucket)
+           CAST(sum(d.cnt * coalesce(lr.lr_micro, 0)) AS BIGINT) AS weight_micro
+    FROM doc_b d LEFT JOIN lr USING (bucket)
     GROUP BY d.doc_id, d.lang
     ORDER BY d.doc_id
     """,
@@ -963,12 +969,19 @@ def dsir_lr_table(d: DataFrame, target_lang: str = "en") -> DataFrame:
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # LEFT join + weight 0 for unseen buckets: on the training corpus
+    # itself every bucket exists in lr (inner == left), but on NEW data
+    # this is what makes the batch scorer count unseen-bucket bigrams
+    # exactly like the frozen-model stream scorer (dsir_score_stream's
+    # lut.get(h, 0)) — stream == batch on any corpus, not just this one
     return (
-        _dsir_doc_buckets(d).join(F.broadcast(dsir_lr_table(d)), "bucket")
+        _dsir_doc_buckets(d).join(F.broadcast(dsir_lr_table(d)), "bucket", "left")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("cnt").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("cnt") * F.col("lr_micro")).cast("bigint").alias("weight_micro"),
+            F.sum(F.col("cnt") * F.coalesce(F.col("lr_micro"), F.lit(0)))
+            .cast("bigint")
+            .alias("weight_micro"),
         )
         .orderBy("doc_id")
     )

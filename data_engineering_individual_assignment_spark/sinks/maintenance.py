@@ -69,18 +69,25 @@ def scan_stats(
     """Per-file manifest: row count plus min/max for each named column.
 
     Output schema: (file, n_rows, <col>_min, <col>_max, ...) with
-    ``file`` the basename of the parquet part file.  One grouped
-    aggregation; the shuffle carries a row per (input partition, file),
-    never row data.
+    ``file`` the part-file path RELATIVE to the table root (for a flat
+    table that is just the basename; for a partitioned layout it keeps
+    the ``dt=.../`` prefix — partitioned writes reuse the same
+    ``part-0000N-<uuid>`` basename in EVERY partition directory, so a
+    basename key would merge distinct files).  One grouped aggregation;
+    the shuffle carries a row per (input partition, file), never row
+    data.
     """
     df = spark.read.parquet(path)
     aggs = [F.count("*").alias("n_rows")]
     for c in columns:
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
+    root = os.path.abspath(path).rstrip("/") + "/"
     return (
         df.groupBy(
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
+            # input_file_name() is a URI (file:///abs/...); everything
+            # after the absolute table root is the stable relative path
+            F.substring_index(F.input_file_name(), root, -1).alias("file")
         )
         .agg(*aggs)
         .orderBy("file")
@@ -198,16 +205,26 @@ def targeted_delete(
     """
     manifest = scan_stats(spark, path, [key_col]).collect()
     lo, hi = f"{key_col}_min", f"{key_col}_max"
+    targets = [v for v in key_values if v is not None]
     touched = [
         r["file"]
         for r in manifest
-        if any(r[lo] <= v <= r[hi] for v in key_values)
+        # a file with NULL min/max stats holds only null keys — it cannot
+        # contain any (non-null) target value, so it is safely untouched
+        if r[lo] is not None
+        and any(r[lo] <= v <= r[hi] for v in targets)
     ]
     rows_deleted = 0
     for fname in touched:
+        # manifest paths are table-root-relative (scan_stats), so the
+        # join lands on the right file in nested dt=... layouts too
         fpath = os.path.join(path, fname)
         df = spark.read.parquet(fpath)
-        keep = df.filter(~F.col(key_col).isin(key_values))
+        # null-safe keep: ~isin() is NULL (not true) for null keys, and a
+        # plain filter would silently delete them alongside the targets
+        keep = df.filter(
+            F.col(key_col).isNull() | ~F.col(key_col).isin(targets)
+        )
         n_before = df.count()
         # write to a sibling temp dir, then swap the single part file in
         # place of the original so the table layout is unchanged
@@ -222,7 +239,9 @@ def targeted_delete(
         os.replace(os.path.join(tmp, part), fpath)
         # the local Hadoop FS keeps a sibling checksum per part file;
         # stale ones would fail the next read of the replaced file
-        crc = os.path.join(path, f".{fname}.crc")
+        crc = os.path.join(
+            os.path.dirname(fpath), f".{os.path.basename(fname)}.crc"
+        )
         if os.path.exists(crc):
             os.remove(crc)
         import shutil

@@ -92,8 +92,16 @@ TAIL = """
   (PLANS.md, tests/test_plans.py) — bytes read scale with selectivity,
   not table size.  Partitioned warehouse writes add partition pruning
   on ingest_date for the daily tables.
-- **Joins**: dimensions broadcast (no fact shuffle); fact-fact joins can
-  pre-pay their shuffle via bucketed tables (zero-Exchange SMJ proven in
+- **Joins**: BOUNDED dimensions (region=5, nation=25, scalar/aggregate
+  sides) carry explicit broadcast hints — no fact shuffle, and they can
+  never outgrow memory.  sf-SCALING relations (customer, part — TPC-H
+  ×sf ratios) are deliberately UNHINTED: below the 64 MB session
+  `autoBroadcastJoinThreshold` Catalyst still picks BHJ (same plan the
+  bench measures), and beyond it AQE degrades to shuffle join instead
+  of OOMing a pinned broadcast — the strategy-independence sweep
+  (tests/test_broadcast_independence.py) proves every plan also runs
+  correctly in the forced-SMJ regime.  Fact-fact joins can pre-pay
+  their shuffle via bucketed tables (zero-Exchange SMJ proven in
   tests); hot keys have AQE skew-split plus explicit `salted_join`.
 - **Aggregations**: partial+final everywhere (map-side combine), so the
   shuffle carries one row per (partition × group), not per input row.
@@ -164,12 +172,11 @@ def main() -> None:
             "\n## 100× spot-check (flagship queries)\n\n"
             "`scale_check.py 100` replicates sf0.1 one-hundred-fold "
             "(60M lineitem rows, 500k documents — two DECADES above the "
-            "base measurement) and reruns the flagship queries.  Run "
-            "with `SPARK_DRIVER_MEMORY=48g`: a single-JVM local[32] "
-            "driver hosts every broadcast that a real cluster spreads "
-            "across executors, so the 8g test default OOMs on the "
-            "replicated dimension broadcasts — a local-mode artifact, "
-            "not a plan property.\n\n"
+            "base measurement) and reruns the flagship queries at the "
+            "default driver memory — since round 6 removed the pinned "
+            "broadcast hints on sf-scaling relations, AQE flips those "
+            "joins to SMJ once the side outgrows the 64 MB threshold "
+            "and no inflated driver heap is needed.\n\n"
             "| query | sf0.1 s | ×100 s | exponent |\n|---|---|---|---|\n"
         )
         for name, r in sorted(

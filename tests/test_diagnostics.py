@@ -668,6 +668,28 @@ def test_jpeg_rejects_malformed():
         decode_jpeg(bytes(buf))
 
 
+def test_jpeg_fill_bytes_and_tem_marker():
+    """ADVICE-r5 regression: ITU T.81 B.1.1.2 allows repeated 0xFF fill
+    bytes before a marker code, and TEM (0xFF01) is a standalone marker
+    with no length field — both are legal ahead of SOS and must be
+    skipped, not crash the marker walk."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    clean = synth_jpeg_bytes(16, 16, (120, 40, 200))
+    ref = decode_jpeg(clean)["pixels"]
+    # splice fill bytes + a TEM marker immediately before SOS
+    idx = clean.find(b"\xff\xda")
+    padded = clean[:idx] + b"\xff\xff\xff" + b"\xff\x01" + clean[idx:]
+    out = decode_jpeg(padded)
+    assert out["width"] == 16 and out["height"] == 16
+    assert np.array_equal(np.asarray(out["pixels"]), np.asarray(ref))
+
+
 def test_jpeg_stats_query_and_degradation(spark):
     """decode_jpeg_stats over good + corrupt payloads: per-asset stats
     match the synthesized colors; garbage degrades to decode_ok=false

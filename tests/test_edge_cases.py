@@ -126,6 +126,35 @@ def test_asof_pandas_tolerates_null_timestamps(spark):
     assert out[2] is None  # null-ts left row survives with null payload
 
 
+def test_asof_pandas_big_int_keys_no_float_collision(spark):
+    """Regression (ADVICE r5): a null-bearing long by-key used to cross
+    Arrow as float64, so int64 keys above 2^53 lost precision and two
+    DISTINCT keys (2^53, 2^53+1) collided — the wrong order matched.
+    Right-side nulls are now dropped Spark-side (column stays int64) and
+    any residual dtype mismatch unifies on nullable Int64, not float64."""
+    from data_engineering_individual_assignment_spark.operators.joins import (
+        asof_join_pandas,
+    )
+
+    k1, k2 = 2**53, 2**53 + 1  # indistinguishable as float64
+    left = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", k1), (2, "2024-01-02 00:00:00", k2)],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (k1, "2024-01-01 00:00:00", 100),
+            (k2, "2024-01-01 12:00:00", 200),
+            (None, "2024-01-01 18:00:00", 999),  # forces the null path
+        ],
+        "o_custkey long, order_ts string, o_orderkey long",
+    ).withColumn("order_ts", F.col("order_ts").cast("timestamp"))
+    out = {r["event_id"]: r["o_orderkey"] for r in asof_join_pandas(
+        left, right, "ts", "order_ts", "user_id", "o_custkey", ["o_orderkey"]
+    ).collect()}
+    assert out == {1: 100, 2: 200}
+
+
 def test_asof_declarative_tolerates_null_timestamps(spark):
     """Regression: with nulls-first ordering a null-ts right row sorted
     before everything and its payload was carried into null-ts left rows

@@ -413,3 +413,48 @@ def test_targeted_delete_prunes_files_on_clustered_layout(spark, tmp_path):
     # layout's pruning advantage must be strict
     assert out2["files_rewritten"] > out["files_rewritten"]
     assert spark.read.parquet(scattered).count() == 3998
+
+
+def test_targeted_delete_null_keys_and_nested_layout(spark, tmp_path):
+    """Two ADVICE-r5 regressions pinned: (a) a part file whose key column
+    is entirely null has NULL scan-stats — it must be skipped, not crash
+    the min/max comparison, and null-key rows elsewhere must survive the
+    rewrite (a naive ~isin() filter silently deletes them); (b) a nested
+    dt=.../part-*.parquet layout must resolve manifest basenames against
+    the tree walk, not table-root join."""
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        targeted_delete,
+    )
+
+    # (a) flat table, one all-null-key file + one mixed file
+    flat = str(tmp_path / "flat")
+    nulls = spark.range(0, 50).select(
+        F.lit(None).cast("long").alias("id"),
+        F.lit("nullfile").alias("payload"),
+    )
+    mixed = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("id"),
+        F.lit("mixed").alias("payload"),
+    )
+    nulls.coalesce(1).write.parquet(flat)
+    mixed.coalesce(1).write.mode("append").parquet(flat)
+    out = targeted_delete(spark, flat, "id", [7, 11])
+    assert out["rows_deleted"] == 2
+    remaining = spark.read.parquet(flat)
+    # all 60 null-key rows (50 null-file + 10 mixed) survive
+    assert remaining.filter(F.col("id").isNull()).count() == 60
+    assert remaining.count() == 148
+
+    # (b) nested dt= partition layout
+    nested = str(tmp_path / "nested")
+    df = spark.range(0, 1000).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("dt"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.write.partitionBy("dt").parquet(nested)
+    out2 = targeted_delete(spark, nested, "id", [8, 16])
+    assert out2["rows_deleted"] == 2, "nested part files were not located"
+    left = spark.read.parquet(nested)
+    assert left.count() == 998
+    assert left.filter(F.col("id").isin(8, 16)).count() == 0

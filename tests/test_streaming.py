@@ -516,3 +516,58 @@ def test_dsir_score_stream_equals_batch(spark, tmp_path):
     batch_out = plans.CATALOG["dsir_importance_weights"].fn(spark, SF_SMALL)
     cols = ["doc_id", "lang", "n_bigrams", "weight_micro"]
     assert _canon(stream_out, cols) == _canon(batch_out, cols)
+
+
+def test_dsir_stream_batch_parity_on_unseen_buckets(spark, tmp_path):
+    """ADVICE-r5 regression: score NEW documents (bigrams whose buckets
+    the frozen model never saw) on both paths.  The stream counts such
+    bigrams at weight 0; the batch scorer used an INNER join that
+    dropped them from BOTH sums — now a left join, so stream == batch
+    holds on any corpus, not just the training one."""
+    import pyspark.sql.functions as F
+
+    from data_engineering_individual_assignment_spark.plans.training import (
+        _dsir_doc_buckets,
+        dsir_lr_table,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    d = load_table(spark, SF_SMALL, "documents")
+    # train on a tiny slice so most new-doc buckets are genuinely unseen
+    lr = dsir_lr_table(d.limit(3)).localCheckpoint()
+
+    new_docs = spark.createDataFrame(
+        [
+            (9001, "en", "zzq xvw zzq qqj entirely novel bigram soup"),
+            (9002, "de", "und noch ein paar worte die keiner sah"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    landing = str(tmp_path / "new_docs")
+    new_docs.write.parquet(landing)
+    stream_out = W.run_to_memory(
+        spark,
+        W.dsir_score_stream(W.stream_documents(spark, landing), lr),
+        mode="append",
+    )
+    batch_out = (
+        _dsir_doc_buckets(new_docs)
+        .join(F.broadcast(lr), "bucket", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.coalesce(F.col("lr_micro"), F.lit(0)))
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+    )
+    cols = ["doc_id", "lang", "n_bigrams", "weight_micro"]
+    assert _canon(stream_out, cols) == _canon(batch_out, cols)
+    # the premise: some scored bigrams really did miss the frozen table
+    n_unseen = (
+        _dsir_doc_buckets(new_docs)
+        .join(lr, "bucket", "left_anti")
+        .count()
+    )
+    assert n_unseen > 0
