@@ -55,15 +55,15 @@ def main() -> None:
         release_intermediates,
     )
 
-    # median-of-3 per query makes the number adjudicable: a single
+    # median-of-5 per query makes the number adjudicable: a single
     # contended run can't masquerade as a regression, and a real
-    # regression can't hide behind "contention".  The unpersist of
-    # dedup intermediates happens OUTSIDE the timed window.  The two
-    # historically noisiest queries (mapInPandas/pair-join heavy, max/min
-    # sample ratio up to 4x on a contended box) get extra samples so
-    # their median stabilizes; total wall-clock stays < 90 s.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    extra_runs = {"near_dup_pairs": max(runs, 5), "ann_brute_force": max(runs, 5)}
+    # regression can't hide behind "contention" (round-5 medians on a
+    # loaded box swung +64% with NO plan change at median-of-3 — the
+    # two discarded extremes were not enough).  The unpersist of dedup
+    # intermediates happens OUTSIDE the timed window.  Total wall-clock
+    # stays well under 2 min at sf0.1.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    extra_runs: dict[str, int] = {}
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -81,6 +81,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # 1-minute load average: lets a reviewer tell a contended-box sample
+    # spread apart from a real plan regression when comparing rounds
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
     print(
         json.dumps(
             {
@@ -91,6 +97,7 @@ def main() -> None:
                 "runs": runs,
                 "median": True,
                 "samples": all_runs,
+                "loadavg_1m": loadavg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
