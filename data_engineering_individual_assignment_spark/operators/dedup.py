@@ -274,11 +274,31 @@ def jaccard_join(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("dfreq").asc(), F.col("shingle_h").asc()
     )
+    # two prefix lengths per doc (PPJoin self-join asymmetry, Xiao 2008
+    # §4): the PROBE prefix |d| - ceil(t|d|) + 1 is required of the
+    # larger side of a pair, but the side that is EARLIER in a fixed
+    # (sz, doc_id) order only needs the INDEX prefix
+    # |d| - ceil(2t/(1+t)·|d|) + 1, because for |A| <= |B| the required
+    # overlap t(|A|+|B|)/(1+t) >= 2t/(1+t)·|A|.  At t=0.7 the index
+    # prefix is ~0.18|d| vs the probe's ~0.30|d|, so candidate pairs per
+    # posting list drop to ~0.6x of the symmetric-prefix join with zero
+    # recall loss (the brute-force property test pins this).
+    idx_len = F.col("sz") - F.ceil(
+        F.col("sz") * (2.0 * threshold / (1.0 + threshold)) - 1e-9
+    ) + 1
     prefix = (
         tok.join(dfreq, "shingle_h")
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= F.col("sz") - F.ceil(F.col("sz") * threshold) + 1)
-        .select("doc_id", "sz", "rnk", "shingle_h")
+        # the 1e-9 slack stops an exactly-integer t·|d| from rounding UP
+        # through fp noise (10·0.7 is 7.000000000000001 in doubles; a
+        # ceil of 8 would cut the probe prefix one token short and DROP
+        # qualifying pairs — prefix lengths must err long, never short)
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1
+        )
+        .withColumn("in_idx", F.col("rnk") <= idx_len)
+        .select("doc_id", "sz", "rnk", "shingle_h", "in_idx")
     )
     # required overlap: I >= t(|A|+|B|)/(1+t); the 1e-9 slack keeps an
     # exactly-integer bound from rounding UP through fp noise (pruning
@@ -286,12 +306,21 @@ def jaccard_join(
     min_overlap = F.ceil(
         (F.col("a.sz") + F.col("b.sz")) * threshold / (1.0 + threshold) - 1e-9
     )
+    # a = the (sz, doc_id)-earlier doc (index side, short prefix);
+    # b = the later doc (probe side, full prefix).  The order must put
+    # the SMALLER doc on the index side so the 2t/(1+t) bound applies.
     cand = (
-        prefix.alias("a")
+        prefix.filter("in_idx").alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle_h") == F.col("b.shingle_h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
             # length filter: jaccard >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("b.sz") >= F.col("a.sz") * threshold)
             & (F.col("a.sz") >= F.col("b.sz") * threshold)
@@ -305,7 +334,10 @@ def jaccard_join(
                 >= min_overlap
             ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
     return _verify_jaccard(cand, sh, threshold)

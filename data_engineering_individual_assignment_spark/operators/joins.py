@@ -198,9 +198,18 @@ def asof_join_pandas(
     right_slim = right.select(right_by, right_ts, *slim_cols).filter(
         F.col(right_by).isNotNull() & F.col(right_ts).isNotNull()
     )
+    # ... and the SAME split on the LEFT side: a single null in a long
+    # column makes Arrow hand the whole column over as float64, so even
+    # the non-null left keys would round above 2^53 before pandas could
+    # split them.  Null-by / null-ts left rows can never match — set them
+    # aside Spark-side and re-append with a null payload at the end.
+    left_nulls = left.filter(F.col(left_by).isNull() | F.col(left_ts).isNull())
+    left_clean = left.filter(
+        F.col(left_by).isNotNull() & F.col(left_ts).isNotNull()
+    )
 
     bkt = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(num_buckets)).cast("int")  # noqa: E731
-    left_b = left.withColumn("__asof_bkt", bkt(left_by))
+    left_b = left_clean.withColumn("__asof_bkt", bkt(left_by))
     right_b = right_slim.withColumn("__asof_bkt", bkt(right_by))
 
     def merge_bucket(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -261,11 +270,19 @@ def asof_join_pandas(
             merged = pd.concat([merged[out_cols], null_left[out_cols]])
         return merged[out_cols]
 
-    return (
+    merged = (
         left_b.groupBy("__asof_bkt")
         .cogroup(right_b.groupBy("__asof_bkt"))
         .applyInPandas(merge_bucket, schema=out_schema)
     )
+    null_payload = left_nulls.select(
+        "*",
+        *[
+            F.lit(None).cast(r_fields[c].dataType).alias(c)
+            for c in right_cols
+        ],
+    )
+    return merged.unionByName(null_payload)
 
 
 def interval_overlap_join(

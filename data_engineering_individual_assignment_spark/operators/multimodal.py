@@ -953,6 +953,8 @@ def decode_jpeg(payload: bytes) -> dict:
         # the marker code (ITU T.81 B.1.1.2) — skip to the last one
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG (fill bytes run to end of stream)")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -186,3 +186,111 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("n").alias("cms_est"))
     )
+
+
+def hll_distinct_estimate(
+    df: DataFrame,
+    col: str,
+    by: list[str],
+    m: int = 64,
+) -> DataFrame:
+    """PORTABLE HyperLogLog (Flajolet et al. 2007) distinct-count
+    estimate per ``by`` group — unlike ``approx_count_distinct`` (whose
+    registers are engine-internal), every step here is rebuildable in
+    any engine with md5, so the ESTIMATE itself is differential-testable
+    against a DuckDB twin (the same treatment ``cms_build`` gives CMS).
+
+    Construction, identical cross-engine by design:
+    - 60-bit md5 hash (``_md5_hash60`` with salt ``hll{m}``); bucket =
+      ``h % m`` (p = log2 m bits), payload = ``h DIV m`` (60-p bits);
+    - rho = leading-zeros-of-payload + 1 = ``(60-p+1) - bitlength``,
+      with the all-zero payload pinned to the max rho;
+    - register r_j = max rho per (group, bucket) — a groupBy over a key
+      space of |groups|·m, constant-sized state at any corpus size and
+      cell-wise MERGEABLE (max), which is the 100 TB point;
+    - the harmonic sum is frozen as an INTEGER: Z_int = sum over all m
+      registers of 2^(maxrho-1 - r_j) * 2^0 scaled by 2^(60-p), i.e.
+      ``sum(1 << (pay_bits - r))`` plus ``2^pay_bits`` per absent
+      register — at most m·2^pay_bits < 2^61, exact in BIGINT in every
+      engine, so no float-summation-order divergence is possible;
+    - estimate = alpha_m·m²·2^pay_bits / Z_int (one double division),
+      with the standard linear-counting small-range correction
+      (E <= 2.5m and empty registers exist -> m·ln(m/V)).
+
+    Returns ``by + [est]`` with ``est`` the raw double estimate.
+    """
+    from .dedup import _md5_hash60
+
+    p = m.bit_length() - 1
+    if 1 << p != m:
+        raise ValueError("m must be a power of two")
+    pay_bits = 60 - p
+    rho_max = pay_bits + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    coef = alpha * m * m * float(1 << pay_bits)
+    regs = (
+        df.select(
+            *by,
+            _md5_hash60(F.col(col).cast("string"), f"hll{m}").alias("h"),
+        )
+        .withColumn("pay", F.expr(f"h DIV {m}"))
+        .groupBy(*by, F.expr(f"CAST(h % {m} AS INT)").alias("bucket"))
+        .agg(
+            F.expr(
+                f"max(CASE WHEN pay = 0 THEN {rho_max} "
+                f"ELSE {rho_max} - length(bin(pay)) END)"
+            ).alias("r")
+        )
+    )
+    z = regs.groupBy(*by).agg(
+        F.expr(
+            f"CAST({m} - count(*) AS BIGINT) * CAST({1 << pay_bits} AS BIGINT)"
+            f" + sum(shiftleft(CAST(1 AS BIGINT), CAST({pay_bits} - r AS INT)))"
+        ).alias("z_int"),
+        F.expr(f"CAST({m} - count(*) AS BIGINT)").alias("v"),
+    )
+    return z.select(
+        *by,
+        F.expr(
+            f"CASE WHEN {coef!r} / z_int <= {2.5 * m!r} AND v > 0 "
+            f"THEN {m} * ln({m} * 1.0 / v) "
+            f"ELSE {coef!r} / z_int END"
+        ).alias("est"),
+    )
+
+
+def hll_oracle_ctes(src: str, col: str, group: str, m: int) -> str:
+    """DuckDB WITH-clause fragment rebuilding ``hll_distinct_estimate``
+    bit-for-bit: CTEs ``hll{m}_est(group, est)``.  Kept next to the
+    operator so the two constructions can only drift visibly."""
+    p = m.bit_length() - 1
+    pay_bits = 60 - p
+    rho_max = pay_bits + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    coef = alpha * m * m * float(1 << pay_bits)
+    return f"""hll{m}_hash AS (
+        SELECT {group},
+               CAST('0x' || substr(md5('hll{m}|' || CAST({col} AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM {src}),
+    hll{m}_reg AS (
+        SELECT {group}, h % {m} AS bucket,
+               max(CASE WHEN h // {m} = 0 THEN {rho_max}
+                        ELSE {rho_max} - length(bin(h // {m})) END) AS r
+        FROM hll{m}_hash GROUP BY {group}, bucket),
+    hll{m}_z AS (
+        SELECT {group},
+               CAST({m} - count(*) AS BIGINT) * CAST({1 << pay_bits} AS BIGINT)
+               + sum(1::BIGINT << CAST({pay_bits} - r AS INT)) AS z_int,
+               CAST({m} - count(*) AS BIGINT) AS v
+        FROM hll{m}_reg GROUP BY {group}),
+    hll{m}_est AS (
+        SELECT {group},
+               CASE WHEN {coef!r} / z_int <= {2.5 * m!r} AND v > 0
+                    THEN {m} * ln({m} * 1.0 / v)
+                    ELSE {coef!r} / z_int END AS est
+        FROM hll{m}_z)"""

@@ -87,7 +87,7 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
     )
     pairs = (
-        a.join(F.broadcast(b), on="blk")
+        a.join(b, on="blk")
         .where(F.col("name_a") < F.col("name_b"))
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("dist") <= 3)
@@ -204,12 +204,14 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = events.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med_v")
     )
+    # bounded: med/mad are one row per event_type — a tiny fixed enum
     mad = (
         events.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(F.expr("percentile(abs(value - med_v), 0.5)").alias("mad_v"))
     )
     scored = (
+        # bounded: one row per event_type (fixed enum)
         events.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
         .withColumn(
@@ -284,6 +286,7 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c") / F.col("tot")
     q = F.col("cc") / F.col("ctot")
     return (
+        # bounded: one row per source — a fixed handful of source labels
         src_tok.join(F.broadcast(src_tot), "source")
         .join(corpus_tok, "tok")
         .crossJoin(F.broadcast(corpus_tot))
@@ -648,17 +651,88 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _peel_round_cte(i: int) -> str:
+    """One unrolled 2-core peeling round: rem{i} = rem{i-1} plus every
+    still-live node whose LIVE degree (edges to non-removed neighbors)
+    fell under 2.  MATERIALIZED is load-bearing: each round references
+    the previous one three times, and DuckDB inlines plain CTEs, which
+    would re-expand the whole chain exponentially."""
+    prev = f"rem{i - 1}"
+    return f"""rem{i} AS MATERIALIZED (
+        SELECT node FROM {prev}
+        UNION
+        SELECT n.node FROM nodes n
+        WHERE n.node NOT IN (SELECT node FROM {prev})
+          AND (SELECT count(*) FROM edges e
+               WHERE e.a = n.node
+                 AND e.b NOT IN (SELECT node FROM {prev})) < 2)"""
+
+
+# Standard recursive CTEs are append-only, so delete-until-fixpoint
+# can't recurse directly — instead the peeling is UNROLLED to a fixed
+# depth with a SELF-CHECKING guard: if round N+1 would still remove a
+# node (fixpoint not reached), the oracle raises via error() instead of
+# silently returning a non-core.  Depth 16 covers a pendant chain of
+# length ~32 (chains peel from both ends); near-dup graphs are
+# near-cliques whose appendages peel in 1-3 rounds.
+_PEEL_DEPTH = 16
+_TWO_CORE_SQL = f"""
+    WITH {{NEAR_DUP_PAIRS_CTES}},
+    edges AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges),
+    rem0 AS MATERIALIZED (
+        SELECT a AS node FROM edges GROUP BY a HAVING count(*) < 2),
+    {{PEEL_ROUNDS}},
+    survivors AS MATERIALIZED (
+        SELECT node FROM nodes
+        WHERE node NOT IN (SELECT node FROM rem{_PEEL_DEPTH})),
+    not_converged AS (
+        SELECT count(*) AS x FROM survivors s
+        WHERE (SELECT count(*) FROM edges e
+               WHERE e.a = s.node
+                 AND e.b IN (SELECT node FROM survivors)) < 2)
+    SELECT CAST(s.node AS BIGINT) AS node,
+           CASE WHEN (SELECT x FROM not_converged) = 0
+                THEN (SELECT CAST(count(*) AS BIGINT) FROM edges e
+                      WHERE e.a = s.node
+                        AND e.b IN (SELECT node FROM survivors))
+                ELSE CAST(error('2-core peeling did not converge in '
+                                '{_PEEL_DEPTH} unrolled rounds') AS BIGINT)
+           END AS core_deg
+    FROM survivors s
+    ORDER BY node
+    """
+
+
+def _two_core_oracle_sql() -> str:
+    from .extensions import NEAR_DUP_PAIRS_CTES
+
+    return _TWO_CORE_SQL.format(
+        NEAR_DUP_PAIRS_CTES=NEAR_DUP_PAIRS_CTES,
+        PEEL_ROUNDS=",\n    ".join(
+            _peel_round_cte(i) for i in range(1, _PEEL_DEPTH + 1)
+        ),
+    )
+
+
 @register(
     "near_dup_2core",
-    sql=None,  # iterative delete-until-fixpoint has no recursive-CTE
-    # form (CTEs are append-only); planted-graph peeling semantics are
-    # pinned in tests/test_operators.py::test_k_core_planted
+    sql=_two_core_oracle_sql(),
     doc="2-core of the jaccard near-dup graph (operators/graph.k_core, "
     "iterative peeling with per-round localCheckpoint): the maximal "
     "subgraph where every doc keeps >= 2 near-dup neighbors — "
     "template FAMILIES, as opposed to incidental pairwise matches.  "
-    "Output is (node, core_deg) ordered; rows-only because "
-    "delete-until-fixpoint is not SQL-expressible.",
+    "Output is (node, core_deg) ordered.  Oracle (r7): the peeling is "
+    "UNROLLED to 16 materialized rounds over the shared pair-graph "
+    "CTEs, with a fixpoint guard that error()s rather than silently "
+    "diverging if 16 rounds were not enough — delete-until-fixpoint "
+    "has no recursive-CTE form (CTEs are append-only), but a "
+    "self-checking unrolling is differential-testable; planted-graph "
+    "peeling semantics stay pinned in "
+    "tests/test_operators.py::test_k_core_planted.",
 )
 def near_dup_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup, graph

@@ -1242,8 +1242,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by near_dup_clusters and near_dup_clusters_star: the cluster
 # assignment is algorithm-independent (connected components are unique),
 # so both implementations must match the same transitive-closure oracle
-_CLUSTERS_ORACLE_SQL = r"""
-    WITH RECURSIVE sh AS (
+# WITH-clause fragment building the exact Jaccard>=0.7 pair graph --
+# shared by the cluster oracles here and the 2-core oracle in
+# plans/diagnostics.py, so the pair semantics cannot drift between them
+NEAR_DUP_PAIRS_CTES = r"""sh AS (
         SELECT doc_id,
                list_distinct([
                    array_to_string(toks[i:i+2], ' ')
@@ -1257,7 +1259,10 @@ _CLUSTERS_ORACLE_SQL = r"""
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)"""
+
+_CLUSTERS_ORACLE_SQL = f"""
+    WITH RECURSIVE {NEAR_DUP_PAIRS_CTES},
     edges AS (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION

@@ -85,6 +85,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     scored = (
+        # bounded: tf is pinned to doc_id < 30 — ≤30 docs of per-doc vocab
         df_.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
@@ -150,7 +151,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("label").cast("int").alias("true_label")
     )
     votes = (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        topk.join(labels, "neighbor_id")
         .groupBy("query_id", "n_label")
         .agg(F.count("*").alias("votes"))
     )
@@ -160,7 +161,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         votes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .join(F.broadcast(truth), "query_id")
+        .join(truth, "query_id")
         .select(
             "query_id",
             "true_label",

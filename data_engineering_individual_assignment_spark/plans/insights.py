@@ -86,6 +86,8 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = singles.select(F.col("t").alias("type_a"), F.col("c").alias("n_a"))
     sb = singles.select(F.col("t").alias("type_b"), F.col("c").alias("n_b"))
     return (
+        # bounded: sa/sb are one row per part *type* (fixed enum, not
+        # part grain); n_orders is a 1-row global countDistinct
         pairs.join(F.broadcast(sa), "type_a")
         .join(F.broadcast(sb), "type_b")
         .crossJoin(F.broadcast(n_orders))
@@ -184,6 +186,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(F.count("*").alias("cnt"))
     stats = daily.groupBy("event_type").agg(F.avg("cnt").alias("mean_cnt"))
+    # bounded: one row per event_type (fixed enum)
     walk = daily.join(F.broadcast(stats), "event_type").withColumn(
         "cusum",
         F.sum(F.col("cnt") - F.col("mean_cnt")).over(
@@ -553,6 +556,7 @@ def km_survival_signup_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk = (
         spine.join(per_day, "day", "left")
         .na.fill({"d": 0, "leaving": 0})
+        # bounded: total is a 1-row global count
         .crossJoin(F.broadcast(total.select("n_total")))
         .withColumn(
             "n_at_risk",
@@ -611,6 +615,7 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = events.groupBy("event_type").agg(F.avg("value").alias("mu"))
     c = F.col("value") - F.col("mu")
     cm = (
+        # bounded: one row per event_type (fixed enum)
         events.join(F.broadcast(means), "event_type")
         .groupBy("event_type")
         .agg(
@@ -694,8 +699,8 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_b = F.col("c2") / F.col("n_uni")
     return (
         bigrams.where(F.col("c_ab") >= 50)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(utot))
         .select(
@@ -744,6 +749,7 @@ def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("c") / F.col("n")
     ent = -F.sum(p * F.log(p))
     return (
+        # bounded: tots is one row per source (fixed handful of labels)
         cnts.join(F.broadcast(tots), "source")
         .crossJoin(F.broadcast(vocab))
         .groupBy("source", "n", "v")
@@ -1083,6 +1089,7 @@ def segment_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("seg").alias("seg_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("seg").alias("seg_b"), F.col("n").alias("nb"))
     return (
+        # bounded: sa/sb are one row per segment bucket (fixed enum)
         inter.join(F.broadcast(sa), "seg_a")
         .join(F.broadcast(sb), "seg_b")
         .select(

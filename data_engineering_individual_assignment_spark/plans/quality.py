@@ -419,3 +419,137 @@ def reconcile_corrupted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile(
         a, b, "o_orderkey", ["o_totalprice", "o_orderstatus"], n_buckets=64
     )
+
+
+def _sharded_orders_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Write a DETERMINISTIC 8-shard partitioned copy of orders into a
+    fresh temp dir (``shard=o_orderkey % 8`` directories, one part file
+    per shard by construction: the pre-write repartition is ON the
+    shard column, so each shard lives in exactly one task).  The layout
+    is a pure function of the data, which is what lets a DuckDB oracle
+    predict per-FILE manifests and delete audits with plain GROUP BY
+    ``o_orderkey % 8`` — no filesystem access on the oracle side."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="maint_audit_")
+    (
+        o.withColumn("shard", (F.col("o_orderkey") % 8).cast("int"))
+        .repartition(8, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    return tmp
+
+
+@register(
+    "scan_stats_manifest",
+    sql="""
+    SELECT 'shard=' || CAST(o_orderkey % 8 AS VARCHAR) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS key_min,
+           CAST(max(o_orderkey) AS BIGINT) AS key_max
+    FROM orders
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="the table-maintenance manifest made driver-checkable (r6 "
+    "verdict ask): writes a deterministic 8-shard partitioned copy of "
+    "orders, builds the REAL per-file manifest with "
+    "sinks/maintenance.scan_stats (input_file_name -> URL-decoded "
+    "root-relative paths over a partitioned dt-style layout — the "
+    "exact machinery targeted_delete and find_orphan_files consume), "
+    "then rolls it to shard grain.  The oracle predicts every row "
+    "from pure SQL (GROUP BY o_orderkey % 8), so a path-derivation or "
+    "stats bug in scan_stats becomes a value mismatch, not a silent "
+    "wrong manifest.  Scale: the manifest is file-grain metadata — "
+    "the shuffle carries one row per (input partition, file).",
+)
+def scan_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.maintenance import scan_stats
+
+    tmp = _sharded_orders_copy(spark, sf_dir)
+    try:
+        manifest = (
+            scan_stats(spark, tmp, ["o_orderkey"])
+            .withColumn("shard", F.substring_index("file", "/", 1))
+            .groupBy("shard")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.min("o_orderkey_min").cast("bigint").alias("key_min"),
+                F.max("o_orderkey_max").cast("bigint").alias("key_max"),
+            )
+            .orderBy("shard")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        manifest, "shard string, n_rows bigint, key_min bigint, key_max bigint"
+    )
+
+
+_DELETE_TARGETS = (7, 4000, 12345)
+
+
+@register(
+    "targeted_delete_audit",
+    sql=f"""
+    WITH t AS (SELECT unnest([{", ".join(map(str, _DELETE_TARGETS))}]) AS v),
+    per_shard AS (
+        SELECT o_orderkey % 8 AS shard,
+               CAST(count(*) AS BIGINT) AS n,
+               min(o_orderkey) AS lo, max(o_orderkey) AS hi
+        FROM orders GROUP BY shard)
+    SELECT CAST(count(*) AS BIGINT) AS files_total,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM t
+                                      WHERE t.v BETWEEN lo AND hi)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_rewritten,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey IN (SELECT v FROM t)) AS rows_deleted,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+           - (SELECT count(*) FROM orders
+              WHERE o_orderkey IN (SELECT v FROM t)) AS rows_remaining
+    FROM per_shard
+    """,
+    doc="GDPR right-to-be-forgotten, end-to-end driver-checkable (r6 "
+    "verdict ask): copies orders into a deterministic 8-shard layout, "
+    "runs the REAL sinks/maintenance.targeted_delete (manifest-pruned "
+    "per-file in-place rewrite) for three fixed keys, and reports the "
+    "audit (files_total / files_rewritten / rows_deleted / "
+    "rows_remaining, the last re-counted from the mutated table).  "
+    "The oracle PREDICTS the entire audit from the source relation "
+    "alone: which shards' [min,max] ranges can contain a target, how "
+    "many rows match, what must remain — so an over-eager rewrite, a "
+    "missed file, or a wrong row filter all surface as value "
+    "mismatches.  Scale: pruning cost is manifest-grain; only "
+    "candidate files are read or rewritten.",
+)
+def targeted_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.maintenance import targeted_delete
+
+    tmp = _sharded_orders_copy(spark, sf_dir)
+    try:
+        audit = targeted_delete(
+            spark, tmp, "o_orderkey", list(_DELETE_TARGETS)
+        )
+        remaining = spark.read.parquet(tmp).count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                audit["files_total"],
+                audit["files_rewritten"],
+                audit["rows_deleted"],
+                remaining,
+            )
+        ],
+        "files_total bigint, files_rewritten bigint, "
+        "rows_deleted bigint, rows_remaining bigint",
+    )

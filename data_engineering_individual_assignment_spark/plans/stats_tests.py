@@ -473,18 +473,70 @@ def exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCTL_BLOCKS = """    k05 AS (SELECT CAST(ceil(n * 0.5) AS BIGINT) AS k FROM st),
+    pick05 AS (SELECT bkt, cnt, cum_prev FROM cum, k05
+                WHERE cum >= k ORDER BY bkt LIMIT 1),
+    ex05 AS (SELECT x AS exact FROM v ORDER BY x
+              LIMIT 1 OFFSET (SELECT k - 1 FROM k05)),
+    a05 AS (SELECT mn + w * (bkt + (k - cum_prev) / cnt) AS approx
+             FROM pick05, st, k05),
+    r05 AS (SELECT CAST(count(*) AS BIGINT) AS rk FROM v, a05
+             WHERE x <= approx),
+    row05 AS (SELECT 0.5 AS p, CAST(n AS DOUBLE) AS n,
+                      round(approx, 2) AS approx, round(exact, 2) AS exact,
+                      round(abs(approx - exact), 2) AS value_err,
+                      CAST(abs(rk - k) AS BIGINT) AS rank_err
+               FROM st, k05, a05, ex05, r05),
+    k90 AS (SELECT CAST(ceil(n * 0.9) AS BIGINT) AS k FROM st),
+    pick90 AS (SELECT bkt, cnt, cum_prev FROM cum, k90
+                WHERE cum >= k ORDER BY bkt LIMIT 1),
+    ex90 AS (SELECT x AS exact FROM v ORDER BY x
+              LIMIT 1 OFFSET (SELECT k - 1 FROM k90)),
+    a90 AS (SELECT mn + w * (bkt + (k - cum_prev) / cnt) AS approx
+             FROM pick90, st, k90),
+    r90 AS (SELECT CAST(count(*) AS BIGINT) AS rk FROM v, a90
+             WHERE x <= approx),
+    row90 AS (SELECT 0.9 AS p, CAST(n AS DOUBLE) AS n,
+                      round(approx, 2) AS approx, round(exact, 2) AS exact,
+                      round(abs(approx - exact), 2) AS value_err,
+                      CAST(abs(rk - k) AS BIGINT) AS rank_err
+               FROM st, k90, a90, ex90, r90)"""
+
+
 @register(
     "percentile_approx_error_report",
-    doc="sketch-accuracy audit for percentile_approx (the "
-    "Greenwald-Khanna sketch behind Spark's approximate quantiles): "
-    "approx p50/p90 at accuracy=1000 vs the EXACT order statistics "
-    "from operators/order_stats (histogram-refinement selection), "
-    "with the observed rank error.  No SQL oracle: the sketch's "
-    "merge result is engine-internal; the exactness of the reference "
-    "side is itself oracle-checked by exact_median_refinement, and "
-    "the rank-error bound (<= n/accuracy) is asserted in tests.  "
-    "This is the audit you run before trusting approx quantiles for "
-    "SLA cutoffs at 100 TB.",
+    sql=f"""
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    st AS (SELECT min(x) AS mn, max(x) AS mx,
+                  CAST(count(*) AS BIGINT) AS n,
+                  (max(x) - min(x)) / 256.0 AS w FROM v),
+    hist AS (SELECT least(CAST(floor((x - mn) / w) AS BIGINT), 255) AS bkt,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM v, st GROUP BY bkt),
+    cum AS (SELECT bkt, cnt,
+                   sum(cnt) OVER (ORDER BY bkt) AS cum,
+                   coalesce(sum(cnt) OVER (ORDER BY bkt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_prev
+            FROM hist),
+{_PCTL_BLOCKS}
+    SELECT * FROM row05 UNION ALL SELECT * FROM row90 ORDER BY p
+    """,
+    doc="quantile-sketch accuracy audit, now with the APPROXIMATION "
+    "itself oracle-checked (r7): a portable 256-bin equi-width "
+    "histogram quantile (min/max + one bucket groupBy + linear "
+    "interpolation inside the hit bucket — the classic scalable "
+    "approximate quantile; constant 256-row state, mergeable, one "
+    "scan) vs the EXACT order statistics from operators/order_stats "
+    "(histogram-refinement selection), with observed value and rank "
+    "error.  Every arithmetic step (bucket floor, cumulative pick, "
+    "interpolation) is the same IEEE double expression in both "
+    "engines, so approx, value_err and rank_err all hash-match.  "
+    "Spark's native percentile_approx (engine-internal GK sketch) "
+    "keeps its rank-error-bound audit in the unit tests.  This is "
+    "the audit you run before trusting approx quantiles for SLA "
+    "cutoffs at 100 TB.",
 )
 def percentile_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
@@ -492,12 +544,10 @@ def percentile_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.order_stats import exact_kth_smallest
 
     li = load_table(spark, sf_dir, "lineitem")
-    # the audit is ~a dozen driver-synchronous jobs (count, approx agg,
-    # 2 refinement loops, 2 rank probes) over ONE projected column —
-    # persist it once so each job reads the cached column instead of
-    # rescanning the parquet (7.6 s -> ~2 s at sf0.1).  Everything is
-    # materialized inside this function, so the persist is released
-    # before returning.
+    # ~a dozen driver-synchronous jobs (count, min/max, 256-bin
+    # histogram, 2 refinement loops, 2 rank probes) over ONE projected
+    # column — persist it once so each job reads the cached column
+    # instead of rescanning the parquet.  Released before returning.
     vals = (
         li.select("l_extendedprice")
         .filter(F.col("l_extendedprice").isNotNull())
@@ -505,33 +555,62 @@ def percentile_approx_error_report(spark: SparkSession, sf_dir: str) -> DataFram
     )
     try:
         n = vals.count()
-        approx = vals.agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.9], 1000).alias("a")
-        ).first()["a"]
+        st = vals.agg(
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        ).first()
+        mn, mx = st["mn"], st["mx"]
+        w = (mx - mn) / 256.0
+        # 256-row histogram, cumulated driver-side (bounded by
+        # construction — the bin count, not the data, sizes this)
+        hist = (
+            vals.select(
+                F.least(
+                    F.floor((F.col("l_extendedprice") - F.lit(mn)) / F.lit(w)),
+                    F.lit(255),
+                ).alias("bkt")
+            )
+            .groupBy("bkt")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy("bkt")
+            .collect()
+        )
         rows = []
-        for p, a in zip((0.5, 0.9), approx):
-            k = math.ceil(n * p)  # == (n+1)//2 at p=0.5; >= 1 since n >= 1
+        for p in (0.5, 0.9):
+            k = math.ceil(n * p)  # >= 1 since n >= 1
+            cum_prev = 0
+            for r in hist:
+                if cum_prev + r["cnt"] >= k:
+                    # same expression, same order as the SQL twin
+                    approx = mn + w * (r["bkt"] + (k - cum_prev) / r["cnt"])
+                    break
+                cum_prev += r["cnt"]
             exact = exact_kth_smallest(vals, "l_extendedprice", k)
             # observed rank of the approx answer (how many rows <= it)
             rank_of_approx = vals.filter(
-                F.col("l_extendedprice") <= F.lit(a)
+                F.col("l_extendedprice") <= F.lit(approx)
             ).count()
-            rows.append(
-                (
-                    p,
-                    float(n),
-                    round(a, 2),
-                    round(exact, 2),
-                    round(abs(a - exact), 2),
-                    int(abs(rank_of_approx - k)),
-                )
-            )
+            rows.append((p, float(n), approx, exact, abs(rank_of_approx - k)))
     finally:
         vals.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "p double, n double, approx double, exact double, "
-        "value_err double, rank_err bigint",
+    # round in Spark SQL (HALF_UP, matching DuckDB's half-away-from-zero
+    # on positives) — Python's round() is banker's and could diverge
+    return (
+        spark.createDataFrame(
+            rows, "p double, n double, approx_raw double, exact_raw double, rank_err long"
+        )
+        .select(
+            "p",
+            "n",
+            F.round("approx_raw", 2).alias("approx"),
+            F.round("exact_raw", 2).alias("exact"),
+            F.round(F.abs(F.col("approx_raw") - F.col("exact_raw")), 2).alias(
+                "value_err"
+            ),
+            F.col("rank_err").cast("bigint").alias("rank_err"),
+        )
+        .select("p", "n", "approx", "exact", "value_err", "rank_err")
+        .orderBy("p")
     )
 
 

@@ -601,6 +601,7 @@ def stl_decompose_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("day").alias("dow"),
     )
     seasonal = detrended.groupBy("dow").agg(F.avg("detr").alias("s"))
+    # bounded: seasonal is one row per day-of-week (7 rows)
     resid = detrended.join(F.broadcast(seasonal), "dow").select(
         "day", "x", "trend", "s", (F.col("detr") - F.col("s")).alias("r")
     )

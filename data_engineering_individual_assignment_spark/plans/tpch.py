@@ -21,9 +21,13 @@ retail-price surrogate, Q22's customer segment becomes an account-balance
 percentile with a no-recent-orders anti join.
 
 Scale design, per query:
-- Dimension tables (``nation``/``region``/``supplier``/filtered ``part``)
-  are broadcast; the lineitem fact is never shuffled for a dim join.
-- Selective dim filters are applied BEFORE the fact join so the broadcast
+- Only bounded dimensions (``nation``/``region`` — 25/5 rows at every sf)
+  carry hard broadcast hints.  ``supplier`` and ``part`` SCALE WITH sf in
+  this schema (10/200 rows at sf0.001 -> 1,000/20,000 at sf0.1 -> billions
+  at the 100 TB design point), so their joins are left unhinted: AQE picks
+  broadcast at bench scale and degrades to shuffle joins at cluster scale
+  instead of OOMing a pinned plan.
+- Selective dim filters are applied BEFORE the fact join so the join
   side stays small and the fact rows are pruned at the earliest join.
 - Q21's classic double EXISTS self-join (three lineitem scans) is
   rewritten as one per-(order, supplier) aggregate + one window — two
@@ -122,9 +126,9 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY supp_nation, cust_nation, l_year
     """,
     doc="TPC-H Q7 shape: bidirectional nation-pair revenue by ship year. "
-    "supplier+nation broadcast into lineitem FIRST (prunes the fact to the "
-    "two supplier nations before the orders shuffle); customer nation "
-    "resolved via broadcast nation; the disjunctive pair filter runs after "
+    "supplier (unhinted — sf-scaling) + broadcast nation join lineitem FIRST "
+    "(prunes the fact to the two supplier nations before the orders "
+    "shuffle); customer nation via broadcast nation; the pair filter after "
     "both nations are known.",
 )
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +150,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
@@ -185,8 +189,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q8 shape: a nation's share of regional revenue for one part "
     "type, per order year, as ONE conditional aggregation (numerator CASE "
-    "inside the same sum — no second scan). part filter broadcast-prunes "
-    "lineitem first; nation/region resolve via broadcast.",
+    "inside the same sum — no second scan). The part filter prunes lineitem "
+    "first (unhinted join — part scales with sf); nation/region broadcast.",
 )
 def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
@@ -215,8 +219,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     vol = _rev()
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -251,8 +255,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q9 shape: profit (revenue minus a 10%%-of-retail supply-cost "
     "surrogate — no partsupp table) for parts matching a name pattern, by "
     "supplier nation and order year. The LIKE filter prunes part BEFORE "
-    "broadcast; lineitem joins three broadcast dims, then one orders "
-    "shuffle.",
+    "its join (unhinted — part/supplier scale with sf; AQE picks the "
+    "strategy), then one orders shuffle.",
 )
 def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
@@ -270,8 +274,8 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     profit = _rev() - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.round(F.sum(profit), 2).alias("profit"))
@@ -379,7 +383,8 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate <  TIMESTAMP '1996-05-01 00:00:00'
     """,
     doc="TPC-H Q14 shape: percentage-of-total as one conditional aggregate "
-    "over a single ship-month slice; part broadcast, date filter pushed to "
+    "over a single ship-month slice; part join unhinted (sf-scaling side), "
+    "date filter pushed to "
     "the lineitem scan.",
 )
 def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +394,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -440,7 +445,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -468,7 +473,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q19 shape: three OR'd (brand, size, quantity) brackets "
     "across the part join. The part side is pre-filtered to the brand "
     "union (derived filter pushed below the join), quantity brackets "
-    "evaluate post-join; one broadcast, zero fact shuffles.",
+    "evaluate post-join; part join unhinted, zero extra fact shuffles.",
 )
 def discounted_revenue_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(
@@ -493,7 +498,7 @@ def discounted_revenue_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(bracket)
         .agg(
             F.round(F.sum(_rev()), 2).alias("revenue"),
@@ -608,7 +613,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        flagged.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -721,7 +726,7 @@ def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nv = (
-        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("s_nationkey")
         .agg(F.sum(value).alias("value"))
     )
@@ -766,7 +771,8 @@ def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Q2 shape (min-cost supplier per part): the correlated "
     "'cost = (SELECT min(cost) ... same part)' subquery decorrelated "
     "into a per-(part,supplier) aggregate + per-part row_number pick "
-    "with a deterministic tie-break, then dimension joins broadcast.  "
+    "with a deterministic tie-break; nation broadcasts, part/supplier "
+    "joins stay unhinted (they scale with sf).  "
     "LIMIT folds into TakeOrderedAndProject after the final sort keys.",
 )
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,10 +788,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = sc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     return (
         best.join(
-            F.broadcast(part.where(F.col("p_size") == 11)),
+            part.where(F.col("p_size") == 11),
             best["l_partkey"] == part["p_partkey"],
         )
-        .join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, best["l_suppkey"] == supp["s_suppkey"])
         .select(
             "p_partkey",
             "p_name",
@@ -822,10 +828,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5 shape: the cyclic join — revenue only counts when "
     "the CUSTOMER's nation equals the SUPPLIER's nation, closing a "
     "cycle customer->orders->lineitem->supplier->customer that join "
-    "reordering must handle.  Region/nation/supplier are broadcast; "
-    "the s_nationkey = c_nationkey residual rides the broadcast "
-    "supplier join so the fact still shuffles only for the "
-    "orders-customer equi join.",
+    "reordering must handle.  Region/nation broadcast; supplier is "
+    "unhinted (sf-scaling) and the s_nationkey = c_nationkey residual "
+    "rides that join, so the fact adds no shuffle beyond the "
+    "orders-customer equi join at bench scale.",
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -844,7 +850,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )
@@ -882,7 +888,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q16 shape (partsupp-free): how many distinct suppliers "
     "serve each (brand, size) bucket, excluding a complaint list "
     "(negative account balance stands in for the LIKE '%Complaints%' "
-    "filter) — NOT IN decorrelates to a broadcast left-anti join, and "
+    "filter) — NOT IN decorrelates to a left-anti join (unhinted: the "
+    "complaint subset is a constant fraction of sf-scaling supplier), and "
     "the count-distinct collapses to DISTINCT pairs + count.  The "
     "distinct runs on (brand, size, suppkey) — vocabulary-sized, "
     "never row grain.",
@@ -896,9 +903,9 @@ def supplier_relationship_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pairs = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(excluded),
+            excluded,
             li.l_suppkey == excluded.s_suppkey,
             "left_anti",
         )
@@ -956,7 +963,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
     s = _t(spark, sf_dir, "supplier")
     vol = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -965,7 +972,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shares.filter(F.col("qty") * 2 > F.col("part_total"))
-        .join(F.broadcast(s), shares.l_suppkey == s.s_suppkey)
+        .join(s, shares.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(
             F.count("*").alias("dominated_parts"),

@@ -278,6 +278,7 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("_s").desc(), F.col("doc_id")))
         .cast("int"),
     ).select("doc_id", "lex_rank")
+    # bounded: qv is the single query vector (vec_id == 0) — 1 row
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qvec")
     )
@@ -495,6 +496,7 @@ def kfold_ols_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resid = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
     ev = (
+        # bounded: coef is one row per CV fold (k constant folds)
         pts.join(F.broadcast(coef), "fold")
         .groupBy("fold")
         .agg(
@@ -975,6 +977,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly like the frozen-model stream scorer (dsir_score_stream's
     # lut.get(h, 0)) — stream == batch on any corpus, not just this one
     return (
+        # bounded: lr table is hash-bucket grain — 2^16 rows regardless of corpus size
         _dsir_doc_buckets(d).join(F.broadcast(dsir_lr_table(d)), "bucket", "left")
         .groupBy("doc_id", "lang")
         .agg(
@@ -1148,8 +1151,9 @@ def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = emb.select("vec_id", "label")
     top5 = (
         run.join(
+            # bounded: q-labels come from the fixed 10-query evaluation set
             F.broadcast(
-                labels.select(
+                queries.select(
                     F.col("vec_id").alias("query_id"),
                     F.col("label").alias("q_label"),
                 )
@@ -1174,6 +1178,7 @@ def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrel = (
         emb.select("vec_id", "label")
         .join(
+            # bounded: fixed 10-query evaluation set
             F.broadcast(
                 queries.select(
                     F.col("vec_id").alias("query_id"),
@@ -1191,8 +1196,8 @@ def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (acc, i) -> acc + 1.0 / log2(i + 1))"
     )
     return (
-        # both sides are query-count-sized (10 rows); without the hint the
-        # post-aggregation stats estimate picks a SortMergeJoin
+        # bounded: both sides are query-count-sized (10 rows); without the
+        # hint the post-aggregation stats estimate picks a SortMergeJoin
         hits.join(F.broadcast(nrel), "query_id")
         .select(
             "query_id",

@@ -82,16 +82,28 @@ def scan_stats(
     for c in columns:
         aggs.append(F.min(c).alias(f"{c}_min"))
         aggs.append(F.max(c).alias(f"{c}_max"))
-    root = os.path.abspath(path).rstrip("/") + "/"
-    return (
-        df.groupBy(
-            # input_file_name() is a URI (file:///abs/...); everything
-            # after the absolute table root is the stable relative path
-            F.substring_index(F.input_file_name(), root, -1).alias("file")
+    # input_file_name() is a URI (file:///abs/... or file:/abs/...) with
+    # percent-encoded special characters; a plain-text prefix match on
+    # abspath() silently fails for encoded spaces or symlinked roots and
+    # substring_index would then leak the full URI into the manifest.
+    # Normalize scheme -> decode percent escapes -> strip whichever of
+    # the given (abspath) or resolved (realpath) root matches.  '+' is
+    # pre-escaped because url_decode is form-decoding ('+' -> space)
+    # while file URIs leave '+' literal.  Consumers (find_orphan_files /
+    # targeted_delete) reject manifests where neither root matched.
+    decoded = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            r"\+",
+            "%2B",
         )
-        .agg(*aggs)
-        .orderBy("file")
     )
+    root_given = os.path.abspath(path).rstrip("/") + "/"
+    root_real = os.path.realpath(path).rstrip("/") + "/"
+    rel = F.substring_index(
+        F.substring_index(decoded, root_given, -1), root_real, -1
+    )
+    return df.groupBy(rel.alias("file")).agg(*aggs).orderBy("file")
 
 
 def zorder_write(
@@ -142,6 +154,19 @@ def zorder_write(
     )
 
 
+def _reject_non_relative(files) -> None:
+    """scan_stats guarantees table-root-relative paths only when one of
+    its root candidates prefix-matched the decoded file URI; if neither
+    did, the absolute path (or full URI) leaks through.  Fail loudly
+    before any consumer turns a garbage path into a wrong delete."""
+    bad = sorted(f for f in files if "://" in f or f.startswith("/"))
+    if bad:
+        raise ValueError(
+            "manifest contains non-relative file paths (table root did "
+            f"not match the scan URIs): {bad[:3]}"
+        )
+
+
 def find_orphan_files(path: str, manifest: DataFrame) -> list[str]:
     """Orphan detection against a RECORDED manifest — the integrity
     half of table maintenance.  A plain parquet directory has no
@@ -163,6 +188,7 @@ def find_orphan_files(path: str, manifest: DataFrame) -> list[str]:
     import os
 
     committed = {r["file"] for r in manifest.select("file").collect()}
+    _reject_non_relative(committed)
     on_disk = set()
     for root, dirs, files in os.walk(path):
         # skip metadata dirs the way directory-listing readers do
@@ -204,6 +230,7 @@ def targeted_delete(
     Returns {"files_total", "files_rewritten", "rows_deleted"}.
     """
     manifest = scan_stats(spark, path, [key_col]).collect()
+    _reject_non_relative(r["file"] for r in manifest)
     lo, hi = f"{key_col}_min", f"{key_col}_max"
     targets = [v for v in key_values if v is not None]
     touched = [
@@ -220,6 +247,16 @@ def targeted_delete(
         # join lands on the right file in nested dt=... layouts too
         fpath = os.path.join(path, fname)
         df = spark.read.parquet(fpath)
+        if key_col not in df.columns:
+            # a partition column exists via directory discovery on the
+            # table read but is NOT stored inside the part files — the
+            # per-file rewrite below would lose it.  Refuse before any
+            # file has been touched rather than fail mid-rewrite.
+            raise ValueError(
+                f"targeted_delete: {key_col!r} is not stored in part file "
+                f"{fname!r} (partition column?) — rewrite the partition "
+                "directory instead of per-file deletes"
+            )
         # null-safe keep: ~isin() is NULL (not true) for null keys, and a
         # plain filter would silently delete them alongside the targets
         keep = df.filter(

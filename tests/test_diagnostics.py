@@ -442,7 +442,9 @@ def test_exact_kth_smallest_boundary_fuzz(spark):
 
 
 def test_percentile_approx_error_within_bound(spark):
-    """GK sketch guarantee: rank error <= n/accuracy (accuracy=1000)."""
+    """256-bin histogram quantile: the linear interpolation can miss by
+    at most the hit bucket's occupancy; pin a loose 5%-of-n rank bound
+    (uniform-ish data sits at ~n/256) plus sign sanity."""
     from data_engineering_individual_assignment_spark.plans.catalog import CATALOG
 
     rows = CATALOG["percentile_approx_error_report"].fn(
@@ -450,8 +452,33 @@ def test_percentile_approx_error_within_bound(spark):
     ).collect()
     assert len(rows) == 2
     for r in rows:
-        assert r.rank_err <= r.n / 1000 + 1, (r.p, r.rank_err, r.n)
+        assert r.rank_err <= r.n * 0.05, (r.p, r.rank_err, r.n)
         assert r.value_err >= 0
+
+
+def test_native_percentile_approx_gk_bound(spark):
+    """GK sketch guarantee for Spark's NATIVE percentile_approx (the
+    engine-internal audit the portable report no longer carries):
+    rank error <= n/accuracy at accuracy=1000."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    vals = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_extendedprice")
+        .filter(F.col("l_extendedprice").isNotNull())
+    )
+    n = vals.count()
+    approx = vals.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 1000).alias("a")
+    ).first()["a"]
+    for p, a in zip((0.5, 0.9), approx):
+        k = math.ceil(n * p)
+        rank = vals.filter(F.col("l_extendedprice") <= F.lit(a)).count()
+        assert abs(rank - k) <= n / 1000 + 1, (p, rank, k, n)
 
 
 def _png_from_filtered(width, height, ctype, rows_with_filters):

@@ -289,8 +289,9 @@ def test_hll_error_within_bounds(spark):
     rows = plans.CATALOG["hll_error_report"].fn(spark, SF_SMALL).collect()
     assert rows
     for r in rows:
-        assert abs(r["rel_err_rsd05"]) <= 0.15, r
-        assert abs(r["rel_err_rsd01"]) <= 0.03, r
+        # portable HLL: rsd = 1.04/sqrt(m) -> 13% at m=64, 3.25% at m=1024
+        assert abs(r["rel_err_m64"]) <= 0.39, r
+        assert abs(r["rel_err_m1024"]) <= 0.10, r
 
 
 def test_dsir_scan_prunes_documents_columns(spark):
