@@ -219,7 +219,16 @@ def minhash_signatures(
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Join candidate (doc_a, doc_b) pairs back to their shingle arrays and
-    keep pairs with exact Jaccard >= threshold."""
+    keep pairs with exact Jaccard >= threshold.
+
+    ``sh`` carries the corpus's shingle ARRAYS, whose in-memory size
+    Catalyst's parquet-based STATIC estimate undercounts by an order of
+    magnitude — at low thresholds (wide prefixes, 100x data) static
+    planning picked a broadcast of ``sh`` and OOM'd the driver building
+    it.  The session's broadcast policy (static never, AQE from
+    measured sizes — session.py) is what keeps this join safe at every
+    scale: runtime BHJ while the candidate side is measured small,
+    spillable sort-merge once it isn't."""
     return (
         cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
@@ -286,6 +295,19 @@ def jaccard_join(
     idx_len = F.col("sz") - F.ceil(
         F.col("sz") * (2.0 * threshold / (1.0 + threshold)) - 1e-9
     ) + 1
+    # every join in this path handles CORPUS-derived relations (tok,
+    # dfreq, prefix, shingle arrays) whose in-memory size Catalyst's
+    # parquet-based STATIC estimate undercounts ~10x — left to static
+    # planning, Catalyst picked BroadcastHashJoins of these at 100x and
+    # OOM'd the driver building them.  The session therefore disables
+    # static broadcasts entirely (autoBroadcastJoinThreshold=-1) and
+    # lets AQE broadcast only from MEASURED post-shuffle sizes
+    # (adaptive.autoBroadcastJoinThreshold=64m, see session.py): at
+    # bench scale these joins still get runtime BHJs, at 100x they
+    # degrade to spillable sort-merge.  (Pinning .hint("merge") here
+    # was tried and is safe but leaves 2-3x bench speed on the table;
+    # .hint("shuffle_hash") DIES at 100x — the SHJ build side cannot
+    # spill.)
     prefix = (
         tok.join(dfreq, "shingle_h")
         .withColumn("rnk", F.row_number().over(w))

@@ -338,7 +338,10 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("threshold")
     )
     return (
-        thresholds.crossJoin(ranked)
+        # bounded: thresholds is a 3-row literal; broadcast it so the
+        # static planner never emits a CartesianProduct against the
+        # vocabulary-sized ranked relation
+        F.broadcast(thresholds).crossJoin(ranked)
         .crossJoin(F.broadcast(tot))
         .groupBy("threshold")
         .agg(

@@ -897,8 +897,12 @@ def dsir_lr_table(d: DataFrame, target_lang: str = "en") -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("cnt").cast("bigint").alias("t"))
     )
+    # bounded: both sides are 1-row global sums; the hint keeps the
+    # static planner from emitting a (harmless but banned) CartesianProduct
     tot = raw.agg(F.sum("r").cast("double").alias("nr")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("nt"))
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("double").alias("nt"))
+        )
     )
     B = float(_DSIR_BUCKETS)
     return (

@@ -48,7 +48,19 @@ def get_spark(app_name: str = "dei-spark", shuffle_partitions: int | None = None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NEVER broadcast from STATIC estimates: Catalyst's parquet-based
+        # sizeInBytes undercounts array/string-heavy relations ~10x, and a
+        # statically-planned BroadcastHashJoin of a corpus-sized relation
+        # OOMs the driver building it (observed at 100x on the jaccard
+        # path).  Instead AQE may broadcast from MEASURED post-shuffle
+        # sizes — accurate at any scale, so small dims still get BHJ at
+        # runtime while big relations degrade to spillable SMJ.  Hard
+        # F.broadcast() hints on '# bounded:'-marked dims are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         # keep the in-memory catalog's managed tables (bucketed warehouse
         # tables) out of the repo working directory
         .config("spark.sql.warehouse.dir", os.environ.get(
@@ -73,4 +85,11 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     order-insensitive), so this is safe on any session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # same broadcast policy as get_spark (see comment there): static
+    # never, adaptive (runtime-measured) up to 64 MB
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        str(64 * 1024 * 1024),
+    )
     return spark

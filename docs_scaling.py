@@ -24,7 +24,8 @@ HEADER = """# SCALING — measured headroom + 100 TB design notes
 
 sf0.1 tables replicated 10× with key-shifting (≈ sf1: 6M lineitem rows,
 100k orders-per-replica joins kept at original selectivity, 50k
-documents, 1M events, 200k embeddings), local[32] (round 5: the FULL
+documents, 1M events, 200k embeddings), local[32] (refreshed in full
+round 7, post broadcast-unpinning + jaccard merge-hinting: the FULL
 catalog swept — every registered query except the {n_excluded}
 bounded-by-construction asset caps listed in `scale_check.EXCLUDED`;
 base timings are the second warm pass, raw numbers in
@@ -56,14 +57,28 @@ bucketed reconstruction), while its production form
 ntile_from_rank` — measures {twin_e:.2f}.  Prior rounds: r4 max 0.53 over 82
 queries, r3 0.56, r2 0.79.
 
-Worst current non-anchor, `late_shipment_priority`, is the Q4
-left-semi equi+range join crossing the broadcast threshold at ×10:
-Spark correctly switches the filtered-orders side from broadcast to a
-shuffle join, a one-time strategy step (each regime is itself linear),
-not a super-linear operator.
+The worst non-anchor rows sit at ~0.55-0.67 and are per-row-compute
+queries (`sql_scripting_coverage_search`'s iterative SQL-scripting
+probe, `bpe_token_estimate`'s regex token passes,
+`capped_decay_balance`'s grouped-map recursion): their ×10 run is
+compute-bound rather than overhead-bound — linear work, honest
+exponent.  `embedding_near_dup`, the EXACT all-pairs cosine baseline
+(quadratic by definition; 1.21 at ×100), measures 0.42 here only
+because block-grid overhead still dominates at ×10 — its scale paths
+`embedding_lsh_near_dup` / `semdedup_cells` / `ann_*` are measured
+alongside.
 
 This harness has now caught and fixed one real super-linear bug per
 round it grew:
+
+- round 7 (100× extension): the STATIC planner broadcast corpus-sized
+  shingle/prefix relations inside `jaccard_join` (Catalyst's
+  parquet-based size estimate undercounts array relations ~10×) and
+  OOM'd the 8 GiB driver at ×100 on the loose-threshold queries;
+  `.hint("merge")` on the jaccard-path joins pins the only strategy
+  with no size cliff (SMJ spills; a shuffle_hash build side cannot),
+  and the whole family re-measured green (`dedup_threshold_curve`
+  0.66, `near_dup_pairs` 0.42 at ×100).
 
 - round 4: `doc_cosine_pairs_sparse` measured 2.54 with only a relative
   (10%-of-corpus) document-frequency cap — replica-local stopwords kept
@@ -169,14 +184,27 @@ def main() -> None:
         with open(x100_path) as f:
             x100 = json.load(f)
         lines.append(
-            "\n## 100× spot-check (flagship queries)\n\n"
+            "\n## 100× spot-check (90 queries)\n\n"
             "`scale_check.py 100` replicates sf0.1 one-hundred-fold "
             "(60M lineitem rows, 500k documents — two DECADES above the "
-            "base measurement) and reruns the flagship queries at the "
-            "default driver memory — since round 6 removed the pinned "
-            "broadcast hints on sf-scaling relations, AQE flips those "
-            "joins to SMJ once the side outgrows the 64 MB threshold "
-            "and no inflated driver heap is needed.\n\n"
+            "base measurement) and reruns 90 queries — every §2.11 "
+            "LLM-pipeline op, every join/explode query, the full "
+            "unpinned TPC-H batch, and the maintenance audits — at the "
+            "DEFAULT 8 GiB driver (round 7: the round-5 "
+            "SPARK_DRIVER_MEMORY=48g requirement is GONE — it was the "
+            "pinned broadcasts; with those unpinned and the jaccard "
+            "path's joins merge-hinted, nothing needs an inflated "
+            "heap).\n\n"
+            "Two rows are expected to exceed exponent 1 and are kept "
+            "deliberately: `embedding_near_dup` is the EXACT all-pairs "
+            "cosine baseline — quadratic by definition; its scale "
+            "paths `embedding_lsh_near_dup` (0.66) and `semdedup_cells` "
+            "(0.43) are measured alongside.  `interval_overlap_errors` "
+            "is a replication artifact: event TIMESTAMPS are not "
+            "remapped across replicas, so the TRUE overlap-pair answer "
+            "grows ~quadratically in the factor — the banded plan "
+            "still holds it to 0.92 (output-size-bound, not a plan "
+            "defect).\n\n"
             "| query | sf0.1 s | ×100 s | exponent |\n|---|---|---|---|\n"
         )
         for name, r in sorted(
@@ -186,12 +214,17 @@ def main() -> None:
                 f"| {name} | {r['sf0.1_sec']:.2f} | {r['x100_sec']:.2f} "
                 f"| {r['scaling_exponent']:.2f} |\n"
             )
-        worst = max(r["scaling_exponent"] for r in x100.values())
+        documented_super = {"embedding_near_dup", "interval_overlap_errors"}
+        worst = max(
+            r["scaling_exponent"]
+            for n, r in x100.items()
+            if n not in documented_super
+        )
         lines.append(
-            f"\nAll {len(x100)} flagship queries complete at 100× with "
-            f"max exponent {worst:.2f} — every one sublinear across two "
-            "decades (doubling the data less than doubles the work "
-            "everywhere).\n"
+            f"\nAll {len(x100)} queries complete at 100× on the default "
+            f"8 GiB driver; max exponent {worst:.2f} outside the two "
+            "documented rows above — sublinear across two decades "
+            "(doubling the data less than doubles the work).\n"
         )
     non_anchor = [
         r["scaling_exponent"] for n, r in run.items() if n not in ANCHORS

@@ -21,6 +21,17 @@ def _plan(spark, name: str, execute: bool = False) -> str:
     )
 
 
+def _final(plan: str) -> str:
+    """Strip AQE's '== Initial Plan ==' echo: under the session's
+    static-broadcasts-off policy (autoBroadcastJoinThreshold=-1 +
+    adaptive threshold 64m, session.py) the INITIAL plan legitimately
+    shows SortMergeJoin placeholders that AQE replaces with runtime
+    broadcasts once real sizes are known — strategy assertions must
+    read only the executed final plan."""
+    i = plan.find("== Initial Plan ==")
+    return plan[:i] if i != -1 else plan
+
+
 def test_filter_project_pushdown(spark):
     plan = _plan(spark, "filter_project")
     assert "PushedFilters: [" in plan
@@ -31,8 +42,7 @@ def test_filter_project_pushdown(spark):
 
 
 def test_star_join_broadcasts_dimensions(spark):
-    plan = _plan(spark, "star_join_revenue", execute=True)
-    # AQE explain prints initial+final plan: 3 joins appear in each
+    plan = _final(_plan(spark, "star_join_revenue", execute=True))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     # the orders fact table is scanned with only the 2 needed columns
@@ -128,7 +138,7 @@ def test_tfidf_broadcasts_scored_slice(spark):
 def test_knn_vote_broadcasts_queries_and_labels(spark):
     """kNN vote touches the corpus exactly once: every join against it
     (query vectors, label lookup) is a broadcast."""
-    plan = _plan(spark, "knn_label_vote", execute=True)
+    plan = _final(_plan(spark, "knn_label_vote", execute=True))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
@@ -314,7 +324,7 @@ def test_tokenizer_fertility_scan_prunes(spark):
 def test_retrieval_metrics_broadcasts_queries_and_labels(spark):
     """The run side (corpus x 10 queries) and the grading joins must all
     broadcast the tiny side - no SortMergeJoin anywhere."""
-    plan = _plan(spark, "retrieval_metrics", execute=True)
+    plan = _final(_plan(spark, "retrieval_metrics", execute=True))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
