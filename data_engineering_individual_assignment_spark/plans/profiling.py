@@ -432,8 +432,11 @@ def hll_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(est, 4) - F.col("exact_users")) / F.col("exact_users"), 6
     )
     return (
-        exact.join(e64.withColumnRenamed("est", "e64"), "event_type")
-        .join(e1024.withColumnRenamed("est", "e1024"), "event_type")
+        # bounded: both estimate relations are one row per event_type
+        # (fixed enum); without the hint the post-aggregation join picks
+        # a (harmless but pointless) SortMergeJoin
+        exact.join(F.broadcast(e64.withColumnRenamed("est", "e64")), "event_type")
+        .join(F.broadcast(e1024.withColumnRenamed("est", "e1024")), "event_type")
         .select(
             "event_type",
             "exact_users",

@@ -23,6 +23,11 @@ SHOW = {
     "fan-out.",
     "near_dup_pairs": "Prefix-filtered set-similarity join: shingle hashing + "
     "doc-frequency agg + prefix equi-join; no all-pairs operator anywhere.",
+    "hll_error_report": "Portable HyperLogLog calibration: one md5 hash "
+    "projection per precision, a |types|*m-cell max-groupBy (partial+final), "
+    "and an integer-frozen harmonic sum — constant state per group, no "
+    "engine-internal sketch buffers, so the DuckDB twin rebuilds the "
+    "registers bit-identically.",
     "contamination_check": "Benchmark decontamination: per-row shingle "
     "transform (no Window, so the corpus side never shuffles before the "
     "join), benchmark shingles broadcast, count aggregate only over "

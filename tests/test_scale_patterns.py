@@ -47,7 +47,9 @@ def test_bucketed_join_has_no_exchange(spark):
             map(tuple, plain.collect())
         )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restore the SESSION policy (static broadcasts off — see
+        # session.py), not the old 64m static threshold
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
