@@ -155,6 +155,42 @@ def test_asof_pandas_big_int_keys_no_float_collision(spark):
     assert out == {1: 100, 2: 200}
 
 
+def test_asof_pandas_big_int_keys_null_on_left(spark):
+    """Regression (ADVICE r6): a null by-key in a LEFT batch used to make
+    Arrow hand the whole left key column over as float64, so DISTINCT
+    left keys above 2^53 were corrupted before the pandas-side null
+    split could help (the Int64 cast preserves already-rounded values).
+    Null-by/null-ts left rows are now set aside SPARK-side and
+    re-appended with a null payload, keeping the Arrow-visible left key
+    column int64.  num_buckets=1 forces every row into one pandas batch
+    so the null row shares the batch with the big keys."""
+    from data_engineering_individual_assignment_spark.operators.joins import (
+        asof_join_pandas,
+    )
+
+    k1, k2 = 2**53, 2**53 + 1  # indistinguishable as float64
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", k1),
+            (2, "2024-01-02 00:00:00", k2),
+            (3, "2024-01-02 00:00:00", None),  # forces the left null path
+        ],
+        "event_id long, ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (k1, "2024-01-01 00:00:00", 100),
+            (k2, "2024-01-01 12:00:00", 200),
+        ],
+        "o_custkey long, order_ts string, o_orderkey long",
+    ).withColumn("order_ts", F.col("order_ts").cast("timestamp"))
+    out = {r["event_id"]: r["o_orderkey"] for r in asof_join_pandas(
+        left, right, "ts", "order_ts", "user_id", "o_custkey",
+        ["o_orderkey"], num_buckets=1,
+    ).collect()}
+    assert out == {1: 100, 2: 200, 3: None}
+
+
 def test_asof_declarative_tolerates_null_timestamps(spark):
     """Regression: with nulls-first ordering a null-ts right row sorted
     before everything and its payload was carried into null-ts left rows

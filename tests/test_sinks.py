@@ -159,6 +159,32 @@ def test_scan_stats_manifest(spark, tmp_path):
     assert (lo, hi) == (row[0], row[1])
 
 
+def test_scan_stats_percent_encoded_path(spark, tmp_path):
+    """Regression (ADVICE r6): input_file_name() returns a percent-encoded
+    URI, so a table root containing a space ('%20' in the URI) never
+    prefix-matched the plain-text abspath and the manifest silently
+    leaked full URIs — which find_orphan_files/targeted_delete would
+    then turn into garbage paths.  scan_stats now URL-decodes the URI
+    and its consumers reject non-relative paths loudly."""
+    from data_engineering_individual_assignment_spark.sinks.maintenance import (
+        find_orphan_files,
+        scan_stats,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+
+    src = str(tmp_path / "with space" / "t")
+    li = load_table(spark, SF_SMALL, "orders")
+    li.repartition(2).write.parquet(src)
+    manifest = scan_stats(spark, src, ["o_orderkey"])
+    rows = manifest.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert "://" not in r.file and not r.file.startswith("/"), r.file
+        assert "%20" not in r.file, r.file
+    # the consumer accepts the manifest and finds no orphans
+    assert find_orphan_files(src, manifest) == []
+
+
 def test_orc_round_trip(spark, tmp_path):
     """ORC write -> read preserves schema and values, and a filtered
     re-read pushes the predicate into the ORC scan."""
