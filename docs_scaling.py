@@ -192,8 +192,9 @@ def main() -> None:
             "unpinned TPC-H batch, and the maintenance audits — at the "
             "DEFAULT 8 GiB driver (round 7: the round-5 "
             "SPARK_DRIVER_MEMORY=48g requirement is GONE — it was the "
-            "pinned broadcasts; with those unpinned and the jaccard "
-            "path's joins merge-hinted, nothing needs an inflated "
+            "pinned broadcasts; with those unpinned and the session's "
+            "measured-sizes-only broadcast policy (static threshold -1, "
+            "AQE threshold 64m — session.py), nothing needs an inflated "
             "heap).\n\n"
             "Two rows are expected to exceed exponent 1 and are kept "
             "deliberately: `embedding_near_dup` is the EXACT all-pairs "
