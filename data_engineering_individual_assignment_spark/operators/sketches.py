@@ -208,12 +208,15 @@ def hll_distinct_estimate(
     - register r_j = max rho per (group, bucket) — a groupBy over a key
       space of |groups|·m, constant-sized state at any corpus size and
       cell-wise MERGEABLE (max), which is the 100 TB point;
-    - the harmonic sum is frozen as an INTEGER: Z_int = sum over all m
-      registers of 2^(maxrho-1 - r_j) * 2^0 scaled by 2^(60-p), i.e.
-      ``sum(1 << (pay_bits - r))`` plus ``2^pay_bits`` per absent
-      register — at most m·2^pay_bits < 2^61, exact in BIGINT in every
+    - the harmonic sum is frozen as an INTEGER scaled by 2^rho_max
+      (NOT 2^pay_bits: r can reach rho_max = pay_bits+1 on an all-zero
+      payload, and a 2^pay_bits scale would then need a NEGATIVE shift
+      — Spark's shiftleft masks it to 63 and corrupts the sum, DuckDB
+      raises): Z_int = ``sum(1 << (rho_max - r))`` plus ``2^rho_max``
+      per absent register — shift exponent always in [0, pay_bits],
+      total at most m·2^rho_max = 2^61, exact in BIGINT in every
       engine, so no float-summation-order divergence is possible;
-    - estimate = alpha_m·m²·2^pay_bits / Z_int (one double division),
+    - estimate = alpha_m·m²·2^rho_max / Z_int (one double division),
       with the standard linear-counting small-range correction
       (E <= 2.5m and empty registers exist -> m·ln(m/V)).
 
@@ -229,7 +232,7 @@ def hll_distinct_estimate(
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1 + 1.079 / m)
     )
-    coef = alpha * m * m * float(1 << pay_bits)
+    coef = alpha * m * m * float(1 << rho_max)
     regs = (
         df.select(
             *by,
@@ -246,8 +249,8 @@ def hll_distinct_estimate(
     )
     z = regs.groupBy(*by).agg(
         F.expr(
-            f"CAST({m} - count(*) AS BIGINT) * CAST({1 << pay_bits} AS BIGINT)"
-            f" + sum(shiftleft(CAST(1 AS BIGINT), CAST({pay_bits} - r AS INT)))"
+            f"CAST({m} - count(*) AS BIGINT) * CAST({1 << rho_max} AS BIGINT)"
+            f" + sum(shiftleft(CAST(1 AS BIGINT), CAST({rho_max} - r AS INT)))"
         ).alias("z_int"),
         F.expr(f"CAST({m} - count(*) AS BIGINT)").alias("v"),
     )
@@ -271,7 +274,7 @@ def hll_oracle_ctes(src: str, col: str, group: str, m: int) -> str:
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1 + 1.079 / m)
     )
-    coef = alpha * m * m * float(1 << pay_bits)
+    coef = alpha * m * m * float(1 << rho_max)
     return f"""hll{m}_hash AS (
         SELECT {group},
                CAST('0x' || substr(md5('hll{m}|' || CAST({col} AS VARCHAR)), 1, 15)
@@ -284,8 +287,8 @@ def hll_oracle_ctes(src: str, col: str, group: str, m: int) -> str:
         FROM hll{m}_hash GROUP BY {group}, bucket),
     hll{m}_z AS (
         SELECT {group},
-               CAST({m} - count(*) AS BIGINT) * CAST({1 << pay_bits} AS BIGINT)
-               + sum(1::BIGINT << CAST({pay_bits} - r AS INT)) AS z_int,
+               CAST({m} - count(*) AS BIGINT) * CAST({1 << rho_max} AS BIGINT)
+               + sum(1::BIGINT << CAST({rho_max} - r AS INT)) AS z_int,
                CAST({m} - count(*) AS BIGINT) AS v
         FROM hll{m}_reg GROUP BY {group}),
     hll{m}_est AS (

@@ -25,7 +25,8 @@ HEADER = """# SCALING — measured headroom + 100 TB design notes
 sf0.1 tables replicated 10× with key-shifting (≈ sf1: 6M lineitem rows,
 100k orders-per-replica joins kept at original selectivity, 50k
 documents, 1M events, 200k embeddings), local[32] (refreshed in full
-round 7, post broadcast-unpinning + jaccard merge-hinting: the FULL
+round 7 under the shipped broadcast policy — hints unpinned, static
+broadcasts off, AQE measured-size broadcasts only: the FULL
 catalog swept — every registered query except the {n_excluded}
 bounded-by-construction asset caps listed in `scale_check.EXCLUDED`;
 base timings are the second warm pass, raw numbers in
@@ -74,11 +75,15 @@ round it grew:
 - round 7 (100× extension): the STATIC planner broadcast corpus-sized
   shingle/prefix relations inside `jaccard_join` (Catalyst's
   parquet-based size estimate undercounts array relations ~10×) and
-  OOM'd the 8 GiB driver at ×100 on the loose-threshold queries;
-  `.hint("merge")` on the jaccard-path joins pins the only strategy
-  with no size cliff (SMJ spills; a shuffle_hash build side cannot),
-  and the whole family re-measured green (`dedup_threshold_curve`
-  0.66, `near_dup_pairs` 0.42 at ×100).
+  OOM'd the 8 GiB driver at ×100 on the loose-threshold queries.
+  The shipped fix is session-level, not per-join: static broadcasts
+  are disabled entirely (`autoBroadcastJoinThreshold=-1`) and only
+  AQE may broadcast, from MEASURED post-shuffle sizes
+  (`adaptive.autoBroadcastJoinThreshold=64m` — session.py).  Per-join
+  `.hint("merge")` was tried first and dropped (2-3× bench cost);
+  `.hint("shuffle_hash")` fails outright at ×100 (SHJ's build side
+  cannot spill).  Under the policy the whole family re-measured green
+  (`dedup_threshold_curve` 0.66, `near_dup_pairs` 0.37 at ×100).
 
 - round 4: `doc_cosine_pairs_sparse` measured 2.54 with only a relative
   (10%-of-corpus) document-frequency cap — replica-local stopwords kept
