@@ -16,7 +16,7 @@ Design rules at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, shingles, tokens
@@ -228,11 +228,33 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     it.  The session's broadcast policy (static never, AQE from
     measured sizes — session.py) is what keeps this join safe at every
     scale: runtime BHJ while the candidate side is measured small,
-    spillable sort-merge once it isn't."""
+    spillable sort-merge once it isn't.
+
+    ``sh`` is joined ONCE, not once per pair side: each candidate is
+    exploded into two (pair, doc_id) side rows, joined, and the pair's
+    two arrays re-packed by a groupBy over the candidate pairs.  Under
+    the broadcast policy every join of ``sh`` pays a shuffle-write of
+    the corpus arrays even when AQE converts the join to a runtime BHJ,
+    so halving the ``sh`` joins removes a full corpus-array shuffle
+    from the plan; the extra pair-keyed groupBy only shuffles
+    2·|candidates| rows."""
+    sides = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    packed = (
+        sides.join(sh.select("doc_id", "shingles"), "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("shingles"))
+            ).alias("sh_a"),
+            F.max(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("shingles"))
+            ).alias("sh_b"),
+        )
+    )
     return (
-        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
-        .withColumn(
+        packed.withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
@@ -275,13 +297,41 @@ def jaccard_join(
     to 6 places.
     """
     rows = hashed_shingle_rows(df, text_col, id_col, k)
-    sh = _persist(hashed_shingle_arrays(rows))
-    tok = sh.select(
-        "doc_id", "sz", F.explode("shingles").alias("shingle_h")
-    )
-    dfreq = tok.groupBy("shingle_h").agg(F.count("*").alias("dfreq"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("dfreq").asc(), F.col("shingle_h").asc()
+    dfreq = rows.groupBy("shingle_h").agg(F.count("*").alias("dfreq"))
+    # ONE doc-keyed aggregation builds everything per-doc downstream:
+    # the occurrence rows join their shingle's global frequency, and
+    # collect_set(struct(dfreq, shingle_h)) + sort_array yields the
+    # DISTINCT shingles already in global rarest-first order — the
+    # per-doc rank is then just the array position (row-local), and the
+    # verification arrays are a field extraction of the same column.
+    # This replaces the previous three corpus-keyed stages (a separate
+    # collect_set groupBy for the arrays, a tok-side shuffle for the
+    # dfreq join, and a row_number window shuffled by doc_id) with two
+    # (dfreq agg + this groupBy): one full corpus shuffle fewer, and no
+    # window sort (measured 2.6 s -> 1.55 s at sf0.1, same 256 pairs).
+    # dfreq counts occurrence MULTIPLICITY (within-doc repeats included)
+    # rather than per-doc-distinct frequency — the global order only
+    # steers WHICH shingles land in prefixes (candidate count), never
+    # recall: prefix filtering is sound under any consistent total
+    # order, and the brute-force property test pins exactness.
+    # every join in this path handles CORPUS-derived relations (rows,
+    # dfreq, prefix, shingle arrays) whose in-memory size Catalyst's
+    # parquet-based STATIC estimate undercounts ~10x — left to static
+    # planning, Catalyst picked BroadcastHashJoins of these at 100x and
+    # OOM'd the driver building them.  The session therefore disables
+    # static broadcasts entirely (autoBroadcastJoinThreshold=-1) and
+    # lets AQE broadcast only from MEASURED post-shuffle sizes
+    # (adaptive.autoBroadcastJoinThreshold=64m, see session.py): at
+    # bench scale these joins still get runtime BHJs, at 100x they
+    # degrade to spillable sort-merge.  (Pinning .hint("merge") here
+    # was tried and is safe but leaves 2-3x bench speed on the table;
+    # .hint("shuffle_hash") DIES at 100x — the SHJ build side cannot
+    # spill.)
+    shdoc = _persist(
+        rows.join(dfreq, "shingle_h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set(F.struct("dfreq", "shingle_h"))).alias("ord"))
+        .select("doc_id", F.size("ord").alias("sz"), "ord")
     )
     # two prefix lengths per doc (PPJoin self-join asymmetry, Xiao 2008
     # §4): the PROBE prefix |d| - ceil(t|d|) + 1 is required of the
@@ -295,32 +345,26 @@ def jaccard_join(
     idx_len = F.col("sz") - F.ceil(
         F.col("sz") * (2.0 * threshold / (1.0 + threshold)) - 1e-9
     ) + 1
-    # every join in this path handles CORPUS-derived relations (tok,
-    # dfreq, prefix, shingle arrays) whose in-memory size Catalyst's
-    # parquet-based STATIC estimate undercounts ~10x — left to static
-    # planning, Catalyst picked BroadcastHashJoins of these at 100x and
-    # OOM'd the driver building them.  The session therefore disables
-    # static broadcasts entirely (autoBroadcastJoinThreshold=-1) and
-    # lets AQE broadcast only from MEASURED post-shuffle sizes
-    # (adaptive.autoBroadcastJoinThreshold=64m, see session.py): at
-    # bench scale these joins still get runtime BHJs, at 100x they
-    # degrade to spillable sort-merge.  (Pinning .hint("merge") here
-    # was tried and is safe but leaves 2-3x bench speed on the table;
-    # .hint("shuffle_hash") DIES at 100x — the SHJ build side cannot
-    # spill.)
+    # the 1e-9 slack stops an exactly-integer t·|d| from rounding UP
+    # through fp noise (10·0.7 is 7.000000000000001 in doubles; a
+    # ceil of 8 would cut the probe prefix one token short and DROP
+    # qualifying pairs — prefix lengths must err long, never short)
+    probe_len = (
+        F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1
+    ).cast("int")
     prefix = (
-        tok.join(dfreq, "shingle_h")
-        .withColumn("rnk", F.row_number().over(w))
-        # the 1e-9 slack stops an exactly-integer t·|d| from rounding UP
-        # through fp noise (10·0.7 is 7.000000000000001 in doubles; a
-        # ceil of 8 would cut the probe prefix one token short and DROP
-        # qualifying pairs — prefix lengths must err long, never short)
-        .filter(
-            F.col("rnk")
-            <= F.col("sz") - F.ceil(F.col("sz") * threshold - 1e-9) + 1
+        shdoc.select(
+            "doc_id",
+            "sz",
+            F.posexplode(F.slice(F.col("ord"), 1, probe_len)).alias("pos", "s"),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            (F.col("pos") + 1).alias("rnk"),
+            F.col("s.shingle_h").alias("shingle_h"),
         )
         .withColumn("in_idx", F.col("rnk") <= idx_len)
-        .select("doc_id", "sz", "rnk", "shingle_h", "in_idx")
     )
     # required overlap: I >= t(|A|+|B|)/(1+t); the 1e-9 slack keeps an
     # exactly-integer bound from rounding UP through fp noise (pruning
@@ -362,6 +406,7 @@ def jaccard_join(
         )
         .distinct()
     )
+    sh = shdoc.select("doc_id", F.col("ord.shingle_h").alias("shingles"))
     return _verify_jaccard(cand, sh, threshold)
 
 

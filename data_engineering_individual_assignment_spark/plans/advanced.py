@@ -249,29 +249,35 @@ def correlated_subqueries_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_strategy_hints",
     sql="""
-    SELECT s.s_suppkey, s.s_name,
-           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
-           round(sum(l.l_extendedprice), 2)    AS total_price
-    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
-    GROUP BY s.s_suppkey, s.s_name
-    ORDER BY s.s_suppkey
+    SELECT n.n_nationkey, n.n_name,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2)         AS total_acctbal
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    ORDER BY n.n_nationkey
     """,
     doc="join strategy hints: the same equi-join forced to SHUFFLE_HASH "
     "(build the small side's hash table per partition — no sort, no "
     "broadcast). Catalyst obeys hints over its own choice; the plan test "
-    "asserts ShuffledHashJoin appears. Result is strategy-independent.",
+    "asserts ShuffledHashJoin appears. Result is strategy-independent.  "
+    "Demonstrated on the BOUNDED nation dimension: SHJ's build side "
+    "cannot spill, so pinning the hint on an sf-scaling relation is a "
+    "size cliff (proven to die at 100x — NOTES) and is banned by "
+    "tests/test_broadcast_guard.py.",
 )
 def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _t(spark, sf_dir, "supplier").hint("shuffle_hash")
-    li = _t(spark, sf_dir, "lineitem")
+    # bounded: 25 nations by TPC-H spec — SHJ build side cannot spill,
+    # so only a bounded relation may carry this hint
+    n = _t(spark, sf_dir, "nation").hint("shuffle_hash")
+    c = _t(spark, sf_dir, "customer")
     return (
-        li.join(s, li.l_suppkey == s.s_suppkey)
-        .groupBy("s_suppkey", "s_name")
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
         .agg(
-            F.count("l_orderkey").alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
-        .orderBy("s_suppkey")
+        .orderBy("n_nationkey")
     )
 
 
@@ -322,11 +328,19 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_linear_regression",
-    sql=None,  # iterative solver, fp-path dependent: rows-only check
+    sql="""
+    SELECT round(regr_intercept(l_extendedprice, l_quantity), 4) AS b0,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS b1
+    FROM lineitem
+    """,
     doc="pyspark.ml LinearRegression variant of the flagship (SURVEY U2): "
-    "same model through the MLlib estimator API; coefficients agree with "
-    "the closed-form regression_ols to ~1e-6 (asserted in unit tests). "
-    "Rows-only: solver fp path is engine-specific.",
+    "same model through the MLlib estimator API.  With one feature and "
+    "regParam=0 the default 'auto' solver is the NORMAL-EQUATIONS path "
+    "(WeightedLeastSquares) — a closed form, not an iterative descent — "
+    "so the coefficients match DuckDB's closed-form regr_intercept/"
+    "regr_slope beyond 4 dp (measured agreement ~1e-9 relative at sf0.1) "
+    "and the estimator output itself is oracle-checked, not just "
+    "rows-counted.",
 )
 def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.regression import ml_linear_regression as fit
@@ -339,6 +353,11 @@ def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         [(float(model.intercept), float(model.coefficients[0]))], "b0 double, b1 double"
+    ).select(
+        # round Spark-side (F.round is half-up like DuckDB's round;
+        # Python round is banker's and would diverge on .xxxx5 values)
+        F.round("b0", 4).alias("b0"),
+        F.round("b1", 4).alias("b1"),
     )
 
 

@@ -577,15 +577,41 @@ def residual_intervals_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "isotonic_price_curve",
+    sql="""
+    WITH grain AS (
+        SELECT l_quantity AS x, CAST(count(*) AS BIGINT) AS n,
+               avg(l_extendedprice) AS y_mean
+        FROM lineitem GROUP BY 1),
+    idx AS (SELECT x FROM grain),
+    seg AS (
+        -- weighted mean of every contiguous x-range [i, j]
+        SELECT i.x AS i, j.x AS j, sum(g.n * g.y_mean) / sum(g.n) AS m
+        FROM idx i JOIN idx j ON i.x <= j.x
+        JOIN grain g ON g.x BETWEEN i.x AND j.x
+        GROUP BY i.x, j.x),
+    minj AS (
+        SELECT k.x AS k, s.i, min(s.m) AS mn
+        FROM idx k JOIN seg s ON s.i <= k.x AND s.j >= k.x
+        GROUP BY k.x, s.i),
+    fit AS (SELECT k, max(mn) AS fit FROM minj GROUP BY k)
+    SELECT g.x AS l_quantity, g.n,
+           round(g.y_mean, 4) AS y_mean,
+           round(f.fit, 4)    AS fit
+    FROM grain g JOIN fit f ON f.k = g.x
+    ORDER BY l_quantity
+    """,
     doc="isotonic regression (PAVA) of line price against quantity: "
     "the monotone step function calibrating quantity -> expected "
     "price.  Rows collapse to distinct-quantity grain (one linear "
     "agg) before the sequential pooling pass, so PAVA's input is "
-    "x-cardinality sized.  No SQL oracle (PAVA is an iterative pool "
-    "merge a recursive CTE can't express tractably); invariants — "
-    "monotonicity, weighted-mean preservation, pool-mean structure, "
-    "agreement with a brute-force numpy PAVA — are pinned in "
-    "tests/test_training.py.",
+    "x-cardinality sized.  Oracle: the minimax closed form of "
+    "isotonic regression — fit(k) = max over i<=k of min over j>=k "
+    "of the weighted mean on [i, j] (Barlow et al. 1972 §1.2) — "
+    "which is O(grain³) in SQL but exact, so the sequential pool "
+    "merge is differential-tested against an engine that never "
+    "pools.  Monotonicity, weighted-mean preservation, pool-mean "
+    "structure, and agreement with a brute-force numpy PAVA are "
+    "additionally pinned in tests/test_training.py.",
 )
 def isotonic_price_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.regression import isotonic_fit
@@ -1432,23 +1458,35 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ths = spark.createDataFrame(
         [(t,) for t in _DTC_THRESHOLDS], "threshold double"
     )
-    matched = F.broadcast(ths).join(
-        pairs, F.col("jaccard") >= F.col("threshold")
-    )
-    pc = matched.groupBy("threshold").agg(
-        F.count("*").cast("bigint").alias("n_pairs")
-    )
-    dc = (
-        matched.select(
-            "threshold",
-            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+    # jaccard is computed ONCE per candidate pair; each pair then fans
+    # out row-locally to the thresholds it clears (array filter + two
+    # explodes — no threshold join), and ONE aggregation produces both
+    # curve columns: every pair contributes exactly two side rows, so
+    # n_pairs = count/2 and n_docs_affected = countDistinct(doc).
+    # Keeping a single consumer of `pairs` matters: the earlier shape
+    # referenced the pair relation from two aggregation branches, which
+    # duplicated the whole prefix-join subtree in the physical plan and
+    # ran the candidate generation TWICE (dominant at 100x: 137 s).
+    th_arr = F.array(*[F.lit(t) for t in _DTC_THRESHOLDS])
+    counts = (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.explode(
+                F.filter(th_arr, lambda t: F.col("jaccard") >= t)
+            ).alias("threshold"),
         )
+        .select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("d"))
         .groupBy("threshold")
-        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_affected"))
+        .agg(
+            (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").cast("bigint").alias("n_docs_affected"),
+        )
     )
     return (
-        ths.join(pc, "threshold", "left")
-        .join(dc, "threshold", "left")
+        # 5-row threshold grid left-joined to a <=5-row aggregate (a
+        # broadcast hint is unsupported on a left join's LEFT side)
+        ths.join(counts, "threshold", "left")
         .select(
             "threshold",
             F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),

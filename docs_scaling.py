@@ -232,6 +232,38 @@ def main() -> None:
             "documented rows above — sublinear across two decades "
             "(doubling the data less than doubles the work).\n"
         )
+    # stateful-streaming twins (stream_scale_check.py): the batch sweep
+    # cannot see Structured-Streaming state management, so their 10x
+    # evidence is measured separately with stream==batch asserted
+    stream_path = os.path.join(HERE, "SCALING_STREAM.json")
+    if os.path.exists(stream_path):
+        with open(stream_path) as f:
+            stream = json.load(f)
+        lines.append(
+            "\n## Stateful streaming twins at 10× "
+            "(`python stream_scale_check.py`)\n\n"
+            "The batch sweeps above cannot exercise Structured-Streaming "
+            "state management (micro-batch replay, state store restore, "
+            "update-mode emission).  This harness replays the 10× "
+            "document corpus through the three HEAVY stateful twins and "
+            "asserts stream == batch at BOTH scales before timing "
+            "anything: `heavy_hitters_stream` (bounded Misra-Gries "
+            "state via applyInPandasWithState; final-state candidates "
+            "must contain every MG-guaranteed item), "
+            "`incremental_dedup_stream` (stream-static anti-join; "
+            "survivor set compared by bounded aggregates), `cms_stream` "
+            "(complete-mode bounded-cell aggregate; cells equal "
+            "cms_build's bit-for-bit).\n\n"
+            "| stream twin | sf0.1 (s) | ×10 (s) | exponent |\n"
+            "|---|---|---|---|\n"
+        )
+        for name, r in sorted(
+            stream.items(), key=lambda kv: -kv[1]["scaling_exponent"]
+        ):
+            lines.append(
+                f"| {name} | {r['sf0.1_sec']:.2f} | {r['x10_sec']:.2f} "
+                f"| {r['scaling_exponent']:.2f} |\n"
+            )
     non_anchor = [
         r["scaling_exponent"] for n, r in run.items() if n not in ANCHORS
     ]

@@ -82,6 +82,20 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
             if name in extra:
                 k2, s2 = extra[name]
                 part = part.withColumn(k2, F.col(k2) + F.lit(i * s2))
+            if name == "events" and i > 0:
+                # shift replica i's timestamps into a disjoint decade:
+                # intra-replica temporal structure (per-user gaps,
+                # session spacing, window membership) is preserved
+                # exactly, but replicas never overlap in time —
+                # otherwise every signup window gains factor-1 identical
+                # copies overlapping every error replica and the TRUE
+                # interval-join answer grows quadratically in the
+                # factor, measuring output size instead of the operator
+                # (r7's interval_overlap_errors 100x row measured 0.74
+                # for exactly this reason)
+                part = part.withColumn(
+                    "ts", F.expr(f"ts + INTERVAL {i * 3650} DAYS")
+                )
             if name == "documents" and i > 0:
                 # remap replica i's tokens into a disjoint vocabulary
                 # (suffix every token): intra-replica similarity structure

@@ -1,4 +1,12 @@
-"""Static guard: no hard ``F.broadcast()`` hint may pin an sf-scaling relation.
+"""Static guard: no size-cliff join pin may touch an sf-scaling relation.
+
+Covers every spelling of a pin whose strategy cannot degrade gracefully
+when the relation outgrows memory: ``F.broadcast(x)``,
+``x.hint("broadcast"|"broadcast_hash")`` (the same pin by another name),
+``x.hint("shuffle_hash")`` (SHJ's build side cannot spill — proven to die
+at 100x, NOTES), ``x.hint("shuffle_replicate_nl")`` and ``crossJoin(x)``
+(whole-side replication).  ``.hint("merge")`` is exempt: SMJ spills and
+has no size cliff — pinning it costs speed, never memory.
 
 Three rounds of site-by-site review (r5 flagged 8 sites, r6 fixed those 8,
 r7 found 17 more in ``plans/tpch.py`` + 2 in ``plans/insights.py``) showed
@@ -63,8 +71,48 @@ def _is_broadcast_call(node: ast.AST) -> bool:
     return isinstance(f, ast.Name) and f.id == "broadcast"
 
 
+# Join-strategy hints with a size cliff.  "merge" (SMJ) is deliberately
+# NOT here: sort-merge spills and has no cliff, pinning it costs speed
+# but never correctness/OOM.  shuffle_hash's build side CANNOT spill
+# (proven to die at 100x in NOTES); a "broadcast" hint is F.broadcast by
+# another spelling; shuffle_replicate_nl replicates a whole side.
+_CLIFF_HINTS = ("broadcast", "broadcast_hash", "shuffle_hash", "shuffle_replicate_nl")
+
+
+def _cliff_arg(node: ast.AST):
+    """Return the AST node whose relation a size-cliff operation pins,
+    or None if ``node`` is not such an operation.
+
+    - ``F.broadcast(x)``      -> x
+    - ``x.hint("shuffle_hash"|"broadcast"|...)`` -> x (the receiver)
+    - ``x.crossJoin(y)``      -> y (the replicated/buffered side)
+    """
+    if not isinstance(node, ast.Call):
+        return None
+    if _is_broadcast_call(node) and node.args:
+        return node.args[0]
+    f = node.func
+    if isinstance(f, ast.Attribute) and f.attr == "hint" and node.args:
+        first = node.args[0]
+        if (
+            isinstance(first, ast.Constant)
+            and isinstance(first.value, str)
+            and first.value.lower() in _CLIFF_HINTS
+        ):
+            return f.value
+    if isinstance(f, ast.Attribute) and f.attr == "crossJoin" and node.args:
+        inner = node.args[0]
+        # crossJoin(F.broadcast(x)) is judged on x — the inner broadcast
+        # call is scanned as its own site anyway
+        if _is_broadcast_call(inner) and inner.args:
+            return inner.args[0]
+        return inner
+    return None
+
+
 def _iter_sites(tree: ast.AST):
-    """Yield (func_node, call_node) for every F.broadcast call."""
+    """Yield (func_node, call_node, pinned_arg_node) for every size-cliff
+    site: F.broadcast calls, cliff .hint() calls, and crossJoin calls."""
     funcs = [
         n
         for n in ast.walk(tree)
@@ -72,8 +120,9 @@ def _iter_sites(tree: ast.AST):
     ]
     for fn in funcs:
         for node in ast.walk(fn):
-            if _is_broadcast_call(node) and node.args:
-                yield fn, node
+            arg = _cliff_arg(node)
+            if arg is not None:
+                yield fn, node, arg
 
 
 def _assignments(fn: ast.AST, src: str):
@@ -155,14 +204,13 @@ def _has_marker(src_lines: list[str], linenos: list[int], ranges) -> bool:
     return False
 
 
-def _scan_file(path: Path):
-    src = path.read_text()
+def _scan_source(src: str, label: str):
     src_lines = src.split("\n")
     tree = ast.parse(src)
     violations = []
-    for fn, call in _iter_sites(tree):
-        arg = call.args[0]
+    for fn, call, arg in _iter_sites(tree):
         arg_src = ast.get_source_segment(src, arg) or ""
+        call_src = (ast.get_source_segment(src, call) or arg_src).splitlines()[0]
         assigns = _assignments(fn, src)
         evidence, assign_lines = _trace(arg_src, assigns)
         ranges = _stmt_ranges(fn)
@@ -178,11 +226,14 @@ def _scan_file(path: Path):
         if _has_marker(src_lines, [call.lineno] + assign_lines, ranges):
             continue
         violations.append(
-            f"{path.relative_to(PKG.parent)}:{call.lineno} "
-            f"F.broadcast({arg_src.splitlines()[0][:60]}...) traces to an "
-            f"sf-scaling table with no global agg/limit and no '{MARKER}' marker"
+            f"{label}:{call.lineno} {call_src[:80]}... pins an sf-scaling "
+            f"relation with no global agg/limit and no '{MARKER}' marker"
         )
     return violations
+
+
+def _scan_file(path: Path):
+    return _scan_source(path.read_text(), str(path.relative_to(PKG.parent)))
 
 
 def test_no_broadcast_of_scaling_relations():
@@ -194,7 +245,55 @@ def test_no_broadcast_of_scaling_relations():
         for path in sorted(d.glob("*.py")):
             violations.extend(_scan_file(path))
     assert not violations, (
-        "hard F.broadcast() hints pin sf-scaling relations (OOM at the "
-        "100 TB design point — delete the hint or add a reviewed "
+        "size-cliff join pins (F.broadcast / .hint('shuffle_hash'|'broadcast') "
+        "/ crossJoin) on sf-scaling relations (OOM at the 100 TB design point "
+        "— delete the pin or add a reviewed "
         "'# bounded: <cardinality argument>' marker):\n" + "\n".join(violations)
     )
+
+
+# --- planted-violation self-tests: the guard must actually FIRE -----------
+_PLANT_TMPL = '''
+def q(spark, sf_dir):
+    big = load_table(spark, sf_dir, "lineitem")
+    dim = load_table(spark, sf_dir, "part")
+    return big.join({pin}, "p_partkey")
+'''
+
+
+def test_guard_catches_planted_broadcast():
+    assert _scan_source(_PLANT_TMPL.format(pin="F.broadcast(dim)"), "planted")
+
+
+def test_guard_catches_planted_shuffle_hash_hint():
+    assert _scan_source(_PLANT_TMPL.format(pin='dim.hint("shuffle_hash")'), "planted")
+
+
+def test_guard_catches_planted_broadcast_hint():
+    assert _scan_source(_PLANT_TMPL.format(pin='dim.hint("broadcast")'), "planted")
+
+
+def test_guard_catches_planted_crossjoin():
+    plant = '''
+def q(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.crossJoin(docs.select("doc_id"))
+'''
+    assert _scan_source(plant, "planted")
+
+
+def test_guard_allows_merge_hint_and_bounded_sites():
+    ok = '''
+def q(spark, sf_dir):
+    big = load_table(spark, sf_dir, "lineitem")
+    tiny = big.agg(F.sum("l_quantity").alias("s"))
+    # bounded: 25 nations by TPC-H spec
+    marked = load_table(spark, sf_dir, "customer").limit(25)
+    return (
+        big.hint("merge")
+        .join(F.broadcast(tiny))
+        .join(F.broadcast(marked), "c_custkey")
+        .crossJoin(F.broadcast(tiny))
+    )
+'''
+    assert not _scan_source(ok, "planted")
