@@ -327,10 +327,19 @@ def jaccard_join(
     # was tried and is safe but leaves 2-3x bench speed on the table;
     # .hint("shuffle_hash") DIES at 100x — the SHJ build side cannot
     # spill.)
+    # the struct only exists to sort; only the 8-byte hash is KEPT (the
+    # transform drops dfreq at the same stage), so the persisted arrays
+    # and every downstream shuffle stay longs, not 16-byte structs —
+    # at 100x the struct form doubled the cached footprint and GC load
     shdoc = _persist(
         rows.join(dfreq, "shingle_h")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set(F.struct("dfreq", "shingle_h"))).alias("ord"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_set(F.struct("dfreq", "shingle_h"))),
+                lambda s: s.shingle_h,
+            ).alias("ord")
+        )
         .select("doc_id", F.size("ord").alias("sz"), "ord")
     )
     # two prefix lengths per doc (PPJoin self-join asymmetry, Xiao 2008
@@ -362,7 +371,7 @@ def jaccard_join(
             "doc_id",
             "sz",
             (F.col("pos") + 1).alias("rnk"),
-            F.col("s.shingle_h").alias("shingle_h"),
+            F.col("s").alias("shingle_h"),
         )
         .withColumn("in_idx", F.col("rnk") <= idx_len)
     )
@@ -406,7 +415,7 @@ def jaccard_join(
         )
         .distinct()
     )
-    sh = shdoc.select("doc_id", F.col("ord.shingle_h").alias("shingles"))
+    sh = shdoc.select("doc_id", F.col("ord").alias("shingles"))
     return _verify_jaccard(cand, sh, threshold)
 
 

@@ -254,20 +254,28 @@ def cosine_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    v = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
-        .cast("int")
-        .alias("blk"),
-    )
+    # each cogroup side gets its OWN projection (fresh expression ids for
+    # vid/vec/blk).  Sharing one projection between the two sides of a
+    # self-cogroup makes Catalyst's attribute dedup point the right
+    # side's vid/vec at the LEFT side's ids; a downstream count()/agg
+    # then column-prunes them out of the right child entirely and the
+    # Python worker receives a frame without vid/vec (KeyError).
+    def v() -> DataFrame:
+        return corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks))
+            .cast("int")
+            .alias("blk"),
+        )
+
     # grid-cell replication as a pure generator expression (no self-join):
     # block k is the LEFT side of cells (k, j>=k) and the RIGHT side of
     # cells (i<=k, k)
-    left = v.withColumn(
+    left = v().withColumn(
         "bj", F.explode(F.sequence(F.col("blk"), F.lit(num_blocks - 1)))
     ).select(F.col("blk").alias("bi"), "bj", "vid", "vec")
-    right = v.withColumn(
+    right = v().withColumn(
         "bi", F.explode(F.sequence(F.lit(0), F.col("blk")))
     ).select("bi", F.col("blk").alias("bj"), "vid", "vec")
 

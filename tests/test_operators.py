@@ -285,6 +285,28 @@ def test_embedding_near_dup_planted(spark):
     assert approx <= exact  # exact verification: no false positives
 
 
+def test_embedding_near_dup_survives_count_pruning(spark):
+    """count()/agg over the self-cogroup must work: with one shared
+    projection feeding both cogroup sides, Catalyst's attribute dedup
+    pointed the right side's vid/vec at the LEFT side's ids and the
+    count-induced column pruning dropped them from the right child —
+    the Python worker then received a frame without vid (KeyError).
+    Pinned by building each side from its own projection."""
+    import random
+
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [(0, base), (1, list(base))] + [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(2, 30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert cosine_near_dup_pairs(emb, threshold=0.99).count() >= 1
+
+
 def test_per_group_pandas_matches_closed_form(spark):
     """U4 both ways: grouped-map applyInPandas (numpy polyfit) agrees
     with the closed-form grouped aggregation to 1e-6 relative."""
