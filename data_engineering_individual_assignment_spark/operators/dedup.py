@@ -328,19 +328,20 @@ def jaccard_join(
     # .hint("shuffle_hash") DIES at 100x — the SHJ build side cannot
     # spill.)
     # the struct only exists to sort; only the 8-byte hash is KEPT (the
-    # transform drops dfreq at the same stage), so the persisted arrays
-    # and every downstream shuffle stay longs, not 16-byte structs —
-    # at 100x the struct form doubled the cached footprint and GC load
+    # ord.shingle_h field extraction — GetArrayStructFields, codegen,
+    # unlike an interpreted transform lambda — drops dfreq in the same
+    # projection), so the persisted arrays and every downstream shuffle
+    # stay longs, not 16-byte structs — at 100x the struct form doubled
+    # the cached footprint and GC load
     shdoc = _persist(
         rows.join(dfreq, "shingle_h")
         .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_set(F.struct("dfreq", "shingle_h"))),
-                lambda s: s.shingle_h,
-            ).alias("ord")
+        .agg(F.sort_array(F.collect_set(F.struct("dfreq", "shingle_h"))).alias("ordst"))
+        .select(
+            "doc_id",
+            F.size("ordst").alias("sz"),
+            F.col("ordst.shingle_h").alias("ord"),
         )
-        .select("doc_id", F.size("ord").alias("sz"), "ord")
     )
     # two prefix lengths per doc (PPJoin self-join asymmetry, Xiao 2008
     # §4): the PROBE prefix |d| - ceil(t|d|) + 1 is required of the
