@@ -813,13 +813,33 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The anchor's single-task ntile window is bounded by a deterministic
+# md5 sample above this many rows (the model fit and global mean stay
+# full-table — they are linear aggregates that scale fine).  Never
+# bites at oracle scales (sf0.01: ~60k lineitem rows), so the DuckDB
+# differential and the three-way anchor==scalable agreement still
+# check the FULL exact chart; a lift chart from a >=100k-row
+# deterministic sample carries the same diagnostic power, and the
+# single-task sort can no longer grow with the corpus.
+_DLC_CAP = 100_000
+
+
 @register(
     "decile_lift_chart",
-    sql="""
+    sql=f"""
     WITH pts AS (
         SELECT l_orderkey, l_linenumber, l_quantity AS x,
                l_extendedprice AS y
         FROM lineitem),
+    k AS (
+        SELECT greatest(1, CAST(ceil(count(*) / {_DLC_CAP}.0) AS BIGINT)) AS k
+        FROM pts),
+    spts AS (
+        SELECT * FROM pts
+        WHERE CAST('0x' || substr(md5('declift|' || CAST(l_orderkey AS VARCHAR)
+                                      || ':' || CAST(l_linenumber AS VARCHAR)),
+                                  1, 15) AS BIGINT)
+              % (SELECT k FROM k) = 0),
     coef AS (
         SELECT covar_pop(x, y) / var_pop(x) AS b1,
                avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS b0
@@ -828,7 +848,7 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p.y, c.b0 + c.b1 * p.x AS yhat,
                ntile(10) OVER (ORDER BY c.b0 + c.b1 * p.x DESC,
                                p.l_orderkey, p.l_linenumber) AS decile
-        FROM pts p CROSS JOIN coef c),
+        FROM spts p CROSS JOIN coef c),
     overall AS (SELECT avg(y) AS mu FROM pts)
     SELECT CAST(decile AS INT) AS decile,
            CAST(count(*) AS BIGINT) AS n,
@@ -842,18 +862,38 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decile's actual mean vs the global mean = lift.  A model with "
     "ranking power shows monotone-ish lift from decile 1 down; a flat "
     "chart means the model orders nothing.  Coefficients are a 1-row "
-    "broadcast; the decile window is one global sort at row grain — "
-    "replace with percentile-bucket joins at 100 TB.",
+    f"broadcast.  Above {_DLC_CAP} rows the single-task decile window's "
+    "input is md5-sample-capped (deterministic, engine-portable, never "
+    "bites at oracle scales — the fit and the global mean stay "
+    "full-table); decile_lift_scalable is the uncapped 100 TB form "
+    "(global_rank + ntile_from_rank, no single-task window).",
 )
 def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.dedup import _md5_hash60
+
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.select(
         "l_orderkey", "l_linenumber", F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
     )
+    cap_k = max(1, math.ceil(pts.count() / float(_DLC_CAP)))
+    spts = pts.filter(
+        _md5_hash60(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            "declift",
+        )
+        % F.lit(cap_k)
+        == 0
+    )
     b1 = F.covar_pop("x", "y") / F.var_pop("x")
     coef = pts.agg(b1.alias("b1"), (F.avg("y") - b1 * F.avg("x")).alias("b0"))
-    scored = pts.crossJoin(F.broadcast(coef)).withColumn(
+    scored = spts.crossJoin(F.broadcast(coef)).withColumn(
         "yhat", F.col("b0") + F.col("b1") * F.col("x")
     )
     w = Window.orderBy(

@@ -57,9 +57,13 @@ documented single-task-window anchor: `decile_lift_chart` ({anchor_e:.2f})
 deliberately keeps `Window.orderBy().ntile()` as the three-way
 differential anchor (Spark window ntile == DuckDB window ntile == the
 bucketed reconstruction), while its production form
-`decile_lift_scalable` — same oracle SQL, `global_rank +
-ntile_from_rank` — measures {twin_e:.2f}.  Prior rounds: r4 max 0.53 over 82
-queries, r3 0.56, r2 0.79.
+`decile_lift_scalable` — same semantics, `global_rank +
+ntile_from_rank` — measures {twin_e:.2f}.  Since round 8 the anchor's
+window INPUT is md5-sample-capped above 100k rows (fit and global mean
+stay full-table; the cap never bites at oracle scales and the capped
+branch is itself hash-checked against DuckDB at sf0.1), so even the
+anchor has no component that grows with the corpus.  Prior rounds: r4
+max 0.53 over 82 queries, r3 0.56, r2 0.79.
 
 The worst non-anchor rows sit at ~0.55-0.67 and are per-row-compute
 queries (`sql_scripting_coverage_search`'s iterative SQL-scripting
@@ -190,8 +194,9 @@ def main() -> None:
             f"| {r['scaling_exponent']:.2f} |\n"
         )
     lines.append(
-        "\n† single-task-window differential anchor by design — see note "
-        "below.\n"
+        "\n† single-task-window differential anchor by design (input "
+        "md5-sample-capped above 100k rows since round 8, so the "
+        "single-task sort is bounded at every scale) — see note below.\n"
     )
     # optional 100x spot-check (scale_check.py 100 --queries ...; print-only
     # run captured to SCALING_100X.json): two decades of scale headroom for
