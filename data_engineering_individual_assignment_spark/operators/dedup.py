@@ -308,7 +308,9 @@ def jaccard_join(
     # collect_set groupBy for the arrays, a tok-side shuffle for the
     # dfreq join, and a row_number window shuffled by doc_id) with two
     # (dfreq agg + this groupBy): one full corpus shuffle fewer, and no
-    # window sort (measured 2.6 s -> 1.55 s at sf0.1, same 256 pairs).
+    # window sort (measured ~3.2 s -> ~3.0 s at sf0.1 with intermediates
+    # released between runs, same 256 pairs; the larger wins are at
+    # 100x, where the whole family dropped 1.5-2x — see SCALING.md).
     # dfreq counts occurrence MULTIPLICITY (within-doc repeats included)
     # rather than per-doc-distinct frequency — the global order only
     # steers WHICH shingles land in prefixes (candidate count), never
