@@ -178,6 +178,28 @@ def hashed_shingle_rows(
     # applied by hashed_shingle_arrays' collect_set in one aggregation.
 
 
+def hashed_shingle_array_col(text_col: str, k: int = 3) -> Column:
+    """array<long> of a document's DISTINCT word-k-shingle hashes as a
+    pure ROW-LOCAL column — the stateless twin of ``hashed_shingle_rows``
+    + ``hashed_shingle_arrays``.  Values are the same
+    ``xxhash64(t0..tk-1)`` longs (min/intersect/union over the array
+    therefore agree bit-for-bit with the exploded batch form), but
+    nothing aggregates: legal on STREAMING plans, where the groupBy
+    form would be a stateful aggregation.  The transform lambda is
+    interpreted — fine at ingest grain (per-micro-batch rows), not the
+    shape for whole-corpus batch jobs (use the exploded form there)."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(k)]
+    )
+    return F.array_distinct(
+        F.transform(
+            zipped, lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(k)])
+        )
+    )
+
+
 def hashed_shingle_arrays(shingle_rows: DataFrame) -> DataFrame:
     """(doc_id, sz, shingles:array<long>) with DISTINCT shingles —
     collect_set dedups inside the aggregation, saving a separate

@@ -474,6 +474,113 @@ def incremental_dedup_stream(
     return tagged.join(store_fingerprints, "fp", "left_anti")
 
 
+def lsh_dedup_stream(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate rejection at ingest: each incoming document is
+    checked against the static historical corpus via banded MinHash-LSH
+    candidates + exact-Jaccard verification, emitting one
+    ``(new_id, dup_of, jaccard)`` row per near-dup match — with ZERO
+    streaming state (append mode, watermark-free, retry-idempotent).
+    The exact-fingerprint twin is ``incremental_dedup_stream``; this is
+    the fuzzy form a crawler front-end needs (re-crawls and mirrors are
+    near-dups, not byte-dups).
+
+    How it stays stateless:
+
+    - shingle hashes, MinHash signatures, and the per-band bucket
+      hashes are all computed ROW-LOCALLY on the stream side
+      (``hashed_shingle_array_col`` + array_min over transform — the
+      same xxhash64 values as the exploded batch operators, so stream
+      and batch agree bit-for-bit);
+    - candidates come from a stream-STATIC equi-join on
+      (band, bucket) against the corpus's precomputed band relation
+      (persisted once, reused every micro-batch);
+    - a pair colliding in SEVERAL bands would emit duplicates, and a
+      streaming ``distinct`` would be stateful — instead both sides
+      carry their full band-hash arrays and each joined row keeps
+      itself only when its band is the pair's FIRST common band
+      (``array_position(zip_with(=), true)``), the same emit-once
+      rule the banded interval join uses.  Exactly one row per
+      colliding pair survives, row-locally.
+
+    Recall follows the banded S-curve (``choose_bands``) exactly as in
+    ``minhash_near_dup`` — the batch twin equality and the union-parity
+    test pin both the values and the candidate structure.
+    """
+    from ..operators.dedup import _persist, choose_bands, hashed_shingle_array_col
+
+    num_bands, rows_per_band = choose_bands(threshold, num_hashes)
+
+    def annotate(df: DataFrame, side: str) -> DataFrame:
+        d = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            hashed_shingle_array_col(text_col, k).alias(f"{side}_sh"),
+        ).filter(F.size(f"{side}_sh") > 0)
+        def sig(i: int):
+            # the slot id must be captured by a CLOSURE, not a default
+            # parameter: a two-parameter lambda makes transform() pass
+            # the ARRAY INDEX as the second argument, silently shadowing
+            # the slot id and collapsing all hash functions into one
+            return F.array_min(
+                F.transform(
+                    F.col(f"{side}_sh"), lambda x: F.xxhash64(F.lit(i), x)
+                )
+            )
+
+        sigs = [sig(i).alias(f"h{i}") for i in range(num_hashes)]
+        d = d.select(f"{side}_id", f"{side}_sh", *sigs)
+        band_hashes = F.array(
+            *[
+                F.xxhash64(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                )
+                for b in range(num_bands)
+            ]
+        )
+        return d.select(
+            f"{side}_id", f"{side}_sh", band_hashes.alias(f"{side}_bands")
+        )
+
+    static_side = annotate(corpus, "old").select(
+        "old_id", "old_sh", "old_bands",
+        F.posexplode("old_bands").alias("band", "bucket"),
+    )
+    if not corpus.isStreaming:
+        # computed once, reread every micro-batch otherwise
+        static_side = _persist(static_side)
+    stream_side = annotate(docs_stream, "new").select(
+        "new_id", "new_sh", "new_bands",
+        F.posexplode("new_bands").alias("band", "bucket"),
+    )
+    first_common = F.array_position(
+        F.zip_with("new_bands", "old_bands", lambda a, b: a == b), True
+    )
+    jac = F.size(F.array_intersect("new_sh", "old_sh")) / F.size(
+        F.array_union("new_sh", "old_sh")
+    )
+    return (
+        stream_side.join(static_side, ["band", "bucket"])
+        .filter(F.col("band") + 1 == first_common)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "new_id",
+            F.col("old_id").alias("dup_of"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def heavy_hitters_stream(
     items: DataFrame, k: int = 8, shards: int = 8, item_col: str = "item"
 ) -> DataFrame:

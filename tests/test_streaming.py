@@ -338,6 +338,50 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
     assert stream_out.count() <= batch_new.count()
 
 
+def test_lsh_dedup_stream_matches_batch_lsh(spark, tmp_path):
+    """Near-dup rejection at ingest (stream-static banded MinHash-LSH +
+    exact verify, zero streaming state): (1) streamed output equals the
+    SAME operator run batch-side; (2) the emit-once band rule yields no
+    duplicate pairs without any streaming distinct; (3) the matched
+    pairs are EXACTLY the batch minhash-LSH near-dup pairs of the union
+    corpus that cross the old/new split — signatures, banding, and
+    verification all agree bit-for-bit between the row-local stream
+    form and the exploded batch operators."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.operators import dedup
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    d = load_table(spark, SF_SMALL, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    landing = str(tmp_path / "lsh_docs")
+    new_docs.write.parquet(landing)
+
+    stream_out = W.run_to_memory(
+        spark,
+        W.lsh_dedup_stream(
+            W.stream_documents(spark, landing), corpus, threshold=0.5
+        ),
+        mode="append",
+    )
+    got = {(r.new_id, r.dup_of, r.jaccard) for r in stream_out.collect()}
+    batch_out = W.lsh_dedup_stream(new_docs, corpus, threshold=0.5)
+    assert got == {(r.new_id, r.dup_of, r.jaccard) for r in batch_out.collect()}
+    # emit-once: multi-band collisions must not duplicate a pair
+    assert len(got) == len({(a, b) for a, b, _ in got})
+    # union parity: exactly the batch LSH pairs that cross the split
+    union_pairs = dedup.near_dup_minhash(d, "text", "doc_id", threshold=0.5)
+    expected = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in union_pairs.collect()
+        if (r.doc_a % 2) != (r.doc_b % 2)
+    }
+    assert expected, "fixture must contain crossing near-dups"
+    assert {(min(a, b), max(a, b), j) for a, b, j in got} == expected
+
+
 def test_latest_state_tws_equals_batch_dedup(spark, landing):
     """The transformWithStateInPandas variant must produce the same
     final per-key winners as the batch query (and hence as the legacy
