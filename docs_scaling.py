@@ -259,7 +259,7 @@ def main() -> None:
             "The batch sweeps above cannot exercise Structured-Streaming "
             "state management (micro-batch replay, state store restore, "
             "update-mode emission).  This harness replays the 10× "
-            "document corpus through the three HEAVY stateful twins and "
+            "document corpus through the HEAVY streaming twins and "
             "asserts stream == batch at BOTH scales before timing "
             "anything: `heavy_hitters_stream` (bounded Misra-Gries "
             "state via applyInPandasWithState; final-state candidates "
@@ -267,7 +267,9 @@ def main() -> None:
             "`incremental_dedup_stream` (stream-static anti-join; "
             "survivor set compared by bounded aggregates), `cms_stream` "
             "(complete-mode bounded-cell aggregate; cells equal "
-            "cms_build's bit-for-bit).\n\n"
+            "cms_build's bit-for-bit), `lsh_dedup_stream` "
+            "(stream-static banded MinHash-LSH near-dup rejection; "
+            "matches equal the batch run of the same operator).\n\n"
             "| stream twin | sf0.1 (s) | ×10 (s) | exponent |\n"
             "|---|---|---|---|\n"
         )

@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Stream-scale check: the batch sweeps (scale_check.py) cannot see the
-STATEFUL streaming paths, so this harness runs the three heavy
+STATEFUL/stream-static streaming paths, so this harness runs the heavy
 Structured-Streaming twins — ``heavy_hitters_stream`` (bounded MG state
 via applyInPandasWithState), ``incremental_dedup_stream`` (stream-static
-anti-join), ``cms_stream`` (bounded-cell complete-mode aggregate) — at
-sf0.1 and at 10x replicated documents, asserts stream == batch AT BOTH
-SCALES, and records wall times + scaling exponents to
-SCALING_STREAM.json (rendered into SCALING.md by docs_scaling.py).
+anti-join), ``cms_stream`` (bounded-cell complete-mode aggregate), and
+``lsh_dedup_stream`` (stream-static banded MinHash-LSH near-dup
+rejection) — at sf0.1 and at 10x replicated documents, asserts
+stream == batch AT BOTH SCALES, and records wall times + scaling
+exponents to SCALING_STREAM.json (rendered into SCALING.md by
+docs_scaling.py).
 
 Usage: python stream_scale_check.py [factor]   (default 10)
 """
@@ -169,10 +171,46 @@ def check_heavy_hitters(spark, sf_dir: str, landing: str) -> float:
     return elapsed
 
 
+def check_lsh_dedup(spark, sf_dir: str, landing: str) -> float:
+    """append-mode stream-static banded MinHash-LSH near-dup rejection:
+    the streamed match relation must equal the SAME operator run
+    batch-side (signature/band/verify parity with the batch LSH
+    operators is separately pinned in tests)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    new_docs.write.mode("overwrite").parquet(landing)
+
+    def sig(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(new_id, dup_of, jaccard))"), F.lit(0)
+            ).alias("x"),
+        ).collect()[0]
+        return (row.n, row.x)
+
+    t0 = time.perf_counter()
+    matched = W.lsh_dedup_stream(
+        W.stream_documents(spark, landing), corpus, threshold=0.7
+    )
+    s = sig(W.run_to_memory(spark, matched, mode="append"))
+    elapsed = time.perf_counter() - t0
+    b = sig(W.lsh_dedup_stream(new_docs, corpus, threshold=0.7))
+    assert s == b, f"lsh dedup stream != batch ({s} vs {b})"
+    return elapsed
+
+
 CHECKS = {
     "cms_stream": check_cms,
     "incremental_dedup_stream": check_incremental_dedup,
     "heavy_hitters_stream": check_heavy_hitters,
+    "lsh_dedup_stream": check_lsh_dedup,
 }
 
 
