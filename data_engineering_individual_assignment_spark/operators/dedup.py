@@ -240,8 +240,11 @@ def minhash_signatures(
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Join candidate (doc_a, doc_b) pairs back to their shingle arrays and
-    keep pairs with exact Jaccard >= threshold.
+    """Dedup candidate (doc_a, doc_b) pairs, join them back to their
+    shingle arrays and keep pairs with exact Jaccard >= threshold.
+    ``cand`` may contain duplicate pairs (one per common prefix shingle /
+    LSH band) — dedup happens here, as a doc_a-keyed grouping whose
+    output partitioning the verify joins then reuse (below).
 
     ``sh`` carries the corpus's shingle ARRAYS, whose in-memory size
     Catalyst's parquet-based STATIC estimate undercounts by an order of
@@ -252,27 +255,38 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     scale: runtime BHJ while the candidate side is measured small,
     spillable sort-merge once it isn't.
 
-    ``sh`` is joined ONCE, not once per pair side: each candidate is
-    exploded into two (pair, doc_id) side rows, joined, and the pair's
-    two arrays re-packed by a groupBy over the candidate pairs.  Under
-    the broadcast policy every join of ``sh`` pays a shuffle-write of
-    the corpus arrays even when AQE converts the join to a runtime BHJ,
-    so halving the ``sh`` joins removes a full corpus-array shuffle
-    from the plan; the extra pair-keyed groupBy only shuffles
-    2·|candidates| rows."""
-    sides = cand.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    Shape: a two-join chain, one equi-join of the deduped pair relation
+    against ``sh`` per side, NOT an explode + pair-keyed re-pack groupBy.
+    The r08 re-pack shape shuffled 2·|candidates| array-carrying rows
+    for its pair groupBy and then SortAggregated them (max() over an
+    array buffer is not hash-aggregable), so the sorted payload was the
+    full shingle arrays — the single hottest exchange of the whole
+    query at sf0.1 — and every exchange was a separate AQE stage (one
+    job each; the query ran ~20 jobs per call at sf0.1, mostly driver
+    latency).  The chain instead ALIGNS partitionings: ``sh`` arrives
+    hash-partitioned by doc_id (it is the direct output/persist of a
+    doc_id groupBy in both callers), and the pair dedup is a
+    doc_a-keyed collect_set whose exploded output is hash-partitioned
+    by doc_a — join 1 therefore needs NO exchange on either side, and
+    join 2 shuffles only its probe (|uniq pairs| rows, the one array-
+    carrying exchange left).  No aggregation over arrays, no array
+    sort, fewer AQE stages.  Skew note: the per-doc_a set is at most
+    that doc's near-dup cluster size, and the candidate PAIR relation
+    is already quadratic in cluster size, so the grouping adds no new
+    asymptotic risk; with no exchange to re-plan, joins here are
+    in-partition sort-merge — spillable at any scale."""
+    uniq = (
+        cand.groupBy("doc_a")
+        .agg(F.collect_set("doc_b").alias("bs"))
+        .select("doc_a", F.explode("bs").alias("doc_b"))
     )
     packed = (
-        sides.join(sh.select("doc_id", "shingles"), "doc_id")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.max(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("shingles"))
-            ).alias("sh_a"),
-            F.max(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("shingles"))
-            ).alias("sh_b"),
+        uniq.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        ).join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
         )
     )
     return (
@@ -319,20 +333,20 @@ def jaccard_join(
     to 6 places.
     """
     rows = hashed_shingle_rows(df, text_col, id_col, k)
-    dfreq = rows.groupBy("shingle_h").agg(F.count("*").alias("dfreq"))
-    # ONE doc-keyed aggregation builds everything per-doc downstream:
-    # the occurrence rows join their shingle's global frequency, and
-    # collect_set(struct(dfreq, shingle_h)) + sort_array yields the
-    # DISTINCT shingles already in global rarest-first order — the
-    # per-doc rank is then just the array position (row-local), and the
-    # verification arrays are a field extraction of the same column.
-    # This replaces the previous three corpus-keyed stages (a separate
-    # collect_set groupBy for the arrays, a tok-side shuffle for the
-    # dfreq join, and a row_number window shuffled by doc_id) with two
-    # (dfreq agg + this groupBy): one full corpus shuffle fewer, and no
-    # window sort (measured ~3.2 s -> ~3.0 s at sf0.1 with intermediates
-    # released between runs, same 256 pairs; the larger wins are at
-    # 100x, where the whole family dropped 1.5-2x — see SCALING.md).
+    # TWO aggregations (shingle-keyed postings, then doc-keyed arrays)
+    # build everything per-doc downstream, with no join at all: the
+    # postings agg computes each shingle's global frequency AND its
+    # distinct-doc list in one pass, the explode hands every doc its
+    # (dfreq, shingle_h) pairs, and collect_set(struct) + sort_array
+    # yields the DISTINCT shingles already in global rarest-first order
+    # — the per-doc rank is then just the array position (row-local),
+    # and the verification arrays are a field extraction of the same
+    # column.  r08 computed dfreq as a separate aggregation and JOINED
+    # it back onto the occurrence rows — a third corpus-sized exchange
+    # plus an AQE broadcast stage per call; folding the doc list into
+    # the dfreq aggregation shuffles the same ~|occurrences| bytes
+    # through exactly two exchanges and drops the join (part of the
+    # r9 restructure that took the query from ~20 to ~8 AQE jobs).
     # dfreq counts occurrence MULTIPLICITY (within-doc repeats included)
     # rather than per-doc-distinct frequency — the global order only
     # steers WHICH shingles land in prefixes (candidate count), never
@@ -357,8 +371,11 @@ def jaccard_join(
     # projection), so the persisted arrays and every downstream shuffle
     # stay longs, not 16-byte structs — at 100x the struct form doubled
     # the cached footprint and GC load
+    postings = rows.groupBy("shingle_h").agg(
+        F.count("*").alias("dfreq"), F.collect_set("doc_id").alias("docs")
+    )
     shdoc = _persist(
-        rows.join(dfreq, "shingle_h")
+        postings.select("dfreq", "shingle_h", F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set(F.struct("dfreq", "shingle_h"))).alias("ordst"))
         .select(
@@ -438,7 +455,8 @@ def jaccard_join(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        # duplicate pairs (one per common prefix shingle) are deduped
+        # inside _verify_jaccard's doc_a-keyed grouping
     )
     sh = shdoc.select("doc_id", F.col("ord").alias("shingles"))
     return _verify_jaccard(cand, sh, threshold)
@@ -523,7 +541,8 @@ def near_dup_minhash(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        # duplicate pairs (one per colliding band) are deduped inside
+        # _verify_jaccard's doc_a-keyed grouping
     )
     sh = hashed_shingle_arrays(shingle_rows)
     return _verify_jaccard(cand, sh, threshold)

@@ -50,13 +50,13 @@ def gram_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
-def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
-    """Returns (eigenvalues desc, components [k][dim], mean vector,
-    trace) as plain Python values.  The trace (total variance, sum of
-    ALL eigenvalues) is what explained-variance shares must divide by —
-    dividing by the top-k sum would always report shares summing to 1
-    no matter how little the PCs explain.  The reduce collects only
-    d²-sized partials."""
+def cov_matrix(df: DataFrame, vec_col: str, dim: int):
+    """Reduce the partition-wise gram partials to the d x d population
+    covariance matrix (plus mean vector and row count) on the driver —
+    the SQL-expressible half of PCA (each entry equals covar_pop of two
+    coordinate columns), split out so the gram path can be checked
+    differentially against an engine that has covar_pop but no
+    eigendecomposition."""
     import numpy as np
 
     parts = gram_partials(df, vec_col, dim).collect()
@@ -67,7 +67,19 @@ def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
         s += np.asarray(p.s)
         g += np.asarray(p.g).reshape(dim, dim)
     mean = s / n
-    cov = g / n - np.outer(mean, mean)
+    return g / n - np.outer(mean, mean), mean, n
+
+
+def fit_pca(df: DataFrame, vec_col: str, dim: int, k: int):
+    """Returns (eigenvalues desc, components [k][dim], mean vector,
+    trace) as plain Python values.  The trace (total variance, sum of
+    ALL eigenvalues) is what explained-variance shares must divide by —
+    dividing by the top-k sum would always report shares summing to 1
+    no matter how little the PCs explain.  The reduce collects only
+    d²-sized partials."""
+    import numpy as np
+
+    cov, mean, _n = cov_matrix(df, vec_col, dim)
     vals, vecs = np.linalg.eigh(cov)  # ascending
     trace = float(vals.sum())
     order = np.argsort(vals)[::-1][:k]

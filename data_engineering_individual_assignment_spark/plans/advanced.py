@@ -310,19 +310,50 @@ def per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketches",
-    sql=None,  # HLL/KLL sketches are engine-specific: rows-only check
+    sql="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_rse,
+           TRUE AS orders_within_rse,
+           TRUE AS median_within_eps
+    FROM lineitem
+    """,
     doc="approximate sketches for the 100 TB path: approx_count_distinct "
     "(HyperLogLog++) and percentile_approx (KLL-ish) — constant memory "
-    "per group vs the exact variants' expand/sort. Values are engine-"
-    "specific so this is rows-only; the exact twins (distinct_counts, "
-    "percentiles_by_flag) carry the oracles.",
+    "per group vs the exact variants' expand/sort.  Sketch REGISTERS are "
+    "engine-internal, so the oracle checks error CONTRACTS in-plan: the "
+    "exact distinct counts (hash-compared against DuckDB) plus booleans "
+    "asserting each approximation landed inside its published bound "
+    "(3x the default 5% rsd for HLL++; the exact p45-p55 bracket for "
+    "the approx median, whose default accuracy=1e4 keeps rank error "
+    "~1e-4*N).  The DuckDB twin emits TRUE for each bound — a sketch "
+    "drifting out of contract flips the hash.  hll_error_report / "
+    "cms_error_report rebuild portable registers bit-exactly; this "
+    "query covers Spark's BUILT-IN sketch aggregates.",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("am"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+    )
+    return agg.select(
+        F.col("ep").cast("bigint").alias("exact_parts"),
+        F.col("eo").cast("bigint").alias("exact_orders"),
+        (F.abs(F.col("ap") - F.col("ep")) <= 0.15 * F.col("ep")).alias(
+            "parts_within_rse"
+        ),
+        (F.abs(F.col("ao") - F.col("eo")) <= 0.15 * F.col("eo")).alias(
+            "orders_within_rse"
+        ),
+        ((F.col("am") >= F.col("p45")) & (F.col("am") <= F.col("p55"))).alias(
+            "median_within_eps"
+        ),
     )
 
 
@@ -330,34 +361,45 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_linear_regression",
     sql="""
     SELECT round(regr_intercept(l_extendedprice, l_quantity), 4) AS b0,
-           round(regr_slope(l_extendedprice, l_quantity), 4)     AS b1
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS b1,
+           TRUE AS mllib_b0_agrees,
+           TRUE AS mllib_b1_agrees
     FROM lineitem
     """,
     doc="pyspark.ml LinearRegression variant of the flagship (SURVEY U2): "
     "same model through the MLlib estimator API.  With one feature and "
     "regParam=0 the default 'auto' solver is the NORMAL-EQUATIONS path "
     "(WeightedLeastSquares) — a closed form, not an iterative descent — "
-    "so the coefficients match DuckDB's closed-form regr_intercept/"
-    "regr_slope beyond 4 dp (measured agreement ~1e-9 relative at sf0.1) "
-    "and the estimator output itself is oracle-checked, not just "
-    "rows-counted.",
+    "so it agrees with the covar/var closed form to ~1e-9 relative.  The "
+    "hashed numeric columns come from the closed form (the same algebra "
+    "as DuckDB's regr_*); the ESTIMATOR output is oracle-checked through "
+    "an explicit-tolerance boolean (1e-6 relative — far above solver "
+    "noise, far below any real bug), never by exact equality of two "
+    "independently-rounded doubles from different solvers, which would "
+    "flip the hash whenever a coefficient landed within solver noise of "
+    "a rounding boundary.",
 )
 def ml_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.regression import ml_linear_regression as fit
 
     li = _t(spark, sf_dir, "lineitem")
-    model = fit(
-        li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")),
-        "x",
-        "y",
-    )
-    return spark.createDataFrame(
-        [(float(model.intercept), float(model.coefficients[0]))], "b0 double, b1 double"
-    ).select(
+    xy = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+    model = fit(xy, "x", "y")
+    b1 = F.covar_pop("x", "y") / F.var_pop("x")
+    closed = xy.agg(b1.alias("cb1"), (F.avg("y") - b1 * F.avg("x")).alias("cb0"))
+
+    def agrees(closed_col: str, fitted: float):
+        return F.abs(F.col(closed_col) - F.lit(fitted)) <= F.lit(1e-6) * F.greatest(
+            F.abs(F.col(closed_col)), F.lit(1.0)
+        )
+
+    return closed.select(
         # round Spark-side (F.round is half-up like DuckDB's round;
         # Python round is banker's and would diverge on .xxxx5 values)
-        F.round("b0", 4).alias("b0"),
-        F.round("b1", 4).alias("b1"),
+        F.round("cb0", 4).alias("b0"),
+        F.round("cb1", 4).alias("b1"),
+        agrees("cb0", float(model.intercept)).alias("mllib_b0_agrees"),
+        agrees("cb1", float(model.coefficients[0])).alias("mllib_b1_agrees"),
     )
 
 

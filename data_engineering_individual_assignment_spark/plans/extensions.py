@@ -170,6 +170,68 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_ingest_near_dup",
+    sql=rf"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3),
+    sigs AS (
+        SELECT doc_id,
+               {_LSH_SIG_TERMS}
+        FROM sh),
+    bands AS (
+        SELECT doc_id, bk.band AS band, bk.bucket AS bucket
+        FROM (SELECT doc_id,
+                     unnest([{_LSH_BAND_STRUCTS}]) AS bk
+              FROM sigs)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+    SELECT c.new_id, c.dup_of,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.new_id
+    JOIN sh sb ON sb.doc_id = c.dup_of
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.7
+    ORDER BY new_id, dup_of
+    """,
+    doc="near-dup rejection at INGEST (streaming/windows.lsh_dedup_stream "
+    "in its portable-hash mode, run batch-side — tests/test_streaming.py "
+    "pins stream==batch on the identical plan): incoming docs "
+    "(doc_id % 5 = 0) are checked against the historical corpus "
+    "(doc_id % 5 != 0) via row-local md5-portable MinHash signatures, a "
+    "stream-static (band, bucket) equi-join, first-common-band emit-once "
+    "(no streaming distinct, ZERO state), and exact-Jaccard verification. "
+    "Because every hash is engine-portable, the oracle replays the "
+    "ENTIRE ingest path — signatures, buckets, candidate split, "
+    "verification — so the most production-shaped streaming operator in "
+    "the repo is hash-checked end-to-end, not just rows-counted.",
+)
+def lsh_ingest_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import lsh_dedup_stream
+
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return lsh_dedup_stream(
+        incoming, corpus, threshold=0.7, k=3, num_hashes=_LSH_BANDS * _LSH_ROWS,
+        portable=True,
+    ).orderBy("new_id", "dup_of")
+
+
+@register(
     "dedup_latest_event",
     sql="""
     SELECT user_id, event_type,
@@ -646,9 +708,11 @@ _END_CAP = 30000
         SELECT greatest(1, CAST(ceil(count(*) / {_END_CAP}.0) AS BIGINT)) AS k
         FROM embeddings),
     sampled AS (
+        -- the OR exempts the planted-clone seeds from the cap so the
+        -- anchor's pair set stays non-vacuous at any sample modulus
         SELECT vec_id, embedding FROM embeddings
         WHERE CAST('0x' || substr(md5('endcap|' || CAST(vec_id AS VARCHAR)), 1, 15)
-                   AS BIGINT) % (SELECT k FROM k) = 0),
+                   AS BIGINT) % (SELECT k FROM k) = 0 OR vec_id < 5),
     corpus AS (
         SELECT vec_id, embedding FROM sampled
         UNION ALL
@@ -678,20 +742,35 @@ _END_CAP = 30000
     "differential anchor, not a 100 TB plan.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from ..operators.dedup import _md5_hash60
 
     emb = _t(spark, sf_dir, "embeddings")
-    # one count job sizes the sample modulus driver-side (a column-less
-    # parquet scan over row-group footers); a crossJoin with the 1-row
-    # aggregate would work too but trips Spark's ambiguous-self-join
-    # check inside the downstream self-cogroup
-    cap_k = max(1, math.ceil(emb.count() / float(_END_CAP)))
-    sampled = emb.filter(
-        _md5_hash60(F.col("vec_id").cast("string"), "endcap") % F.lit(cap_k)
-        == 0
-    ).select("vec_id", "embedding")
+    # the sample modulus is part of the PLAN (a 1-row count aggregate
+    # crossJoined in, like the DuckDB twin's scalar subquery) — no
+    # driver-side count() at plan-build time.  The aggregate scans a
+    # FRESH read of the table: a same-lineage agg(emb) shares emb's
+    # dataset id and trips Spark's ambiguous-self-join check inside the
+    # downstream self-cogroup; a fresh scan has its own ids and doesn't.
+    # bounded: cap_k is a 1-row global aggregate
+    kdf = _t(spark, sf_dir, "embeddings").agg(
+        F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.count("*") / F.lit(float(_END_CAP)))
+        ).alias("cap_k")
+    )
+    # vec_id < 5 exempts the planted-clone seeds from the cap so the
+    # anchor's pair set stays non-vacuous at any sample modulus
+    sampled = (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(
+            (
+                _md5_hash60(F.col("vec_id").cast("string"), "endcap")
+                % F.col("cap_k")
+                == 0
+            )
+            | (F.col("vec_id") < 5)
+        )
+        .select("vec_id", "embedding")
+    )
     corpus = sampled.unionAll(
         sampled.filter(F.col("vec_id") < 5).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"

@@ -455,6 +455,54 @@ def embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp_rows.unionByName(label_rows).orderBy("entity")
 
 
+# the covariance cells the gram differential spot-checks (plus the full
+# diagonal via the trace row) — fixed so both engines emit the same set
+_PCA_COV_CELLS = [(0, 0), (0, 1), (1, 1), (1, 2), (2, 3), (3, 3)]
+
+
+@register(
+    "pca_gram_check",
+    sql="SELECT -1 AS di, -1 AS dj, round("
+    + " + ".join(f"var_pop(embedding[{d + 1}])" for d in range(64))
+    + ", 6) AS cov FROM embeddings\n"
+    + "".join(
+        f"UNION ALL SELECT {i}, {j}, "
+        f"round(covar_pop(embedding[{i + 1}], embedding[{j + 1}]), 6) "
+        "FROM embeddings\n"
+        for i, j in _PCA_COV_CELLS
+    )
+    + "ORDER BY di, dj",
+    doc="differential check of the distributed PCA's gram path "
+    "(operators/pca.py cov_matrix): every covariance entry the numpy "
+    "partial-reduce produces equals covar_pop of the two coordinate "
+    "columns, which IS SQL-expressible even though the downstream "
+    "eigendecomposition isn't — so the mapInPandas partials, the "
+    "driver reduce, and the mean-centering are all hash-compared "
+    "against DuckDB (spot-checked cells plus the trace row, di=dj=-1, "
+    "which covers the whole diagonal).  The eigen half of "
+    "embedding_pca_variance stays pinned by numpy-ground-truth "
+    "invariant tests.  Eager by nature (the reduce collects d^2-sized "
+    "partials at build time — the same contract as fit_pca).",
+)
+def pca_gram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov, _mean, _n = pca.cov_matrix(emb, "embedding", dim=64)
+    rows = [(-1, -1, float(np.trace(cov)))] + [
+        (i, j, float(cov[i, j])) for i, j in _PCA_COV_CELLS
+    ]
+    return (
+        spark.createDataFrame(rows, "di int, dj int, cov double")
+        # round Spark-side: F.round is half-up like DuckDB's, Python
+        # round is banker's
+        .select("di", "dj", F.round("cov", 6).alias("cov"))
+        .orderBy("di", "dj")
+    )
+
+
 @register(
     "km_survival_signup_to_error",
     sql="""
@@ -869,8 +917,6 @@ _DLC_CAP = 100_000
     "(global_rank + ntile_from_rank, no single-task window).",
 )
 def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from ..operators.dedup import _md5_hash60
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -878,18 +924,31 @@ def decile_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
     )
-    cap_k = max(1, math.ceil(pts.count() / float(_DLC_CAP)))
-    spts = pts.filter(
-        _md5_hash60(
-            F.concat(
-                F.col("l_orderkey").cast("string"),
-                F.lit(":"),
-                F.col("l_linenumber").cast("string"),
-            ),
-            "declift",
+    # the sample modulus is part of the PLAN (a 1-row count aggregate
+    # crossJoined in, exactly like the DuckDB twin's scalar subquery),
+    # not a driver-side count() — building this query triggers no jobs
+    # and costs no extra table pass
+    # bounded: cap_k is a 1-row global aggregate
+    kdf = pts.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.count("*") / F.lit(float(_DLC_CAP)))
+        ).alias("cap_k")
+    )
+    spts = (
+        pts.crossJoin(F.broadcast(kdf))
+        .filter(
+            _md5_hash60(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                "declift",
+            )
+            % F.col("cap_k")
+            == 0
         )
-        % F.lit(cap_k)
-        == 0
+        .drop("cap_k")
     )
     b1 = F.covar_pop("x", "y") / F.var_pop("x")
     coef = pts.agg(b1.alias("b1"), (F.avg("y") - b1 * F.avg("x")).alias("b0"))

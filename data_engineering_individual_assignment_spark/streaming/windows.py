@@ -482,6 +482,7 @@ def lsh_dedup_stream(
     num_hashes: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """NEAR-duplicate rejection at ingest: each incoming document is
     checked against the static historical corpus via banded MinHash-LSH
@@ -513,21 +514,59 @@ def lsh_dedup_stream(
     Recall follows the banded S-curve (``choose_bands``) exactly as in
     ``minhash_near_dup`` — the batch twin equality and the union-parity
     test pin both the values and the candidate structure.
+
+    ``portable=True`` swaps every hash for the md5-derived engine-
+    portable family (``_mh_coeffs`` universal hashes over STRING
+    shingles, '|'-joined decimal band buckets — the exact scheme of
+    ``near_dup_minhash_portable``), still fully row-local, so the whole
+    ingest path — signatures, buckets, candidates, verification — can
+    be replayed by a SQL oracle.  md5 costs ~4x xxhash64 per shingle;
+    use the default for production ingest.
     """
-    from ..operators.dedup import _persist, choose_bands, hashed_shingle_array_col
+    from ..functions.text import shingles
+    from ..operators.dedup import (
+        _MH_FOLD,
+        _MH_PRIME,
+        _md5_hash60,
+        _mh_coeffs,
+        _persist,
+        choose_bands,
+        hashed_shingle_array_col,
+    )
 
     num_bands, rows_per_band = choose_bands(threshold, num_hashes)
 
     def annotate(df: DataFrame, side: str) -> DataFrame:
+        sh_col = (
+            shingles(text_col, k) if portable else hashed_shingle_array_col(text_col, k)
+        )
         d = df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            hashed_shingle_array_col(text_col, k).alias(f"{side}_sh"),
+            F.col(id_col).alias(f"{side}_id"), sh_col.alias(f"{side}_sh")
         ).filter(F.size(f"{side}_sh") > 0)
+        if portable:
+            # one md5 per shingle, fanned to the slots via (a*x+b) mod P
+            d = d.withColumn(
+                "_xs",
+                F.transform(
+                    F.col(f"{side}_sh"),
+                    lambda s: _md5_hash60(s) % F.lit(_MH_FOLD),
+                ),
+            )
+
         def sig(i: int):
-            # the slot id must be captured by a CLOSURE, not a default
-            # parameter: a two-parameter lambda makes transform() pass
-            # the ARRAY INDEX as the second argument, silently shadowing
-            # the slot id and collapsing all hash functions into one
+            # the slot id / coefficients must be captured by a CLOSURE,
+            # not a default parameter: a two-parameter lambda makes
+            # transform() pass the ARRAY INDEX as the second argument,
+            # silently shadowing the capture and collapsing all hash
+            # functions into one
+            if portable:
+                a, b = _mh_coeffs(num_hashes)[i]
+                return F.array_min(
+                    F.transform(
+                        F.col("_xs"),
+                        lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_PRIME),
+                    )
+                )
             return F.array_min(
                 F.transform(
                     F.col(f"{side}_sh"), lambda x: F.xxhash64(F.lit(i), x)
@@ -536,28 +575,30 @@ def lsh_dedup_stream(
 
         sigs = [sig(i).alias(f"h{i}") for i in range(num_hashes)]
         d = d.select(f"{side}_id", f"{side}_sh", *sigs)
-        band_hashes = F.array(
-            *[
-                F.xxhash64(
-                    *[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ]
-                )
-                for b in range(num_bands)
-            ]
-        )
+
+        def bucket(b: int):
+            rows = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            if portable:
+                return F.concat_ws("|", *[r.cast("string") for r in rows])
+            return F.xxhash64(*rows)
+
+        band_hashes = F.array(*[bucket(b) for b in range(num_bands)])
         return d.select(
             f"{side}_id", f"{side}_sh", band_hashes.alias(f"{side}_bands")
         )
 
-    static_side = annotate(corpus, "old").select(
+    annotated = annotate(corpus, "old")
+    if not corpus.isStreaming:
+        # computed once, reread every micro-batch otherwise.  Persist the
+        # PRE-explode relation: caching after posexplode would store each
+        # corpus doc's full old_sh/old_bands arrays num_bands times (a
+        # ~b-fold cache inflation on the historical corpus); the explode
+        # itself is a cheap codegen generator re-run per micro-batch.
+        annotated = _persist(annotated)
+    static_side = annotated.select(
         "old_id", "old_sh", "old_bands",
         F.posexplode("old_bands").alias("band", "bucket"),
     )
-    if not corpus.isStreaming:
-        # computed once, reread every micro-batch otherwise
-        static_side = _persist(static_side)
     stream_side = annotate(docs_stream, "new").select(
         "new_id", "new_sh", "new_bands",
         F.posexplode("new_bands").alias("band", "bucket"),

@@ -5,6 +5,7 @@ with commentary, as judge-readable evidence of plan quality."""
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -94,9 +95,11 @@ def main() -> None:
         )
         if "== Final Plan ==" in s:
             s = s.split("== Final Plan ==")[1].split("+- == Initial Plan ==")[0]
+        # Literal binary values (md5 seeds etc.) surface as raw control bytes in
+        # explain strings; scrub them so PLANS.md stays greppable text, and keep
+        # every plan tree complete (no mid-branch truncation).
+        s = re.sub(r"[^\t\n\x20-\x7e]", "?", s)
         lines = s.rstrip().split("\n")
-        if len(lines) > 40:
-            lines = lines[:40] + ["   ... (truncated)"]
         out += [f"## {name}", "", note, "", "```", *lines, "```", ""]
     with open(os.path.join(os.path.dirname(__file__), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))

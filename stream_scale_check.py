@@ -173,11 +173,18 @@ def check_heavy_hitters(spark, sf_dir: str, landing: str) -> float:
 
 def check_lsh_dedup(spark, sf_dir: str, landing: str) -> float:
     """append-mode stream-static banded MinHash-LSH near-dup rejection:
-    the streamed match relation must equal the SAME operator run
-    batch-side (signature/band/verify parity with the batch LSH
-    operators is separately pinned in tests)."""
+    the streamed match relation must equal the relation derived from the
+    INDEPENDENT batch operator (operators/dedup.near_dup_minhash over
+    the whole corpus, restricted to cross-split pairs) — not a second
+    execution of lsh_dedup_stream itself, which would be self-parity
+    and blind to a bug shared by both executions.  The two paths share
+    only the hash definitions: the batch operator builds signatures
+    from exploded shingle ROWS via groupBy, the stream path row-locally
+    from arrays — same (band, bucket) space by construction, so the
+    pair sets and exact-Jaccard values must agree bit-for-bit."""
     from pyspark.sql import functions as F
 
+    from data_engineering_individual_assignment_spark.operators import dedup
     from data_engineering_individual_assignment_spark.sources.readers import load_table
     from data_engineering_individual_assignment_spark.streaming import windows as W
 
@@ -201,8 +208,19 @@ def check_lsh_dedup(spark, sf_dir: str, landing: str) -> float:
     )
     s = sig(W.run_to_memory(spark, matched, mode="append"))
     elapsed = time.perf_counter() - t0
-    b = sig(W.lsh_dedup_stream(new_docs, corpus, threshold=0.7))
-    assert s == b, f"lsh dedup stream != batch ({s} vs {b})"
+    odd_a = F.col("doc_a") % 2 == 1
+    expected = (
+        dedup.near_dup_minhash(d, "text", "doc_id", threshold=0.7)
+        .filter((F.col("doc_a") % 2) != (F.col("doc_b") % 2))
+        .select(
+            F.when(odd_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
+            F.when(odd_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dup_of"),
+            "jaccard",
+        )
+    )
+    b = sig(expected)
+    dedup.release_intermediates()
+    assert s == b, f"lsh dedup stream != independent batch LSH ({s} vs {b})"
     return elapsed
 
 

@@ -336,3 +336,26 @@ def test_semdedup_no_cartesian_and_bounded_window_join(spark):
     CartesianProduct); centroid assignment broadcasts the 8 centroids."""
     plan = _plan(spark, "semdedup_cells", execute=True)
     assert "CartesianProduct" not in plan
+
+
+def test_capped_plan_builders_are_lazy(spark):
+    """The md5-sample caps (embedding_near_dup, decile_lift_chart) must be
+    computed INSIDE the plan (1-row count aggregate crossJoined in, like
+    the DuckDB twins' scalar subqueries), never by a driver-side count()
+    at plan-build time.  Building each query may at most run the
+    single-task parquet schema-read jobs; any multi-task job means a
+    full table pass leaked back in."""
+    from data_engineering_individual_assignment_spark import plans
+
+    st = spark.sparkContext.statusTracker()
+    for name in ("embedding_near_dup", "decile_lift_chart"):
+        before = set(st.getJobIdsForGroup() or [])
+        plans.CATALOG[name].fn(spark, SF_SMALL)
+        for jid in set(st.getJobIdsForGroup() or []) - before:
+            info = st.getJobInfo(jid)
+            for sid in info.stageIds if info else []:
+                si = st.getStageInfo(sid)
+                assert si is None or si.numTasks <= 1, (
+                    f"{name}: plan build ran a {si.numTasks}-task stage "
+                    "(eager table pass)"
+                )
