@@ -333,14 +333,25 @@ def per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # the sketch aggregates and each exact reference run as SEPARATE
+    # one-row aggregations crossJoined together (all bounded): putting
+    # TWO count(DISTINCT) columns plus exact percentiles into one agg
+    # makes Catalyst plan an Expand (x3 row multiplication) feeding a
+    # single giant ObjectHashAggregate — measured 12.6 s at sf0.1 vs
+    # ~1 s for this shape, each branch a plain two-phase aggregation
+    # over one pruned column
+    sketch = li.agg(
         F.approx_count_distinct("l_partkey").alias("ap"),
-        F.countDistinct("l_partkey").alias("ep"),
         F.approx_count_distinct("l_orderkey").alias("ao"),
-        F.countDistinct("l_orderkey").alias("eo"),
         F.percentile_approx("l_extendedprice", 0.5).alias("am"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        F.expr("percentile(l_extendedprice, array(0.45, 0.55))").alias("p4555"),
+    )
+    # bounded: each is a 1-row global aggregate
+    agg = (
+        sketch.crossJoin(F.broadcast(li.agg(F.countDistinct("l_partkey").alias("ep"))))
+        .crossJoin(F.broadcast(li.agg(F.countDistinct("l_orderkey").alias("eo"))))
+        .withColumn("p45", F.element_at("p4555", 1))
+        .withColumn("p55", F.element_at("p4555", 2))
     )
     return agg.select(
         F.col("ep").cast("bigint").alias("exact_parts"),

@@ -118,8 +118,13 @@ def session_variable_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-side control flow where each iteration is an ordinary "
     "Catalyst-planned TakeOrdered aggregate, so the loop adds "
     "O(log answer) query executions and zero driver-side data "
-    "movement.  The oracle derives the same power-of-two analytically "
-    "from the revenue cumsum.",
+    "movement.  The loop body scans a CACHE TABLE of the skinny "
+    "(price, key) projection built once inside the script — the "
+    "O(log answer) re-scans hit the columnar cache, never parquet, "
+    "and the iteration count grows only with log(answer) at larger "
+    "corpora (top-k itself is per-partition heaps + driver merge, "
+    "never a global sort).  The oracle derives the same power-of-two "
+    "analytically from the revenue cumsum.",
 )
 def sql_scripting_coverage_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir, "orders")
@@ -130,16 +135,23 @@ def sql_scripting_coverage_search(spark: SparkSession, sf_dir: str) -> DataFrame
           DECLARE k INT DEFAULT 1;
           DECLARE cov DOUBLE DEFAULT 0.0;
           DECLARE tot DOUBLE DEFAULT 0.0;
-          SET tot = (SELECT sum(o_totalprice) FROM orders);
+          -- CACHE TABLE registers a temp view: drop any leftover from a
+          -- prior invocation in the same session before re-creating it
+          DROP VIEW IF EXISTS graft_prices;
+          CACHE TABLE graft_prices AS
+            SELECT o_totalprice, o_orderkey FROM orders;
+          SET tot = (SELECT sum(o_totalprice) FROM graft_prices);
           SET cov = (SELECT sum(p) / tot FROM (
-              SELECT o_totalprice AS p FROM orders
+              SELECT o_totalprice AS p FROM graft_prices
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 1));
           WHILE cov < 0.5 DO
             SET k = k * 2;
             SET cov = (SELECT sum(p) / tot FROM (
-                SELECT o_totalprice AS p FROM orders
+                SELECT o_totalprice AS p FROM graft_prices
                 ORDER BY o_totalprice DESC, o_orderkey LIMIT k));
           END WHILE;
+          UNCACHE TABLE graft_prices;
+          DROP VIEW IF EXISTS graft_prices;
           SELECT CAST(k AS BIGINT) AS k_orders, round(cov, 6) AS coverage;
         END
         """

@@ -532,6 +532,11 @@ def lsh_dedup_stream(
         _persist,
         choose_bands,
         hashed_shingle_array_col,
+        hashed_shingle_arrays,
+        hashed_shingle_rows,
+        minhash_portable,
+        minhash_signatures,
+        shingle_string_rows,
     )
 
     num_bands, rows_per_band = choose_bands(threshold, num_hashes)
@@ -587,14 +592,57 @@ def lsh_dedup_stream(
             f"{side}_id", f"{side}_sh", band_hashes.alias(f"{side}_bands")
         )
 
-    annotated = annotate(corpus, "old")
+    def annotate_static(df: DataFrame) -> DataFrame:
+        """The CORPUS-side twin of ``annotate``: identical values (min is
+        multiset-invariant, band order preserved), but built from the
+        exploded shingle-ROW relations so every hash runs as a CODEGEN
+        expression over rows instead of an interpreted per-element HOF
+        lambda.  Only the STREAM side must stay row-local (stateless on
+        a streaming plan); the historical corpus is static and at scale
+        is the big side — the interpreted form measured ~8x slower on
+        the corpus annotation at sf0.1 (and the gap grows with corpus
+        size, it is pure per-element Python-interpreter-free but
+        non-codegen expression evaluation)."""
+        if portable:
+            rows = _persist(shingle_string_rows(df, text_col, id_col, k))
+            sh = rows.groupBy("doc_id").agg(F.collect_set("sh").alias("old_sh"))
+            sigs = minhash_portable(
+                df, text_col, id_col, num_hashes, k, shingle_rows=rows
+            )
+            pref = "mh"
+        else:
+            rows = _persist(hashed_shingle_rows(df, text_col, id_col, k))
+            sh = hashed_shingle_arrays(rows).select(
+                "doc_id", F.col("shingles").alias("old_sh")
+            )
+            sigs = minhash_signatures(
+                df, text_col, id_col, num_hashes, k, shingle_rows=rows
+            )
+            pref = "h"
+
+        def bucket(b: int):
+            rows_b = [
+                F.col(f"{pref}{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            if portable:
+                return F.concat_ws("|", *[r.cast("string") for r in rows_b])
+            return F.xxhash64(*rows_b)
+
+        bands = F.array(*[bucket(b) for b in range(num_bands)])
+        return sigs.select(
+            F.col("doc_id").alias("old_id"), bands.alias("old_bands")
+        ).join(sh.select(F.col("doc_id").alias("old_id"), "old_sh"), "old_id")
+
     if not corpus.isStreaming:
-        # computed once, reread every micro-batch otherwise.  Persist the
-        # PRE-explode relation: caching after posexplode would store each
-        # corpus doc's full old_sh/old_bands arrays num_bands times (a
-        # ~b-fold cache inflation on the historical corpus); the explode
-        # itself is a cheap codegen generator re-run per micro-batch.
-        annotated = _persist(annotated)
+        # computed once (codegen exploded path), reread every micro-batch
+        # otherwise.  Persist the PRE-explode relation: caching after
+        # posexplode would store each corpus doc's full old_sh/old_bands
+        # arrays num_bands times (a ~b-fold cache inflation on the
+        # historical corpus); the explode itself is a cheap codegen
+        # generator re-run per micro-batch.
+        annotated = _persist(annotate_static(corpus))
+    else:
+        annotated = annotate(corpus, "old")
     static_side = annotated.select(
         "old_id", "old_sh", "old_bands",
         F.posexplode("old_bands").alias("band", "bucket"),

@@ -26,10 +26,12 @@ sf0.1 tables replicated 10× with key-shifting (≈ sf1: 6M lineitem rows,
 100k orders-per-replica joins kept at original selectivity, 50k
 documents, 1M events, 200k embeddings), local[32] (full catalog swept
 round 7 under the shipped broadcast policy — hints unpinned, static
-broadcasts off, AQE measured-size broadcasts only; round 8 re-measured
-the 19 rows its changes touched — the jaccard-join restructure family,
-the capped embedding anchor, the fixed events-replica time-shift, and
-the re-oracled queries — via `--queries` merge: the FULL
+broadcasts off, AQE measured-size broadcasts only; rounds 8-9
+re-measured the rows their changes touched — the jaccard-join
+restructure family (r9: postings-shaped dfreq, partition-aligned
+verify chain), the capped anchors (r9: caps folded into the plan as
+1-row aggregates), the re-oracled queries, and the two new catalog
+entries — via `--queries` merge: the FULL
 catalog swept — every registered query except the {n_excluded}
 bounded-by-construction asset caps listed in `scale_check.EXCLUDED`;
 base timings are the second warm pass, raw numbers in
@@ -65,12 +67,14 @@ branch is itself hash-checked against DuckDB at sf0.1), so even the
 anchor has no component that grows with the corpus.  Prior rounds: r4
 max 0.53 over 82 queries, r3 0.56, r2 0.79.
 
-The worst non-anchor rows sit at ~0.55-0.67 and are per-row-compute
-queries (`sql_scripting_coverage_search`'s iterative SQL-scripting
-probe, `bpe_token_estimate`'s regex token passes,
-`capped_decay_balance`'s grouped-map recursion): their ×10 run is
-compute-bound rather than overhead-bound — linear work, honest
-exponent.  `embedding_near_dup`, the EXACT all-pairs cosine baseline
+The worst non-anchor rows sit at ~0.51-0.55 and are per-row-compute
+queries (`bpe_token_estimate`'s regex token passes,
+`capped_decay_balance`'s grouped-map recursion, `ngram_novelty`'s
+cross-doc explode): their ×10 run is compute-bound rather than
+overhead-bound — linear work, honest exponent.
+(`sql_scripting_coverage_search`, the former 0.67 tail, now caches the
+skinny price projection once inside the script — its O(log answer)
+loop iterations re-scan the columnar cache, not parquet: 0.41.)  `embedding_near_dup`, the EXACT all-pairs cosine baseline
 (quadratic by definition — r7 measured 1.21 at ×100 uncapped), is
 md5-sample-capped above 30k vectors since round 8; its scale paths
 `embedding_lsh_near_dup` / `semdedup_cells` / `ann_*` are measured
