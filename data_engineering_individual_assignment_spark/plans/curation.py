@@ -1017,3 +1017,105 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_SEG = 8  # tokens per dedup segment (CCNet-style sub-document granularity)
+
+
+@register(
+    "segment_dedup_reassembly",
+    sql=rf"""
+    WITH segs AS (
+        SELECT doc_id, u.s AS seg_idx,
+               md5(array_to_string(
+                   toks[u.s * {_SEG} + 1 : u.s * {_SEG} + {_SEG}], ' ')) AS h
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
+             unnest([{{'s': s}} for s in
+                     range(0, CAST(ceil(len(toks) / {_SEG}.0) AS INT))]) AS v(u)),
+    firsts AS (
+        SELECT h, min(doc_id * 100000 + seg_idx) AS first_key
+        FROM segs GROUP BY h),
+    flagged AS (
+        SELECT s.doc_id, s.seg_idx, s.h,
+               (s.doc_id * 100000 + s.seg_idx = f.first_key) AS kept
+        FROM segs s JOIN firsts f ON s.h = f.h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN kept THEN h END, '|'
+                                   ORDER BY seg_idx), '')) AS kept_fp
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="CCNet-style SUB-document dedup with reassembly: each document "
+    "splits into fixed 8-token segments, a segment survives only at its "
+    "globally FIRST occurrence (min (doc_id, seg_idx), deterministic), "
+    "and every document is re-assembled from its surviving segments in "
+    "order — the shape line-level / paragraph-level corpus dedup takes "
+    "when boilerplate repeats across pages.  Scale: the explode emits "
+    "(doc_id, seg_idx, md5) rows — 16-byte digests, never text; "
+    "first-occurrence is a digest-keyed groupBy-min (map-side combine; "
+    "a mega-duplicated segment is ONE group, no skew amplification "
+    "because the join-back right side is distinct digests); reassembly "
+    "is a doc-keyed aggregation whose fingerprint md5s the ordered "
+    "surviving-segment digests, so the oracle checks the reassembled "
+    "CONTENT, not just counts.  doc_id*100000+seg_idx keying bounds "
+    "documents at 100k segments (800k tokens) — beyond that, widen to "
+    "a struct min.",
+)
+def segment_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    nseg = F.ceil(F.size("toks") / F.lit(float(_SEG))).cast("int")
+    seg_of = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda s: F.md5(
+            F.array_join(F.slice(F.col("toks"), s * _SEG + 1, _SEG), " ")
+        ),
+    )
+    segs = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode(seg_of).alias("seg_idx", "h"))
+    )
+    firsts = segs.groupBy("h").agg(
+        F.min(F.col("doc_id") * 100000 + F.col("seg_idx")).alias("first_key")
+    )
+    flagged = segs.join(firsts, "h").select(
+        "doc_id",
+        "seg_idx",
+        "h",
+        (F.col("doc_id") * 100000 + F.col("seg_idx") == F.col("first_key")).alias(
+            "kept"
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept"),
+                                    F.struct(
+                                        F.col("seg_idx").alias("i"),
+                                        F.col("h").alias("h"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda x: x["h"],
+                    ),
+                    "|",
+                )
+            ).alias("kept_fp"),
+        )
+        .orderBy("doc_id")
+    )
+

@@ -1568,3 +1568,89 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "shard")
     )
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle_sql(n_rounds: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_train_merges: one
+    MATERIALIZED (best, vocab) CTE pair per merge round (plain CTEs
+    would re-expand the whole round chain per reference — the
+    k^depth-scan gotcha documented in NOTES.md), replaying the IDENTICAL
+    exact-greedy non-overlapping merge via the same string-encoded fold
+    (list_reduce here, F.aggregate on the Spark side)."""
+    greedy_kept = (
+        "list_filter(list_transform(list_filter(string_split(split_part("
+        "list_reduce(list_prepend('-99;', list_transform("
+        "[j for j in range(1, len(syms)) if syms[j] = L AND syms[j+1] = R],"
+        " x -> CAST(x AS VARCHAR))),"
+        " (acc, x) -> CASE WHEN CAST(x AS INT) = CAST(split_part(acc, ';', 1) AS INT) + 1"
+        " THEN acc ELSE x || ';' || split_part(acc, ';', 2) || ',' || x END"
+        "), ';', 2), ','), s -> s <> ''), s -> CAST(s AS INT)), x -> x IS NOT NULL)"
+    )
+    parts = [
+        f"""
+    WITH words AS (
+        SELECT unnest({_TOKS}) AS word FROM documents),
+    vocab0 AS MATERIALIZED (
+        SELECT cnt, [word[j] for j in range(1, len(word)+1)] AS syms
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              FROM words WHERE len(word) >= 1 GROUP BY word))"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+    best{r} AS MATERIALIZED (
+        SELECT p[1] AS L, p[2] AS R, CAST(sum(cnt) AS BIGINT) AS pc
+        FROM vocab{r - 1}, unnest(list_zip(syms, syms[2:])) AS u(p)
+        WHERE p[2] IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY pc DESC, L, R LIMIT 1)"""
+        )
+        if r < n_rounds:
+            parts.append(
+                f""",
+    vocab{r} AS MATERIALIZED (
+        SELECT cnt,
+               [CASE WHEN list_contains(kept, j) THEN L || R ELSE syms[j] END
+                for j in range(1, len(syms)+1)
+                if NOT list_contains(kept, j - 1)] AS syms
+        FROM (SELECT cnt, syms, L, R, {greedy_kept} AS kept
+              FROM vocab{r - 1} CROSS JOIN best{r}))"""
+            )
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, L AS lhs, R AS rhs, pc AS pair_count FROM best{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT merge_round, lhs, rhs, pair_count FROM (
+        {union})
+    ORDER BY merge_round"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    sql=_bpe_oracle_sql(_BPE_ROUNDS),
+    doc="distributed BPE merge TRAINING (the SentencePiece/HF-trainer "
+    "shape at corpus scale): the only corpus-sized step is the word "
+    "histogram (map-side combine; the shuffle carries (word, partial "
+    "count), never text); every merge round then runs over the "
+    "distinct-word vocabulary — pair counts via arrays_zip of two "
+    "slices (codegen, no lambda), the winner a deterministic 1-row "
+    "TakeOrdered (count DESC, pair lexicographic), and the merge an "
+    "exact greedy left-to-right non-overlapping row-local rewrite.  "
+    "Rounds localCheckpoint the vocab (pagerank/kmeans idiom) so "
+    "lineage stays O(1) per round; the only driver-visible object per "
+    "round is the single winning pair.  The oracle unrolls the same "
+    "rounds as MATERIALIZED CTE pairs replaying the identical greedy "
+    "fold, so the learned merge TABLE (not a proxy) is what the "
+    "differential check pins.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_merges as _train
+
+    return _train(load_table(spark, sf_dir, "documents"), "text", _BPE_ROUNDS)

@@ -115,3 +115,39 @@ def test_compression_ratio_null_and_empty_are_null(spark):
     out = {r["doc_id"]: r["r"] for r in df.select("doc_id", ratio.alias("r")).collect()}
     assert out[1] is None and out[2] is None
     assert out[3] is not None and out[3] > 0
+
+
+def test_segment_dedup_first_occurrence_survives(spark):
+    """A segment duplicated across documents survives only in the lowest
+    (doc_id, seg_idx); totals conserve: sum(n_kept) == distinct segments."""
+    from data_engineering_individual_assignment_spark.plans.curation import (
+        segment_dedup_reassembly,
+        _SEG,
+    )
+
+    base = " ".join(f"w{i}" for i in range(_SEG))  # one exact segment
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(_SEG))
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = spark.createDataFrame(
+            [
+                (0, base + " " + uniq("a"), "en", "s", 0),
+                (1, uniq("b") + " " + base, "en", "s", 0),  # dup seg at idx 1
+                (2, base + " " + base, "en", "s", 0),  # self-dup too
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["doc_id"]: (r["n_segments"], r["n_kept"])
+            for r in segment_dedup_reassembly(spark, tmp).collect()
+        }
+    # doc 0 owns the shared segment (first occurrence): keeps both
+    assert out[0] == (2, 2)
+    # doc 1's copy of `base` is a duplicate
+    assert out[1] == (2, 1)
+    # doc 2 duplicates `base` twice over
+    assert out[2] == (2, 0)
+    # conservation: kept == distinct segments (4 distinct: base, a, b)
+    assert sum(k for _, k in out.values()) == 3

