@@ -44,6 +44,14 @@ def get_spark(app_name: str = "dei-spark", shuffle_partitions: int | None = None
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true): bytes-based
+        # coalescing (false + a small advisory) was measured to shave
+        # ~0.8 s off the sf0.1 headline suite by collapsing tiny
+        # exchanges, but it UNDER-parallelizes the compute-dense reduce
+        # stages of the jaccard family at 10x (near_dup_pairs x10
+        # 10.9 s -> 14-16 s) — long shingle arrays compress into few
+        # advisory-sized partitions while their array-intersect cost
+        # stays high.  Scale wins over toy-scale latency.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
