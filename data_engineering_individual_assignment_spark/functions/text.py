@@ -218,3 +218,18 @@ def compression_ratio_udf():
     # inference works without a module-level pandas import
     _ratio.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_ratio, "double")
+
+
+def segment_hashes(toks: Column, seg: int) -> Column:
+    """md5 digests of a token array's fixed ``seg``-token segments (the
+    CCNet-style sub-document dedup granularity) -> array<string>, one
+    digest per segment in document order.  Row-local codegen collection
+    expressions; the SINGLE definition both the batch operator
+    (plans/curation.segment_dedup_reassembly) and the ingest stream twin
+    (streaming/windows.segment_dedup_stream) build on, so their digests
+    cannot silently diverge."""
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda s: F.md5(F.array_join(F.slice(toks, s * seg + 1, seg), " ")),
+    )

@@ -1066,17 +1066,14 @@ _SEG = 8  # tokens per dedup segment (CCNet-style sub-document granularity)
 )
 def segment_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.tokens("text")
-    nseg = F.ceil(F.size("toks") / F.lit(float(_SEG))).cast("int")
-    seg_of = F.transform(
-        F.sequence(F.lit(0), nseg - 1),
-        lambda s: F.md5(
-            F.array_join(F.slice(F.col("toks"), s * _SEG + 1, _SEG), " ")
-        ),
-    )
     segs = (
-        d.select("doc_id", toks.alias("toks"))
-        .select("doc_id", F.posexplode(seg_of).alias("seg_idx", "h"))
+        d.select("doc_id", TX.tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(TX.segment_hashes(F.col("toks"), _SEG)).alias(
+                "seg_idx", "h"
+            ),
+        )
     )
     firsts = segs.groupBy("h").agg(
         F.min(F.col("doc_id") * 100000 + F.col("seg_idx")).alias("first_key")
@@ -1119,3 +1116,46 @@ def segment_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+
+
+@register(
+    "segment_ingest_dedup",
+    sql=rf"""
+    WITH segs AS (
+        SELECT doc_id, u.s AS seg_idx,
+               md5(array_to_string(
+                   toks[u.s * {_SEG} + 1 : u.s * {_SEG} + {_SEG}], ' ')) AS h
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
+             unnest([{{'s': s}} for s in
+                     range(0, CAST(ceil(len(toks) / {_SEG}.0) AS INT))]) AS v(u)),
+    corpus_h AS (
+        SELECT DISTINCT h FROM segs WHERE doc_id % 5 != 0)
+    SELECT s.doc_id,
+           CAST(s.seg_idx AS BIGINT) AS seg_idx,
+           s.h
+    FROM segs s LEFT JOIN corpus_h c ON s.h = c.h
+    WHERE s.doc_id % 5 = 0 AND c.h IS NULL
+    ORDER BY s.doc_id, s.seg_idx
+    """,
+    doc="sub-document dedup at INGEST (streaming/windows."
+    "segment_dedup_stream run batch-side — tests/test_streaming.py pins "
+    "stream==batch on the identical plan): incoming documents "
+    "(doc_id % 5 = 0) keep only the 8-token segments NOT already in the "
+    "historical corpus (doc_id % 5 != 0) — the boilerplate-stripping "
+    "crawler front-end.  Stateless: row-local segmentation + md5, one "
+    "stream-static left_anti join on the 16-byte digest (append mode, "
+    "no watermark, retry-idempotent).  The digests are md5, so the "
+    "oracle replays the ENTIRE path — segmentation, corpus digest set, "
+    "anti-join — and hash-checks the surviving segments themselves.",
+)
+def segment_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import segment_dedup_stream
+
+    d = load_table(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return (
+        segment_dedup_stream(incoming, corpus, seg=_SEG)
+        .select("doc_id", F.col("seg_idx").cast("bigint").alias("seg_idx"), "h")
+        .orderBy("doc_id", "seg_idx")
+    )

@@ -790,3 +790,47 @@ def cms_stream(docs_stream: DataFrame) -> DataFrame:
 
     toks = docs_stream.select(F.explode(TX.tokens("text")).alias("token"))
     return cms_build(toks, "token")
+
+
+def segment_dedup_stream(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    seg: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SUB-document dedup at ingest: each incoming document's fixed
+    ``seg``-token segments (functions/text.segment_hashes — the same
+    digests as the batch operator plans/curation.segment_dedup_reassembly)
+    are checked against the static historical corpus's segment-digest
+    set; emits one ``(doc_id, seg_idx, h)`` row per segment NOT already
+    in the corpus.  The boilerplate-stripping front-end of a crawler:
+    repeated headers/footers/navigation vanish at ingest, per-document
+    novel content survives.
+
+    Stateless by construction — segmentation and hashing are row-local
+    generators, the corpus check is a stream-static left_anti equi-join
+    on the 16-byte digest — so append mode works with zero streaming
+    state, no watermark, retry-idempotent (the same micro-batch replay
+    emits the same rows).  The static side reduces to DISTINCT digests
+    and is persisted once (pre-aggregated: one string column, the
+    minimal possible cached footprint), reread per micro-batch.  At
+    scale the anti-join is digest-keyed — no text ever shuffles, and a
+    mega-duplicated corpus segment is ONE row on the build side."""
+    from ..functions.text import segment_hashes, tokens
+    from ..operators.dedup import _persist
+
+    def seg_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+        ).select(
+            "doc_id",
+            F.posexplode(segment_hashes(F.col("toks"), seg)).alias(
+                "seg_idx", "h"
+            ),
+        )
+
+    known = seg_rows(corpus).select("h").distinct()
+    if not corpus.isStreaming:
+        known = _persist(known)
+    return seg_rows(docs_stream).join(known, "h", "left_anti")

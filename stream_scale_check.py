@@ -224,11 +224,66 @@ def check_lsh_dedup(spark, sf_dir: str, landing: str) -> float:
     return elapsed
 
 
+def check_segment_dedup(spark, sf_dir: str, landing: str) -> float:
+    """segment_dedup_stream (sub-document dedup at ingest): streamed
+    output vs an INDEPENDENT batch formulation — the stream path is a
+    stream-static left_anti join per incoming segment, the baseline
+    re-derives survivors through a different shape (union both sides,
+    group every digest once, keep digests never seen in the corpus,
+    join back to the incoming segments).  Shared between them: only
+    functions/text.segment_hashes (the digest definition)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.functions.text import (
+        segment_hashes,
+        tokens,
+    )
+    from data_engineering_individual_assignment_spark.operators import dedup
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    new_docs.write.mode("overwrite").parquet(landing)
+
+    def sig(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(doc_id, seg_idx, h))"), F.lit(0)
+            ).alias("x"),
+        ).collect()[0]
+        return (row.n, row.x)
+
+    t0 = time.perf_counter()
+    survivors = W.segment_dedup_stream(
+        W.stream_documents(spark, landing), corpus, seg=8
+    )
+    s = sig(W.run_to_memory(spark, survivors, mode="append"))
+    elapsed = time.perf_counter() - t0
+
+    segs = d.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id", F.posexplode(segment_hashes(F.col("toks"), 8)).alias("seg_idx", "h")
+    )
+    never_in_corpus = segs.groupBy("h").agg(
+        F.max((F.col("doc_id") % 2 == 0).cast("int")).alias("in_corpus")
+    ).filter("in_corpus = 0").select("h")
+    expected = segs.filter(F.col("doc_id") % 2 == 1).join(never_in_corpus, "h")
+    b = sig(expected.select("doc_id", "seg_idx", "h"))
+    dedup.release_intermediates()
+    assert s == b, f"segment dedup stream != independent batch ({s} vs {b})"
+    return elapsed
+
+
 CHECKS = {
     "cms_stream": check_cms,
     "incremental_dedup_stream": check_incremental_dedup,
     "heavy_hitters_stream": check_heavy_hitters,
     "lsh_dedup_stream": check_lsh_dedup,
+    "segment_dedup_stream": check_segment_dedup,
 }
 
 

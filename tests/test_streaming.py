@@ -615,3 +615,53 @@ def test_dsir_stream_batch_parity_on_unseen_buckets(spark, tmp_path):
         .count()
     )
     assert n_unseen > 0
+
+
+def test_segment_dedup_stream_equals_batch(spark, tmp_path):
+    """Sub-document dedup at ingest (stream-static left_anti on segment
+    digests, zero streaming state): (1) streamed output equals the SAME
+    operator run batch-side; (2) the surviving rows are exactly the
+    incoming segments whose digest is absent from the corpus, checked
+    against an independent plain-Python replay of the segmentation."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_individual_assignment_spark.sources.readers import load_table
+    from data_engineering_individual_assignment_spark.streaming import windows as W
+
+    d = load_table(spark, SF_SMALL, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    landing = str(tmp_path / "seg_docs")
+    new_docs.write.parquet(landing)
+
+    stream_out = W.run_to_memory(
+        spark,
+        W.segment_dedup_stream(W.stream_documents(spark, landing), corpus, seg=8),
+        mode="append",
+    )
+    got = {(r.doc_id, r.seg_idx, r.h) for r in stream_out.collect()}
+    batch_out = W.segment_dedup_stream(new_docs, corpus, seg=8)
+    assert got == {(r.doc_id, r.seg_idx, r.h) for r in batch_out.collect()}
+
+    # independent replay: python-side segmentation + set difference
+    import hashlib
+
+    def segs(text):
+        toks = text.strip().lower().split()
+        return [
+            hashlib.md5(" ".join(toks[i : i + 8]).encode()).hexdigest()
+            for i in range(0, len(toks), 8)
+        ]
+
+    corpus_h = set()
+    for r in corpus.select("text").collect():
+        corpus_h.update(segs(r["text"]))
+    expected = set()
+    for r in new_docs.select("doc_id", "text").collect():
+        for i, h in enumerate(segs(r["text"])):
+            if h not in corpus_h:
+                expected.add((r["doc_id"], i, h))
+    assert got == expected
+    assert expected and len(expected) < sum(
+        len(segs(r["text"])) for r in new_docs.select("text").collect()
+    ), "fixture must actually strip some segments"
