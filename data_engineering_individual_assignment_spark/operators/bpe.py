@@ -140,8 +140,43 @@ def bpe_train_merges(
     round 1.
     """
     spark = docs.sparkSession
+    merges = [
+        (r, lhs, rhs, pc)
+        for r, lhs, rhs, pc, _ in _train_rounds(docs, text_col, n_merges)
+        if r >= 1
+    ]
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_compression_curve(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """(merge_round, total_symbols): the corpus-weighted total symbol
+    count after each merge round — round 0 is the per-character
+    baseline, so total_symbols[0] / total_symbols[k] is the compression
+    a k-merge tokenizer buys on this corpus (the curve you size a
+    vocabulary budget with).  One bounded 1-row aggregation per round
+    over the vocabulary relation; same training loop, same checkpoints
+    as bpe_train_merges."""
+    spark = docs.sparkSession
+    rows = []
+    for r, _, _, _, vocab in _train_rounds(docs, text_col, n_merges):
+        tot = vocab.agg(
+            F.sum(F.col("cnt") * F.size("syms")).alias("t")
+        ).collect()[0]["t"]  # bounded: one global aggregate row
+        rows.append((r, int(tot)))
+    return spark.createDataFrame(rows, "merge_round long, total_symbols long")
+
+
+def _train_rounds(docs: DataFrame, text_col: str, n_merges: int):
+    """The shared training loop: yields (round, lhs, rhs, pair_count,
+    vocab_after_merge) per round — round 0 is the character baseline
+    (lhs/rhs None, the un-merged vocabulary), each later round's vocab
+    is the localCheckpointed (cnt, syms) relation AFTER applying that
+    round's merge.  Consumed by bpe_train_merges (the merge table) and
+    bpe_compression_curve (the per-round symbol totals)."""
     vocab = char_vocab(docs, text_col).select("cnt", "syms").localCheckpoint()
-    merges: list[tuple[int, str, str, int]] = []
+    yield 0, None, None, 0, vocab
     for r in range(1, n_merges + 1):
         nsym = F.size("syms")
         prs = vocab.select(
@@ -163,14 +198,12 @@ def bpe_train_merges(
         )
         rows = best.collect()  # bounded: 1 row (TakeOrderedAndProject)
         if not rows:
-            break
+            return
         lhs, rhs, pc = rows[0]["lhs"], rows[0]["rhs"], int(rows[0]["pair_count"])
-        merges.append((r, lhs, rhs, pc))
-        if r < n_merges:
-            vocab = vocab.select(
-                "cnt", merge_pair_greedy(F.col("syms"), lhs, rhs).alias("syms")
-            ).localCheckpoint()
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+        vocab = vocab.select(
+            "cnt", merge_pair_greedy(F.col("syms"), lhs, rhs).alias("syms")
+        ).localCheckpoint()
+        yield r, lhs, rhs, pc, vocab
 
 
 def bpe_apply(

@@ -1573,13 +1573,15 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle_sql(n_rounds: int) -> str:
-    """Unrolled DuckDB twin of operators/bpe.bpe_train_merges: one
-    MATERIALIZED (best, vocab) CTE pair per merge round (plain CTEs
-    would re-expand the whole round chain per reference — the
-    k^depth-scan gotcha documented in NOTES.md), replaying the IDENTICAL
-    exact-greedy non-overlapping merge via the same string-encoded fold
-    (list_reduce here, F.aggregate on the Spark side)."""
+def _bpe_cte_chain(n_rounds: int, last_vocab: bool) -> str:
+    """The shared WITH-chain of the BPE oracles: one MATERIALIZED
+    (best, vocab) CTE pair per merge round (plain CTEs would re-expand
+    the whole round chain per reference — the k^depth-scan gotcha
+    documented in NOTES.md), replaying the IDENTICAL exact-greedy
+    non-overlapping merge via the same string-encoded fold (list_reduce
+    here, F.aggregate on the Spark side).  ``last_vocab`` controls
+    whether the final round's vocab CTE is emitted (the merge-table
+    oracle doesn't need it; the compression curve does)."""
     greedy_kept = (
         "list_filter(list_transform(list_filter(string_split(split_part("
         "list_reduce(list_prepend('-99;', list_transform("
@@ -1608,7 +1610,7 @@ def _bpe_oracle_sql(n_rounds: int) -> str:
         GROUP BY 1, 2
         ORDER BY pc DESC, L, R LIMIT 1)"""
         )
-        if r < n_rounds:
+        if r < n_rounds or last_vocab:
             parts.append(
                 f""",
     vocab{r} AS MATERIALIZED (
@@ -1619,17 +1621,38 @@ def _bpe_oracle_sql(n_rounds: int) -> str:
         FROM (SELECT cnt, syms, L, R, {greedy_kept} AS kept
               FROM vocab{r - 1} CROSS JOIN best{r}))"""
             )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_rounds: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_train_merges."""
     union = "\n        UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, L AS lhs, R AS rhs, pc AS pair_count FROM best{r}"
         for r in range(1, n_rounds + 1)
     )
-    parts.append(
-        f"""
+    return (
+        _bpe_cte_chain(n_rounds, last_vocab=False)
+        + f"""
     SELECT merge_round, lhs, rhs, pair_count FROM (
         {union})
     ORDER BY merge_round"""
     )
-    return "".join(parts)
+
+
+def _bpe_curve_sql(n_rounds: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_compression_curve."""
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, "
+        f"CAST(sum(cnt * len(syms)) AS BIGINT) AS total_symbols FROM vocab{r}"
+        for r in range(0, n_rounds + 1)
+    )
+    return (
+        _bpe_cte_chain(n_rounds, last_vocab=True)
+        + f"""
+    SELECT merge_round, total_symbols FROM (
+        {union})
+    ORDER BY merge_round"""
+    )
 
 
 @register(
@@ -1654,3 +1677,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train_merges as _train
 
     return _train(load_table(spark, sf_dir, "documents"), "text", _BPE_ROUNDS)
+
+
+@register(
+    "bpe_compression_curve",
+    sql=_bpe_curve_sql(_BPE_ROUNDS),
+    doc="the vocabulary-budget sizing curve for the trained BPE "
+    "tokenizer: corpus-weighted TOTAL symbol count after each merge "
+    "round (round 0 = the per-character baseline), so "
+    "total[0]/total[k] is the compression k merges buy on this "
+    "corpus.  Same training loop, checkpoints, and argmax semantics "
+    "as bpe_train_merges (operators/bpe._train_rounds is shared); "
+    "each round adds one bounded 1-row aggregation over the "
+    "vocabulary relation.  The oracle extends the unrolled "
+    "MATERIALIZED-CTE chain with the final round's vocabulary and "
+    "sums cnt*len(syms) per round — the curve itself is "
+    "hash-checked, not a proxy.",
+)
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_compression_curve as _curve
+
+    return _curve(load_table(spark, sf_dir, "documents"), "text", _BPE_ROUNDS)

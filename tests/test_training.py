@@ -719,3 +719,31 @@ def test_bpe_segment_applies_learned_merges(spark):
     # the final learned merge's output symbol must be a produced token
     final_sym = merges[-1][0] + merges[-1][1]
     assert final_sym in toks
+
+
+def test_bpe_compression_curve_invariants(spark):
+    """Round 0 equals the corpus's total character count (per-char
+    baseline); each merge round removes exactly pair_count symbols
+    (every greedy-applied merge collapses 2 symbols into 1), so the
+    curve decreases and the per-round drop is bounded by the learned
+    pair counts."""
+    from data_engineering_individual_assignment_spark.operators.bpe import (
+        bpe_compression_curve,
+        bpe_train_merges,
+    )
+
+    texts = ["aaaa aaa banana bandana", "aaaa cabbage banana abab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    curve = {
+        r["merge_round"]: r["total_symbols"]
+        for r in bpe_compression_curve(docs, "text", 3).collect()
+    }
+    n_chars = sum(len(w) for t in texts for w in t.split())
+    assert curve[0] == n_chars
+    merges = bpe_train_merges(docs, "text", 3).collect()
+    for m in merges:
+        r = m["merge_round"]
+        drop = curve[r - 1] - curve[r]
+        assert 0 < drop <= m["pair_count"]
