@@ -123,6 +123,30 @@ def char_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def best_pair(vocab: DataFrame) -> DataFrame:
+    """One merge round's winner over a (cnt, syms) vocabulary relation:
+    adjacent pairs via arrays_zip of two slices (codegen collection
+    expressions — no lambda, no window), a (lhs, rhs)-keyed weighted
+    count, and a deterministic 1-row TakeOrderedAndProject (count DESC,
+    then pair lexicographic)."""
+    nsym = F.size("syms")
+    prs = vocab.select(
+        "cnt",
+        F.explode(
+            F.arrays_zip(
+                F.slice("syms", 1, nsym - 1).alias("l"),
+                F.slice("syms", 2, nsym - 1).alias("r"),
+            )
+        ).alias("pr"),
+    )
+    return (
+        prs.groupBy(F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs"))
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "lhs", "rhs")
+        .limit(1)
+    )
+
+
 def bpe_train_merges(
     docs: DataFrame, text_col: str = "text", n_merges: int = 6
 ) -> DataFrame:
@@ -178,24 +202,7 @@ def _train_rounds(docs: DataFrame, text_col: str, n_merges: int):
     vocab = char_vocab(docs, text_col).select("cnt", "syms").localCheckpoint()
     yield 0, None, None, 0, vocab
     for r in range(1, n_merges + 1):
-        nsym = F.size("syms")
-        prs = vocab.select(
-            "cnt",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("syms", 1, nsym - 1).alias("l"),
-                    F.slice("syms", 2, nsym - 1).alias("r"),
-                )
-            ).alias("pr"),
-        )
-        best = (
-            prs.groupBy(
-                F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs")
-            )
-            .agg(F.sum("cnt").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "lhs", "rhs")
-            .limit(1)
-        )
+        best = best_pair(vocab)
         rows = best.collect()  # bounded: 1 row (TakeOrderedAndProject)
         if not rows:
             return

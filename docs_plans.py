@@ -69,6 +69,20 @@ SHOW = {
     "retrieval_metrics": "Retrieval eval: the run is the broadcast "
     "brute-force top-k; grading joins broadcast the 10-row query-label "
     "relation; metrics are per-query aggregates — no SortMergeJoin.",
+    "bpe_train_merges": "Distributed BPE training — shown: the ROUND-1 "
+    "argmax plan over the corpus histogram (the returned merge table "
+    "itself is a collected 6-row local relation, so its own plan is "
+    "just an ExistingRDD scan).  The word histogram is the one "
+    "corpus-sized stage (partial+final HashAggregate, map-side "
+    "combine); the round is a vocabulary-sized pair aggregate ending "
+    "in TakeOrderedAndProject(1); later rounds run on the "
+    "localCheckpointed vocabulary — no corpus re-scan after the "
+    "histogram.",
+    "segment_ingest_dedup": "Sub-document dedup at ingest: row-local "
+    "segmentation generator (posexplode of codegen md5 digests), the "
+    "corpus side reduced to a DISTINCT digest aggregate, one left_anti "
+    "equi-join on the 16-byte digest — no text column survives past "
+    "the generator on either side.",
 }
 
 
@@ -87,8 +101,30 @@ def main() -> None:
         "properties from regressing.",
         "",
     ]
+    def bpe_round1(sf_dir: str):
+        # the catalog query returns the COLLECTED merge table (an
+        # ExistingRDD scan); the plan evidence that matters is the
+        # round's distributed argmax over the corpus histogram
+        from data_engineering_individual_assignment_spark.operators.bpe import (
+            best_pair,
+            char_vocab,
+        )
+        from data_engineering_individual_assignment_spark.sources.readers import (
+            load_table,
+        )
+
+        vocab = char_vocab(load_table(spark, sf_dir, "documents"), "text")
+        return best_pair(vocab.select("cnt", "syms"))
+
+    OVERRIDE = {"bpe_train_merges": bpe_round1}
+
     for name, note in SHOW.items():
-        df = plans.CATALOG[name].fn(spark, "/root/testdata/sf0.001")
+        build = OVERRIDE.get(name, plans.CATALOG[name].fn)
+        df = (
+            build("/root/testdata/sf0.001")
+            if name in OVERRIDE
+            else build(spark, "/root/testdata/sf0.001")
+        )
         df.collect()
         s = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
