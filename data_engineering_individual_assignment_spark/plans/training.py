@@ -1641,9 +1641,14 @@ def _bpe_oracle_sql(n_rounds: int) -> str:
 
 def _bpe_curve_sql(n_rounds: int) -> str:
     """Unrolled DuckDB twin of operators/bpe.bpe_compression_curve."""
+    # HAVING count(*) > 0: when the corpus runs out of pairs before
+    # round n, vocab{r} is EMPTY (cross join with an empty best{r}) and
+    # a bare sum() would emit one NULL row — the Spark loop simply stops
+    # yielding rounds, so the guard keeps the degenerate case aligned
     union = "\n        UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS merge_round, "
         f"CAST(sum(cnt * len(syms)) AS BIGINT) AS total_symbols FROM vocab{r}"
+        + (" HAVING count(*) > 0" if r > 0 else "")
         for r in range(0, n_rounds + 1)
     )
     return (

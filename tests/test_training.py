@@ -747,3 +747,22 @@ def test_bpe_compression_curve_invariants(spark):
         r = m["merge_round"]
         drop = curve[r - 1] - curve[r]
         assert 0 < drop <= m["pair_count"]
+
+
+def test_bpe_pair_exhaustion_stops_cleanly(spark):
+    """A corpus that runs out of adjacent pairs before n_merges: the
+    trainer stops yielding rounds (no empty/NULL rows), and the curve
+    covers exactly the rounds that happened plus the round-0 baseline —
+    the same shape the SQL oracle's HAVING guard produces."""
+    from data_engineering_individual_assignment_spark.operators.bpe import (
+        bpe_compression_curve,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    merges = bpe_train_merges(docs, "text", 6).collect()
+    assert [(m.merge_round, m.lhs, m.rhs, m.pair_count) for m in merges] == [
+        (1, "a", "b", 2)
+    ]
+    curve = bpe_compression_curve(docs, "text", 6).collect()
+    assert [(c.merge_round, c.total_symbols) for c in curve] == [(0, 4), (1, 2)]
