@@ -1141,3 +1141,87 @@ def decode_jpeg_stats(
         "mean_r double, mean_g double, mean_b double, mean_luma double, "
         "decode_ok boolean",
     )
+
+
+def resize_png_stats(
+    df: DataFrame,
+    out_w: int = 4,
+    out_h: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image RESIZE over a binary PNG column (the resize leg of the
+    decode / feature-extract / resize / frame-sample multimodal quartet):
+    decode with the pure-stdlib codec, then downsample deterministically
+    with no resampling library —
+
+    - BOX AVERAGE when the source dimensions divide evenly by the
+      target (exact: each output pixel is the float mean of its
+      bh x bw source block — the analytic ground truth tests exploit
+      this exactness);
+    - NEAREST-NEIGHBOR index map (floor(i * src / out)) otherwise.
+
+    Arrow-batched mapInPandas, one typed row per asset: source/target
+    dims, the method used, per-channel means OF THE RESIZED image, and
+    an int64 checksum of the rounded resized pixels (so downstream can
+    pin the full pixel content, not just means).  Corrupt assets
+    degrade to decode_ok=false rows — one bad asset must not kill a
+    100 TB scan."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = decode_png(bytes(payload))
+                    h, w, c = d["height"], d["width"], d["channels"]
+                    px = np.asarray(d["pixels"], dtype=np.float64).reshape(
+                        h, w, c
+                    )
+                    if h % out_h == 0 and w % out_w == 0:
+                        bh, bw = h // out_h, w // out_w
+                        rs = px.reshape(out_h, bh, out_w, bw, c).mean(
+                            axis=(1, 3)
+                        )
+                        method = "box"
+                    else:
+                        yi = (np.arange(out_h) * h) // out_h
+                        xi = (np.arange(out_w) * w) // out_w
+                        rs = px[yi][:, xi]
+                        method = "nearest"
+                    means = [
+                        float(rs[..., ch].mean()) if ch < c else None
+                        for ch in range(3)
+                    ]
+                    rows.append(
+                        (
+                            int(did), True, int(w), int(h),
+                            int(out_w), int(out_h), method,
+                            means[0], means[1], means[2],
+                            int(np.rint(rs).astype(np.int64).sum()),
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (int(did), False, None, None, int(out_w),
+                         int(out_h), None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "decode_ok", "src_w", "src_h", "out_w",
+                    "out_h", "method", "mean_r", "mean_g", "mean_b",
+                    "checksum",
+                ],
+            )
+
+    return df.mapInPandas(
+        gen,
+        schema=(
+            "doc_id bigint, decode_ok boolean, src_w int, src_h int, "
+            "out_w int, out_h int, method string, mean_r double, "
+            "mean_g double, mean_b double, checksum bigint"
+        ),
+    )

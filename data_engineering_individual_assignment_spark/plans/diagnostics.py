@@ -1001,3 +1001,66 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_idx")
     )
+
+
+@register(
+    "image_resize_stats",
+    sql=None,  # PNG inflate/unfilter is not SQL-expressible; the resize
+    # itself is pinned against analytic box-average/nearest ground truth
+    # in tests/test_diagnostics.py (solid = exact color, gradient = exact
+    # block means, non-divisible dims = exact index-map picks)
+    doc="REAL image RESIZE path (the resize leg of the multimodal "
+    "decode/feature/resize/frame-sample quartet): deterministic 8-bit "
+    "RGB PNGs keyed by doc_id — solid for even ids, horizontal "
+    "gradient for odd, 5x5 sources every fifth id to exercise the "
+    "non-divisible path — are decoded with the pure-stdlib codec and "
+    "downsampled to 4x4 inside one Arrow-batched mapInPandas "
+    "(operators/multimodal.resize_png_stats): exact BOX AVERAGE when "
+    "dims divide evenly, floor-index NEAREST otherwise.  Reduced to "
+    "per-(method, src size) corpus stats including an int64 checksum "
+    "of every rounded resized pixel, so the reduction pins full pixel "
+    "content.  Payload bytes stay columnar on executors; corrupt "
+    "assets degrade to decode_ok=false.",
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_png_stats, synth_png_bytes
+
+    # deterministic asset sample (see image_png_stats note)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+    )
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                side = 5 if d % 5 == 0 else 16
+                payloads.append(
+                    synth_png_bytes(
+                        side,
+                        side,
+                        ((d * 37) % 256, (d * 59) % 256, (d * 83) % 256),
+                        gradient=(d % 2 == 1),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    stats = resize_png_stats(pngs, out_w=4, out_h=4)
+    return (
+        stats.where(F.col("decode_ok"))
+        .groupBy("method", "src_w", "src_h")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.round(F.avg("mean_r"), 4).alias("avg_r"),
+            F.round(F.avg("mean_g"), 4).alias("avg_g"),
+            F.round(F.avg("mean_b"), 4).alias("avg_b"),
+            F.sum("checksum").alias("checksum_sum"),
+        )
+        .orderBy("method", "src_w", "src_h")
+    )

@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # waiting for someone to remember to add them.
 EXCLUDED = {
     "image_png_stats": "256-doc synthetic asset cap by construction",
+    "image_resize_stats": "256-doc synthetic asset cap by construction",
     "image_jpeg_stats": "256-doc synthetic asset cap by construction",
     "audio_wav_features": "256-doc synthetic asset cap by construction",
     "video_frame_sample_stats": "128-doc synthetic asset cap by construction",

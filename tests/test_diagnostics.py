@@ -779,3 +779,52 @@ def test_mjpeg_video_sampling_and_luma(spark):
         assert abs(luma - (100 + 7 * i)) <= 3.0, (i, luma)
     bad = [r for r in rows if r.doc_id == 2]
     assert len(bad) == 1 and not bad[0].decode_ok
+
+
+def test_resize_box_average_matches_analytic_truth(spark):
+    """16x16 -> 4x4 box average: a solid PNG resizes to exactly its
+    color; a horizontal gradient's resized pixels are the exact block
+    means of x*255//15 (all arithmetic is integer-sums over
+    power-of-two divisors, so float equality is exact)."""
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        resize_png_stats,
+        synth_png_bytes,
+    )
+
+    solid = synth_png_bytes(16, 16, (200, 100, 50))
+    grad = synth_png_bytes(16, 16, gradient=True)
+    df = spark.createDataFrame(
+        [(0, bytearray(solid)), (1, bytearray(grad))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_png_stats(df, 4, 4).collect()}
+    assert out[0].method == "box" and out[0].decode_ok
+    assert (out[0].mean_r, out[0].mean_g, out[0].mean_b) == (200.0, 100.0, 50.0)
+    assert out[0].checksum == (200 + 100 + 50) * 16
+    g = [x * 255 // 15 for x in range(16)]
+    blocks = [sum(g[4 * j : 4 * j + 4]) / 4 for j in range(4)]
+    assert out[1].mean_r == sum(blocks) / 4
+    assert out[1].checksum == sum(round(b) * 3 for b in blocks) * 4
+
+
+def test_resize_nearest_picks_floor_index_pixels(spark):
+    """5x5 -> 4x4 (non-divisible) takes the floor(i*5/4) index map =
+    rows/cols [0,1,2,3]; a corrupt payload degrades to decode_ok=false
+    instead of failing the task."""
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        resize_png_stats,
+        synth_png_bytes,
+    )
+
+    grad = synth_png_bytes(5, 5, gradient=True)
+    df = spark.createDataFrame(
+        [(0, bytearray(grad)), (1, bytearray(b"not a png"))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_png_stats(df, 4, 4).collect()}
+    assert out[0].method == "nearest"
+    g = [x * 255 // 4 for x in range(5)]  # gradient over width 5
+    picked = [g[i] for i in (0, 1, 2, 3)]
+    assert out[0].mean_r == sum(picked) / 4
+    assert out[0].checksum == sum(picked) * 3 * 4
+    assert out[1].decode_ok is False and out[1].checksum is None
