@@ -383,3 +383,45 @@ def test_dsir_weights_equal_numpy_reference(spark, corpus):
         for i, c in per_doc.items()
     }
     assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([("a", "a"), ("a", "b"), ("b", "c"), ("c", "c")]),
+)
+def test_greedy_merge_matches_python_scan(spark, syms_lists, pair):
+    """merge_pair_greedy == the textbook left-to-right non-overlapping
+    scan, on arbitrary symbol runs (the run-parity edge 'aaaa...' is the
+    hard case the string-encoded fold must get right)."""
+    from data_engineering_individual_assignment_spark.operators.bpe import (
+        merge_pair_greedy,
+    )
+    from pyspark.sql import functions as F
+
+    def py_greedy(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(syms_lists)], "i long, syms array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", merge_pair_greedy(F.col("syms"), *pair).alias("m")
+        ).collect()
+    }
+    for i, s in enumerate(syms_lists):
+        assert got[i] == py_greedy(s, *pair), (s, pair)
