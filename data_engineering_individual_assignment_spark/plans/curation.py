@@ -1159,3 +1159,122 @@ def segment_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("seg_idx").cast("bigint").alias("seg_idx"), "h")
         .orderBy("doc_id", "seg_idx")
     )
+
+
+@register(
+    "dup_span_removal",
+    sql=r"""
+    WITH base AS (
+        SELECT doc_id, toks FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+        WHERE len(toks) >= 8),
+    gpos AS (
+        SELECT doc_id, u.i AS p,
+               CAST('0x' || substr(md5('dspan|' ||
+                    array_to_string(toks[u.i : u.i + 7], ' ')), 1, 15)
+                    AS BIGINT) AS h
+        FROM base, unnest([{'i': i}
+                           for i in range(1, len(toks) - 7 + 1)]) AS v(u)),
+    dupg AS (
+        SELECT h FROM gpos GROUP BY h
+        HAVING min(doc_id) != max(doc_id)),
+    dps AS (
+        SELECT doc_id, list_sort(list(DISTINCT p)) AS dp
+        FROM gpos JOIN dupg USING (h) GROUP BY doc_id),
+    per AS (
+        SELECT b.doc_id, b.toks,
+               coalesce(d.dp, CAST([] AS INTEGER[])) AS dp
+        FROM base b LEFT JOIN dps d USING (doc_id))
+    SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len([p for p in dp
+                  if len([q for q in dp if q >= p - 7 AND q < p]) = 0])
+             AS BIGINT) AS n_spans,
+        CAST(len([i for i in range(1, len(toks) + 1)
+                  if len([p for p in dp if p <= i AND i <= p + 7]) > 0])
+             AS BIGINT) AS tokens_removed,
+        md5(coalesce(array_to_string(
+            [toks[i] for i in range(1, len(toks) + 1)
+             if len([p for p in dp if p <= i AND i <= p + 7]) = 0], ' '), ''))
+            AS surviving_md5
+    FROM per ORDER BY doc_id
+    """,
+    doc="exact-substring dedup REWRITE (Lee et al. 2022 'Deduplicating "
+    "Training Data Makes Language Models Better', the span-removal "
+    "step): every word-8-gram occurring in MORE THAN ONE document "
+    "marks its 8-token span; overlapping/adjacent spans merge into "
+    "maximal ranges, the covered tokens are REMOVED, and each "
+    "document re-assembles from the survivors — the rewrite "
+    "dup_span_fraction only scores.  Scale: grams hash to md5 in one "
+    "row-local generator (the shuffle carries 16-byte digests), "
+    "cross-doc duplication is one digest-keyed aggregate, and span "
+    "merging + reconstruction are row-local array HOFs over each "
+    "doc's BOUNDED duplicated-position list — no window, no "
+    "self-join.  Grams hash to the portable 60-bit md5 fold in BOTH "
+    "engines (so even a collision cannot diverge the differential), "
+    "cross-doc duplication is min(doc_id) != max(doc_id) — a plain "
+    "hash aggregate, no count-distinct expansion — and the gram "
+    "relation is persisted across its two consumers (the dup-set "
+    "aggregate and the position join), the shdoc idiom from the "
+    "jaccard path.  The suffix-array construction of the paper is an "
+    "offline index; this fixed-n form is its linear one-pass "
+    "map-reduce equivalent (n=8 spans, the paper's 50-token analog "
+    "at this corpus's scale).  The oracle replays positions, span "
+    "merge, and the md5 of every reassembled document.",
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _md5_hash60, _persist, _spread
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    gpos = _persist(
+        _spread(base).select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 7),
+                    lambda i: _md5_hash60(
+                        F.array_join(F.slice(F.col("toks"), i, 8), " "),
+                        "dspan",
+                    ),
+                )
+            ).alias("p0", "h"),
+        ).select("doc_id", (F.col("p0") + 1).alias("p"), "h")
+    )
+    dupg = (
+        gpos.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    dps = (
+        gpos.join(dupg, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("p")).alias("dp"))
+    )
+    per = base.join(dps, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("dp", F.array().cast("array<int>")).alias("dp"),
+    )
+    dp = F.col("dp")
+    idxs = F.sequence(F.lit(1), F.size("toks"))
+    cov = lambda i: F.exists(dp, lambda p: (p <= i) & (i <= p + 7))
+    surviving = F.transform(
+        F.filter(idxs, lambda i: ~cov(i)),
+        lambda i: F.element_at(F.col("toks"), i),
+    )
+    n_spans = F.size(
+        F.filter(dp, lambda p: ~F.exists(dp, lambda q: (q >= p - 7) & (q < p)))
+    )
+    return per.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        n_spans.cast("bigint").alias("n_spans"),
+        F.size(F.filter(idxs, cov)).cast("bigint").alias("tokens_removed"),
+        F.md5(F.array_join(surviving, " ")).alias("surviving_md5"),
+    ).orderBy("doc_id")

@@ -151,3 +151,37 @@ def test_segment_dedup_first_occurrence_survives(spark):
     assert out[2] == (2, 0)
     # conservation: kept == distinct segments (4 distinct: base, a, b)
     assert sum(k for _, k in out.values()) == 3
+
+
+def test_dup_span_removal_merges_overlapping_spans(spark):
+    """A 10-token run shared by two documents yields THREE duplicated
+    8-gram start positions that merge into ONE maximal span covering
+    all 10 tokens; both copies are removed and each document
+    re-assembles from its unique remainder."""
+    import hashlib
+    import os
+    import tempfile
+
+    from data_engineering_individual_assignment_spark.plans.curation import (
+        dup_span_removal,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    a_tail = " ".join(f"a{i}" for i in range(8))
+    b_head = " ".join(f"b{i}" for i in range(8))
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = spark.createDataFrame(
+            [
+                (0, shared + " " + a_tail, "en", "s", 0),
+                (1, b_head + " " + shared, "en", "s", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r for r in dup_span_removal(spark, tmp).collect()}
+    assert out[0].n_tokens == 18 and out[1].n_tokens == 18
+    # one merged span of 10 tokens on each side
+    assert out[0].n_spans == 1 and out[1].n_spans == 1
+    assert out[0].tokens_removed == 10 and out[1].tokens_removed == 10
+    assert out[0].surviving_md5 == hashlib.md5(a_tail.encode()).hexdigest()
+    assert out[1].surviving_md5 == hashlib.md5(b_head.encode()).hexdigest()
