@@ -229,7 +229,17 @@ def segment_hashes(toks: Column, seg: int) -> Column:
     (streaming/windows.segment_dedup_stream) build on, so their digests
     cannot silently diverge."""
     nseg = F.ceil(F.size(toks) / F.lit(float(seg))).cast("int")
-    return F.transform(
+    segs = F.transform(
         F.sequence(F.lit(0), nseg - 1),
         lambda s: F.md5(F.array_join(F.slice(toks, s * seg + 1, seg), " ")),
+    )
+    # nseg >= 1 guard: sequence(0, -1) is the DESCENDING [0, -1] in Spark
+    # and would emit two phantom md5("") segments for an empty token
+    # array, diverging from the oracle's empty range(0, 0).  Null toks
+    # still propagate to null (null nseg fails both branches' predicate
+    # only via the explicit isNull check).
+    return (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(nseg >= 1, segs)
+        .otherwise(F.array().cast("array<string>"))
     )

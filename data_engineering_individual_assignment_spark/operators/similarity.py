@@ -377,7 +377,13 @@ def hyperplane_lsh_pairs(
         .alias("bucket")
     )
     vecs = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    sigs = buckets.join(vecs, "doc_id")
+    # persisted: the self-join below consumes sigs TWICE — without it
+    # each side re-scans the corpus and replays the whole signature
+    # pipeline (explode x dim, plane join, two aggregations).  Same
+    # shdoc idiom as the jaccard prefix join (operators/dedup.py).
+    from .dedup import _persist
+
+    sigs = _persist(buckets.join(vecs, "doc_id"))
     cand = (
         sigs.alias("a")
         .join(
@@ -493,7 +499,12 @@ def semdedup_pairs(
     rn = F.row_number().over(
         Window.partitionBy("cell_id").orderBy(F.col("r_sim").desc(), F.col("vid"))
     )
-    ranked = assigned.withColumn("rn", rn)
+    # persisted: the rank-window self-join consumes ranked TWICE — without
+    # it each side re-scans the corpus and replays assignment (broadcast
+    # centroid join, Arrow cosine scoring, argmax agg, rank window).
+    from .dedup import _persist
+
+    ranked = _persist(assigned.withColumn("rn", rn))
     a, b = ranked.alias("a"), ranked.alias("b")
     cand = (
         a.join(

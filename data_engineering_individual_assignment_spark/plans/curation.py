@@ -1033,11 +1033,11 @@ _SEG = 8  # tokens per dedup segment (CCNet-style sub-document granularity)
              unnest([{{'s': s}} for s in
                      range(0, CAST(ceil(len(toks) / {_SEG}.0) AS INT))]) AS v(u)),
     firsts AS (
-        SELECT h, min(doc_id * 100000 + seg_idx) AS first_key
+        SELECT h, min({{'d': doc_id, 's': seg_idx}}) AS first_key
         FROM segs GROUP BY h),
     flagged AS (
         SELECT s.doc_id, s.seg_idx, s.h,
-               (s.doc_id * 100000 + s.seg_idx = f.first_key) AS kept
+               ({{'d': s.doc_id, 's': s.seg_idx}} = f.first_key) AS kept
         FROM segs s JOIN firsts f ON s.h = f.h)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_segments,
@@ -1060,31 +1060,33 @@ _SEG = 8  # tokens per dedup segment (CCNet-style sub-document granularity)
     "because the join-back right side is distinct digests); reassembly "
     "is a doc-keyed aggregation whose fingerprint md5s the ordered "
     "surviving-segment digests, so the oracle checks the reassembled "
-    "CONTENT, not just counts.  doc_id*100000+seg_idx keying bounds "
-    "documents at 100k segments (800k tokens) — beyond that, widen to "
-    "a struct min.",
+    "CONTENT, not just counts.  First-occurrence keying is a struct "
+    "min over (doc_id, seg_idx) — deterministic and unbounded (no "
+    "arithmetic-key overflow at any document length); both engines "
+    "use the identical lexicographic struct comparison.",
 )
 def segment_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _persist
+
     d = load_table(spark, sf_dir, "documents")
-    segs = (
-        d.select("doc_id", TX.tokens("text").alias("toks"))
-        .select(
+    # persisted: consumed by BOTH the first-occurrence aggregate and the
+    # join-back — without it the corpus is tokenized + md5'd twice (the
+    # shdoc idiom dup_span_removal already uses for its gram relation).
+    segs = _persist(
+        d.select("doc_id", TX.tokens("text").alias("toks")).select(
             "doc_id",
             F.posexplode(TX.segment_hashes(F.col("toks"), _SEG)).alias(
                 "seg_idx", "h"
             ),
         )
     )
-    firsts = segs.groupBy("h").agg(
-        F.min(F.col("doc_id") * 100000 + F.col("seg_idx")).alias("first_key")
-    )
+    _key = F.struct(F.col("doc_id").alias("d"), F.col("seg_idx").alias("s"))
+    firsts = segs.groupBy("h").agg(F.min(_key).alias("first_key"))
     flagged = segs.join(firsts, "h").select(
         "doc_id",
         "seg_idx",
         "h",
-        (F.col("doc_id") * 100000 + F.col("seg_idx") == F.col("first_key")).alias(
-            "kept"
-        ),
+        (_key == F.col("first_key")).alias("kept"),
     )
     return (
         flagged.groupBy("doc_id")
@@ -1190,7 +1192,7 @@ def segment_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(len([p for p in dp
-                  if len([q for q in dp if q >= p - 7 AND q < p]) = 0])
+                  if len([q for q in dp if q >= p - 8 AND q < p]) = 0])
              AS BIGINT) AS n_spans,
         CAST(len([i for i in range(1, len(toks) + 1)
                   if len([p for p in dp if p <= i AND i <= p + 7]) > 0])
@@ -1225,14 +1227,46 @@ def segment_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge, and the md5 of every reassembled document.",
 )
 def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _md5_hash60, _persist, _spread
-
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", TX.tokens("text").alias("toks")).filter(
         F.size("toks") >= 8
     )
+    per = base.join(_span_positions(base), "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("dp", F.array().cast("array<int>")).alias("dp"),
+    )
+    dp = F.col("dp")
+    idxs = F.sequence(F.lit(1), F.size("toks"))
+    cov = _span_cov(dp)
+    # q >= p - 8: a head at p-8 covers p-8..p-1, contiguous with p..p+7,
+    # so exactly-adjacent spans merge into one maximal range (the doc's
+    # "overlapping/adjacent" claim holds literally).
+    n_spans = F.size(
+        F.filter(dp, lambda p: ~F.exists(dp, lambda q: (q >= p - 8) & (q < p)))
+    )
+    return per.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        n_spans.cast("bigint").alias("n_spans"),
+        F.size(F.filter(idxs, cov)).cast("bigint").alias("tokens_removed"),
+        F.md5(F.array_join(_span_surviving(F.col("toks"), dp), " ")).alias(
+            "surviving_md5"
+        ),
+    ).orderBy("doc_id")
+
+
+def _span_positions(base8: DataFrame) -> DataFrame:
+    """(doc_id, dp) — sorted 1-based head positions of cross-document
+    duplicated word-8-grams, for ``base8`` = (doc_id, toks) rows with
+    >= 8 tokens.  The shared core of ``dup_span_removal`` and
+    ``dedup_pipeline_roi``: gram relation persisted across its two
+    consumers (dup-set aggregate + position join), duplication decided
+    by min(doc_id) != max(doc_id) — no count-distinct Expand."""
+    from ..operators.dedup import _md5_hash60, _persist, _spread
+
     gpos = _persist(
-        _spread(base).select(
+        _spread(base8).select(
             "doc_id",
             F.posexplode(
                 F.transform(
@@ -1251,30 +1285,239 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lo") != F.col("hi"))
         .select("h")
     )
-    dps = (
+    return (
         gpos.join(dupg, "h")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("p")).alias("dp"))
     )
-    per = base.join(dps, "doc_id", "left").select(
+
+
+def _span_cov(dp):
+    """Predicate factory: is 1-based token index i covered by any
+    duplicated span head p in ``dp`` (spans are 8 tokens: p..p+7)."""
+    return lambda i: F.exists(dp, lambda p: (p <= i) & (i <= p + 7))
+
+
+def _span_surviving(toks, dp):
+    """Tokens of ``toks`` NOT covered by any span in ``dp``, in order —
+    the rewritten document (row-local HOFs, no shuffle)."""
+    cov = _span_cov(dp)
+    return F.transform(
+        F.filter(F.sequence(F.lit(1), F.size(toks)), lambda i: ~cov(i)),
+        lambda i: F.element_at(toks, i),
+    )
+
+
+@register(
+    "dedup_pipeline_roi",
+    sql=r"""
+    WITH RECURSIVE raw0 AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS nfp
+        FROM documents),
+    e AS (
+        SELECT doc_id, text, toks, nfp FROM raw0
+        QUALIFY row_number() OVER (PARTITION BY nfp ORDER BY doc_id) = 1),
+    gpos AS (
+        SELECT doc_id, u.i AS p,
+               CAST('0x' || substr(md5('dspan|' ||
+                    array_to_string(toks[u.i : u.i + 7], ' ')), 1, 15)
+                    AS BIGINT) AS h
+        FROM e, unnest([{'i': i}
+                        for i in range(1, len(toks) - 7 + 1)]) AS v(u)
+        WHERE len(toks) >= 8),
+    dupg AS (
+        SELECT h FROM gpos GROUP BY h
+        HAVING min(doc_id) != max(doc_id)),
+    dps AS (
+        SELECT doc_id, list_sort(list(DISTINCT p)) AS dp
+        FROM gpos JOIN dupg USING (h) GROUP BY doc_id),
+    per AS (
+        SELECT e.doc_id, e.toks,
+               coalesce(d.dp, CAST([] AS INTEGER[])) AS dp
+        FROM e LEFT JOIN dps d USING (doc_id)),
+    rtext AS (
+        SELECT doc_id, stoks,
+               coalesce(array_to_string(stoks, ' '), '') AS rew_text,
+               len(stoks) AS n_toks
+        FROM (SELECT doc_id,
+                     [toks[i] for i in range(1, len(toks) + 1)
+                      if len([p for p in dp
+                              if p <= i AND i <= p + 7]) = 0] AS stoks
+              FROM per)),
+    sh AS (
+        SELECT doc_id, list_distinct([
+                   array_to_string(t2[i:i+2], ' ')
+                   for i in range(1, greatest(len(t2) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(rew_text)), '\s+') AS t2
+              FROM rtext)
+        WHERE len(t2) >= 3),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+    clusters AS (
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+    best AS (
+        SELECT cluster_id, doc_id AS survivor_doc_id FROM (
+            SELECT c.cluster_id, c.doc_id,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY r.n_toks DESC, c.doc_id ASC)
+                       AS rn
+            FROM clusters c JOIN rtext r USING (doc_id))
+        WHERE rn = 1),
+    dropped AS (
+        SELECT c.doc_id FROM clusters c JOIN best b USING (cluster_id)
+        WHERE c.doc_id != b.survivor_doc_id),
+    fin AS (
+        SELECT r.* FROM rtext r LEFT JOIN dropped dr USING (doc_id)
+        WHERE dr.doc_id IS NULL)
+    SELECT * FROM (
+        SELECT 0 AS stage_ord, 'raw' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+               md5(string_agg(nfp, '|' ORDER BY doc_id)) AS corpus_fp
+        FROM raw0
+        UNION ALL
+        SELECT 1, 'exact_dedup',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(len(toks)) AS BIGINT),
+               md5(string_agg(nfp, '|' ORDER BY doc_id))
+        FROM e
+        UNION ALL
+        SELECT 2, 'span_removal',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(n_toks) AS BIGINT),
+               md5(string_agg(md5(rew_text), '|' ORDER BY doc_id))
+        FROM rtext
+        UNION ALL
+        SELECT 3, 'near_dup_survivors',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(n_toks) AS BIGINT),
+               md5(string_agg(md5(rew_text), '|' ORDER BY doc_id))
+        FROM fin)
+    ORDER BY stage_ord
+    """,
+    doc="the dedup-ROI readout a real curator runs before a training "
+    "job: exact dedup -> cross-doc duplicated-span REMOVAL -> near-dup "
+    "clustering on the REWRITTEN text (Jaccard >= 0.7, keep the "
+    "longest member) -> per-stage corpus accounting.  One row per "
+    "stage with surviving doc count, surviving token count, and an "
+    "ordered whole-corpus content fingerprint (md5 of each stage's "
+    "per-doc digests, doc order), so the oracle checks every stage's "
+    "full CONTENT, not just counts.  Composes the existing operators "
+    "only: operators/dedup.drop_exact_dups (normalized-md5 key), the "
+    "shared _span_positions/_span_surviving core of dup_span_removal, "
+    "operators/dedup.jaccard_join (prefix+positional filter, no "
+    "all-pairs) and pair_clusters (log-diameter min-label "
+    "propagation).  Scale: every stage is a digest-keyed aggregate or "
+    "an equi-join; stage boundaries persist only the skinny (doc_id, "
+    "tokens) relations each next stage actually re-reads; nothing "
+    "quadratic anywhere (the oracle's all-pairs jaccard is the "
+    "DuckDB replay, not the plan).",
+)
+def dedup_pipeline_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = dedup._persist(
+        d.select(
+            "doc_id",
+            "text",
+            TX.tokens("text").alias("toks"),
+            TX.fingerprint("text").alias("nfp"),
+        )
+    )
+    # stage 1: exact dedup on the normalized-text fingerprint
+    e = dedup._persist(dedup.drop_exact_dups(raw, "text", "doc_id"))
+    # stage 2: remove cross-doc duplicated 8-gram spans WITHIN survivors
+    dps = _span_positions(
+        e.filter(F.size("toks") >= 8).select("doc_id", "toks")
+    )
+    per = e.join(dps, "doc_id", "left").select(
         "doc_id",
         "toks",
         F.coalesce("dp", F.array().cast("array<int>")).alias("dp"),
     )
-    dp = F.col("dp")
-    idxs = F.sequence(F.lit(1), F.size("toks"))
-    cov = lambda i: F.exists(dp, lambda p: (p <= i) & (i <= p + 7))
-    surviving = F.transform(
-        F.filter(idxs, lambda i: ~cov(i)),
-        lambda i: F.element_at(F.col("toks"), i),
+    rew = dedup._persist(
+        per.select(
+            "doc_id",
+            _span_surviving(F.col("toks"), F.col("dp")).alias("stoks"),
+        ).select(
+            "doc_id",
+            F.array_join("stoks", " ").alias("rew_text"),
+            F.size("stoks").cast("bigint").alias("n_toks"),
+        )
     )
-    n_spans = F.size(
-        F.filter(dp, lambda p: ~F.exists(dp, lambda q: (q >= p - 7) & (q < p)))
+    # stage 3: near-dup clusters on the rewritten text; keep the longest
+    # member per cluster (ties -> smallest doc_id), like
+    # dedup_quality_survivors but length-of-rewrite aware
+    pairs = dedup.jaccard_join(rew, "rew_text", "doc_id", threshold=0.7, k=3)
+    clusters = dedup.pair_clusters(pairs)
+    best = (
+        clusters.join(rew.select("doc_id", "n_toks"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_toks"), (-F.col("doc_id")).alias("ni"))
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.ni")).alias("survivor_doc_id"))
     )
-    return per.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_tokens"),
-        n_spans.cast("bigint").alias("n_spans"),
-        F.size(F.filter(idxs, cov)).cast("bigint").alias("tokens_removed"),
-        F.md5(F.array_join(surviving, " ")).alias("surviving_md5"),
-    ).orderBy("doc_id")
+    dropped = (
+        clusters.join(best, "cluster_id")
+        .filter(F.col("doc_id") != F.col("survivor_doc_id"))
+        .select("doc_id")
+    )
+    fin = rew.join(dropped, "doc_id", "left_anti")
+
+    def _stage(df, ord_, name, tok_expr, fp_inner):
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(tok_expr).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("doc_id").alias("i"),
+                                    fp_inner.alias("h"),
+                                )
+                            )
+                        ),
+                        lambda x: x["h"],
+                    ),
+                    "|",
+                )
+            ).alias("corpus_fp"),
+        ).select(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            "corpus_fp",
+        )
+
+    s0 = _stage(raw, 0, "raw", F.size("toks"), F.col("nfp"))
+    s1 = _stage(e, 1, "exact_dedup", F.size("toks"), F.col("nfp"))
+    s2 = _stage(rew, 2, "span_removal", F.col("n_toks"), F.md5("rew_text"))
+    s3 = _stage(
+        fin, 3, "near_dup_survivors", F.col("n_toks"), F.md5("rew_text")
+    )
+    return (
+        s0.unionByName(s1).unionByName(s2).unionByName(s3).orderBy("stage_ord")
+    )

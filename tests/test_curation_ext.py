@@ -185,3 +185,110 @@ def test_dup_span_removal_merges_overlapping_spans(spark):
     assert out[0].tokens_removed == 10 and out[1].tokens_removed == 10
     assert out[0].surviving_md5 == hashlib.md5(a_tail.encode()).hexdigest()
     assert out[1].surviving_md5 == hashlib.md5(b_head.encode()).hexdigest()
+
+
+def test_dup_span_removal_merges_exactly_adjacent_spans(spark):
+    """Two duplicated 8-grams whose heads sit exactly 8 apart cover a
+    contiguous 16-token range -> ONE maximal span (the widened q >= p-8
+    merge predicate), not two."""
+    import os
+    import tempfile
+
+    from data_engineering_individual_assignment_spark.plans.curation import (
+        dup_span_removal,
+    )
+
+    g = " ".join(f"g{i}" for i in range(8))
+    h = " ".join(f"h{i}" for i in range(8))
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = spark.createDataFrame(
+            [
+                (0, g + " " + h, "en", "s", 0),  # dup heads at 1 and 9
+                (1, g, "en", "s", 0),
+                (2, h, "en", "s", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {r.doc_id: r for r in dup_span_removal(spark, tmp).collect()}
+    assert out[0].n_spans == 1  # adjacent spans merged into one range
+    assert out[0].tokens_removed == 16
+
+
+def test_segment_hashes_empty_and_null_guard(spark):
+    """Empty token arrays yield ZERO segments (not the descending
+    sequence(0,-1) phantom pair); null arrays stay null."""
+    df = spark.createDataFrame([(0, []), (1, None)], "i long, toks array<string>")
+    out = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", TX.segment_hashes(F.col("toks"), 8).alias("h")
+        ).collect()
+    }
+    assert out[0] == []
+    assert out[1] is None
+
+
+def test_dedup_pipeline_roi_stage_accounting(spark):
+    """End-to-end dedup ROI on a crafted corpus: stage 1 drops the exact
+    copy, stage 2 removes the cross-doc 8-gram span from both owners,
+    stage 3 collapses the near-dup pair keeping the longer member —
+    and tokens conserve exactly at every boundary."""
+    import os
+    import tempfile
+
+    from data_engineering_individual_assignment_spark.plans.curation import (
+        dedup_pipeline_roi,
+    )
+
+    u = " ".join(f"u{i}" for i in range(12))
+    shared8 = " ".join(f"s{i}" for i in range(8))
+    a4 = " ".join(f"a{i}" for i in range(4))
+    b4 = " ".join(f"b{i}" for i in range(4))
+    n7 = " ".join(f"n{i}" for i in range(7))
+    with tempfile.TemporaryDirectory() as tmp:
+        docs = spark.createDataFrame(
+            [
+                (0, u, "en", "s", 0),
+                (1, u, "en", "s", 0),  # exact dup -> dropped at stage 1
+                (2, shared8 + " " + a4, "en", "s", 0),  # span owners
+                (3, b4 + " " + shared8, "en", "s", 0),
+                (4, n7, "en", "s", 0),  # near-dup pair (J = 5/6)
+                (5, n7 + " nx", "en", "s", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = {r.stage: r for r in dedup_pipeline_roi(spark, tmp).collect()}
+    assert rows["raw"].n_docs == 6 and rows["raw"].n_tokens == 63
+    assert rows["exact_dedup"].n_docs == 5
+    assert rows["exact_dedup"].n_tokens == 51
+    # span removal drops no DOCS, only the 2x8 shared-span tokens
+    assert rows["span_removal"].n_docs == 5
+    assert rows["span_removal"].n_tokens == 51 - 16
+    # near-dup cluster {4,5} keeps doc 5 (8 rewritten tokens > 7)
+    assert rows["near_dup_survivors"].n_docs == 4
+    assert rows["near_dup_survivors"].n_tokens == 35 - 7
+    # stage ordinals are the sort key and stages are monotone
+    t = [rows[s].n_tokens for s in
+         ("raw", "exact_dedup", "span_removal", "near_dup_survivors")]
+    assert t == sorted(t, reverse=True)
+
+
+def test_dedup_pipeline_roi_monotone_on_corpus(spark):
+    """On the real sf0.001 corpus the stage accounting is monotone
+    non-increasing in both docs and tokens, and span removal never
+    drops a document."""
+    from data_engineering_individual_assignment_spark.plans.curation import (
+        dedup_pipeline_roi,
+    )
+
+    rows = sorted(
+        dedup_pipeline_roi(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.stage_ord,
+    )
+    docs = [r.n_docs for r in rows]
+    toks = [r.n_tokens for r in rows]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert rows[1].n_docs == rows[2].n_docs  # span removal rewrites, never drops
