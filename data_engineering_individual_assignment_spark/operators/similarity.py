@@ -344,62 +344,72 @@ def hyperplane_lsh_pairs(
     whole LSH pipeline — signatures, buckets, candidates — is
     differential-testable, which is what lets the driver oracle-check
     this approximate operator instead of settling for a rows-only run.
+
+    Signatures are computed ROW-LOCALLY: the planes embed as literal
+    sign arrays and each vector's num_planes projections are zip_with
+    dot-product folds inside one codegen map pass — no posexplode, no
+    plane join, no aggregation.  (The previous explode-join-agg shape
+    fanned every vector to dim x num_planes rows before reducing: at
+    100x that was a multi-billion-row intermediate feeding two
+    shuffles, and it measured ~28 s where this map pass does the same
+    work scan-bound.)  The bucket depends only on each projection's
+    SIGN, so fold order never flips a bit that a shuffle-ordered sum
+    would not.
     """
     import hashlib
 
-    spark = corpus.sparkSession
-    planes = [
-        (
-            j,
-            i,
-            1.0
-            if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15], 16) & 1
-            else -1.0,
-        )
-        for j in range(num_planes)
-        for i in range(dim)
-    ]
-    planes_df = spark.createDataFrame(planes, "plane int, dim int, sign double")
+    def sign(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h & 1 else -1.0
 
-    elems = corpus.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(vec_col).alias("dim", "val")
-    )
-    proj = (
-        elems.join(F.broadcast(planes_df), "dim")
-        .groupBy("doc_id", "plane")
-        .agg(F.sum(F.col("val") * F.col("sign")).alias("proj"))
-    )
-    buckets = proj.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("proj") > 0, F.pow(F.lit(2.0), F.col("plane"))).otherwise(0.0)
+    bucket = None
+    for j in range(num_planes):
+        plane_arr = F.array(*[F.lit(sign(j, i)) for i in range(dim)])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_arr, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .cast("long")
-        .alias("bucket")
+        bit = F.when(proj > 0, F.lit(float(2**j))).otherwise(F.lit(0.0))
+        bucket = bit if bucket is None else bucket + bit
+    buckets = corpus.select(
+        F.col(id_col).alias("doc_id"), bucket.cast("long").alias("bucket")
     )
-    vecs = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
-    # persisted: the self-join below consumes sigs TWICE — without it
-    # each side re-scans the corpus and replays the whole signature
-    # pipeline (explode x dim, plane join, two aggregations).  Same
-    # shdoc idiom as the jaccard prefix join (operators/dedup.py).
+    # persist ONLY the skinny (doc_id, bucket) relation — 16 bytes/row —
+    # so the self-join's two sides read the signature pipeline's result
+    # instead of replaying it, while the bucket equi-join shuffle never
+    # carries vectors.  (Persisting the vector-joined signatures was
+    # measured 4x SLOWER at 100x: the cache materializes corpus_size x
+    # 64 floats and the candidate shuffle drags 256-byte payloads.)
     from .dedup import _persist
 
-    sigs = _persist(buckets.join(vecs, "doc_id"))
+    bk = _persist(buckets)
     cand = (
-        sigs.alias("a")
+        bk.alias("a")
         .join(
-            sigs.alias("b"),
+            bk.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.v").alias("v_a"),
-            F.col("b.v").alias("v_b"),
         )
     )
+    # vectors fetched AFTER candidate generation, by id equi-join against
+    # the (columnar, prunable) corpus scan — the near_dup_pairs verify
+    # shape: candidates are few, so the wide payload joins stay small
+    vecs = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"))
     return (
-        cand.withColumn("cos_sim", cosine_pandas("v_a", "v_b"))
+        cand.join(
+            vecs.select(F.col("doc_id").alias("id_a"), F.col("v").alias("v_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("doc_id").alias("id_b"), F.col("v").alias("v_b")),
+            "id_b",
+        )
+        .withColumn("cos_sim", cosine_pandas("v_a", "v_b"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -483,7 +493,7 @@ def semdedup_pairs(
     # argmax carries the winning similarity out so the rank pass below
     # doesn't need to re-score (same max_by shape as assign_cells)
     best = F.max_by(
-        F.struct(F.col("cell_id"), F.col(vec_col).alias("v"), F.col("cent_sim")),
+        F.struct(F.col("cell_id"), F.col("cent_sim")),
         F.struct(F.col("cent_sim"), (-F.col("cell_id")).alias("nc")),
     )
     assigned = (
@@ -491,7 +501,6 @@ def semdedup_pairs(
         .agg(best.alias("b"))
         .select(
             F.col(id_col).alias("vid"),
-            F.col("b.v").alias("v"),
             F.col("b.cell_id").alias("cell_id"),
             F.round(F.col("b.cent_sim"), 6).alias("r_sim"),
         )
@@ -499,13 +508,16 @@ def semdedup_pairs(
     rn = F.row_number().over(
         Window.partitionBy("cell_id").orderBy(F.col("r_sim").desc(), F.col("vid"))
     )
-    # persisted: the rank-window self-join consumes ranked TWICE — without
-    # it each side re-scans the corpus and replays assignment (broadcast
-    # centroid join, Arrow cosine scoring, argmax agg, rank window).
+    # persist ONLY the skinny (vid, cell_id, r_sim, rn) ranking — the
+    # rank-window self-join consumes it twice, and keeping vectors OUT
+    # of it means the candidate shuffle moves 24-byte rows, not
+    # 64-float payloads (carrying vectors through both the argmax agg
+    # and this cache was measured ~1.5x slower at 100x).
     from .dedup import _persist
 
     ranked = _persist(assigned.withColumn("rn", rn))
     a, b = ranked.alias("a"), ranked.alias("b")
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     cand = (
         a.join(
             b,
@@ -515,10 +527,24 @@ def semdedup_pairs(
         )
         .select(
             F.col("a.cell_id").alias("cell_id"),
-            F.least("a.vid", "b.vid").alias("kept_id"),
-            F.greatest("a.vid", "b.vid").alias("dropped_id"),
-            F.col("a.v").alias("v_a"),
-            F.col("b.v").alias("v_b"),
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
+        )
+        # vectors fetched after candidate generation, by id equi-join
+        .join(
+            vecs.select(F.col("vid").alias("vid_a"), F.col("v").alias("v_a")),
+            "vid_a",
+        )
+        .join(
+            vecs.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b")),
+            "vid_b",
+        )
+        .select(
+            "cell_id",
+            F.least("vid_a", "vid_b").alias("kept_id"),
+            F.greatest("vid_a", "vid_b").alias("dropped_id"),
+            "v_a",
+            "v_b",
         )
         .withColumn("cos_sim", cosine_pandas("v_a", "v_b"))
         .filter(F.col("cos_sim") >= threshold)

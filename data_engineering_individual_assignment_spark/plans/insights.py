@@ -1253,3 +1253,73 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev") / F.max("total"), 6).alias("revenue_share"),
         )
     )
+
+
+def _pcproj_consts() -> tuple[list[float], list[float], list[float]]:
+    """md5-derived frozen unit vectors (+ a pseudo-mean) for the
+    projection differential: entries are exactly-representable decimals
+    (±0.125, ±0.05), parity of md5("pcproj|<c>|<d>"), so ANY engine
+    with md5 rebuilds the identical constants and the literals embed
+    losslessly in both the Spark plan and the SQL string."""
+    import hashlib
+
+    def par(salt: str, i: int) -> float:
+        h = int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h & 1 else -1.0
+
+    c0 = [0.125 * par("pcproj|0", d) for d in range(64)]
+    c1 = [0.125 * par("pcproj|1", d) for d in range(64)]
+    m = [0.05 * par("pcproj|m", d) for d in range(64)]
+    return c0, c1, m
+
+
+_PCPROJ_C0, _PCPROJ_C1, _PCPROJ_M = _pcproj_consts()
+
+
+def _sql_arr(xs: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in xs) + "]"
+
+
+@register(
+    "pca_projection_check",
+    sql=f"""
+    WITH consts AS (
+        SELECT CAST({_sql_arr(_PCPROJ_M)} AS DOUBLE[]) AS m,
+               CAST({_sql_arr(_PCPROJ_C0)} AS DOUBLE[]) AS c0,
+               CAST({_sql_arr(_PCPROJ_C1)} AS DOUBLE[]) AS c1)
+    SELECT vec_id, label,
+           round(list_reduce(list_transform(range(1, 65),
+                 i -> (embedding[i] - m[i]) * c0[i]), (a, b) -> a + b), 6)
+               AS pc0,
+           round(list_reduce(list_transform(range(1, 65),
+                 i -> (embedding[i] - m[i]) * c1[i]), (a, b) -> a + b), 6)
+               AS pc1
+    FROM embeddings, consts
+    ORDER BY vec_id
+    """,
+    doc="differential check of the distributed PCA's PROJECTION path "
+    "(operators/pca.py project): the per-row zip_with mean-centering "
+    "and dot-product fold — the exact JVM expressions "
+    "embedding_pca_variance scores the corpus with — replayed by "
+    "DuckDB over the same embeddings against frozen md5-derived unit "
+    "vectors (data-INDEPENDENT, so the oracle string stays static "
+    "across scale factors; true eigenvectors are data-derived and "
+    "cannot appear in a static oracle).  Together with pca_gram_check "
+    "(covariance entries == covar_pop) this pins both SQL-expressible "
+    "halves of the PCA pipeline; only the 64x64 driver "
+    "eigendecomposition itself remains on numpy-invariant tests.  "
+    "Scale: map-only pass, no shuffle, no Python.",
+)
+def pca_projection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    projected = pca.project(
+        emb, "embedding", [_PCPROJ_C0, _PCPROJ_C1], _PCPROJ_M
+    )
+    return projected.select(
+        "vec_id",
+        "label",
+        F.round("pc0", 6).alias("pc0"),
+        F.round("pc1", 6).alias("pc1"),
+    ).orderBy("vec_id")

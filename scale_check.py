@@ -97,6 +97,35 @@ def replicate(spark, src: str, dst: str, factor: int) -> None:
                 part = part.withColumn(
                     "ts", F.expr(f"ts + INTERVAL {i * 3650} DAYS")
                 )
+            if name == "embeddings" and i > 0:
+                # sign-flip replica i's coordinates with a deterministic
+                # md5-parity ±1 mask: every intra-replica dot product is
+                # EXACTLY preserved (sign flips are exact in FP and
+                # cancel pairwise), so planted clones stay clones within
+                # each replica — but cross-replica cosines collapse to
+                # ~0, otherwise every vector gains factor-1 identical
+                # copies and the TRUE near-dup answer grows
+                # quadratically in the factor (the embeddings analog of
+                # the documents vocabulary remap below)
+                import hashlib
+
+                mask = [
+                    1.0
+                    if int(
+                        hashlib.md5(f"emb-rep|{i}|{d}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    & 1
+                    else -1.0
+                    for d in range(64)
+                ]
+                sarr = F.array(*[F.lit(s) for s in mask])
+                part = part.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        "embedding", sarr, lambda x, s: (x * s).cast("float")
+                    ),
+                )
             if name == "documents" and i > 0:
                 # remap replica i's tokens into a disjoint vocabulary
                 # (suffix every token): intra-replica similarity structure
