@@ -57,7 +57,21 @@ SHOW = {
     "semdedup_cells": "SemDeDup: centroid assignment is a broadcast join "
     "+ max_by argmax (one corpus scan); the within-cell candidate join "
     "is an equi join on cell_id with the rank-window residual — no "
-    "CartesianProduct, pair fan-out bounded by the window.",
+    "CartesianProduct, pair fan-out bounded by the window; only the "
+    "skinny (vid, cell, rank) relation persists across the self-join, "
+    "vectors re-enter by id equi-join after candidate generation.",
+    "embedding_lsh_near_dup": "Hyperplane LSH: the 12 projections are "
+    "row-local zip_with dot-product folds against literal plane "
+    "arrays — no posexplode, no plane join, no aggregation before the "
+    "bucket; the persisted (doc_id, bucket) relation feeds both sides "
+    "of the candidate equi-join and vectors join back by id only for "
+    "the exact-cosine verify.",
+    "dedup_pipeline_roi": "Dedup-ROI composition: exact dedup "
+    "(digest groupBy + semi join), span removal (persisted gram "
+    "relation, row-local HOF rewrite), prefix-filtered jaccard on the "
+    "rewritten text, min-label-propagation clusters — every stage a "
+    "digest-keyed aggregate or equi-join; the four stage summaries are "
+    "1-row aggregates unioned at the end.",
     "dsir_importance_weights": "DSIR scoring: one bigram explode, a "
     "(doc, bucket) combine-heavy hash aggregate, and the 512-row "
     "log-ratio model broadcast back — per-doc weights are int64 sums, "
