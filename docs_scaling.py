@@ -284,24 +284,42 @@ def main() -> None:
             x300 = {k: v for k, v in json.load(f).items()
                     if not k.startswith("_")}
         lines.append(
-            "\n## 300× spot-check (jaccard family)\n\n"
-            "The 100 TB claim for the hottest text-dedup path should not "
-            "rest on a single 100× extrapolation: `scale_check.py 300` "
+            "\n## 300× spot-check (hottest dedup paths)\n\n"
+            "The 100 TB claim for the hottest operators should not rest "
+            "on a single 100× extrapolation: `scale_check.py 300` "
             "replicates sf0.1 three-hundred-fold (180M lineitem rows, "
-            "1.5M documents — half a decade beyond the 100× table) and "
-            "reruns the three hottest jaccard-family operators on the "
-            "default 8 GiB driver.  Exponents rise mildly against their "
-            "100× rows (0.44→0.57, 0.40→0.48, 0.56→0.65) and stay "
-            "sub-linear throughout — no breaking constraint (driver "
-            "memory, single-stage skew) surfaced.\n\n"
+            "1.5M documents, 15M vectors — half a decade beyond the "
+            "100× table) on the default 8 GiB driver.  Jaccard family: "
+            "exponents rise mildly against their 100× rows (0.44→0.57, "
+            "0.40→0.48, 0.56→0.65) and stay sub-linear — no breaking "
+            "constraint (driver memory, single-stage skew) surfaced.  "
+            "Embedding family: the catalog queries pin signature width "
+            "(12 planes) and cell count (8) as ORACLE CONSTANTS, and at "
+            "fixed width LSH bucket occupancy grows with n — the "
+            "intrinsic LSH scaling law, visible as the 0.86/0.66 stress "
+            "rows.  Both operators parameterize the knob; scaled with n "
+            "the way production would run them (num_planes 12→20, "
+            "num_cells 8→64 — recall for exact clones is unaffected, "
+            "identical vectors collide at any width), the SAME 300× "
+            "corpus runs 268.7 s → 59.3 s and 126.1 s → 40.8 s "
+            "(whole-run exponents 0.60 / 0.46), measured by the knob "
+            "rows below.\n\n"
             "| query | sf0.1 s | ×300 s | exponent |\n|---|---|---|---|\n"
         )
         for name, r in sorted(
-            x300.items(), key=lambda kv: -(kv[1]["scaling_exponent"] or 0)
+            x300.items(),
+            key=lambda kv: -(kv[1].get("scaling_exponent") or 0),
         ):
+            base = (
+                f"{r['sf0.1_sec']:.2f}" if "sf0.1_sec" in r else "(knob run)"
+            )
+            exp = r.get(
+                "scaling_exponent",
+                r.get("scaling_exponent_vs_12plane_base")
+                or r.get("scaling_exponent_vs_8cell_base"),
+            )
             lines.append(
-                f"| {name} | {r['sf0.1_sec']:.2f} | {r['x300_sec']:.2f} "
-                f"| {r['scaling_exponent']:.2f} |\n"
+                f"| {name} | {base} | {r['x300_sec']:.2f} | {exp:.2f} |\n"
             )
     # stateful-streaming twins (stream_scale_check.py): the batch sweep
     # cannot see Structured-Streaming state management, so their 10x
