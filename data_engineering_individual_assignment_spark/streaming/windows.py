@@ -592,20 +592,21 @@ def lsh_dedup_stream(
             f"{side}_id", f"{side}_sh", band_hashes.alias(f"{side}_bands")
         )
 
-    def annotate_static(df: DataFrame) -> DataFrame:
-        """The CORPUS-side twin of ``annotate``: identical values (min is
+    def annotate_static(df: DataFrame, side: str) -> DataFrame:
+        """The static-plan twin of ``annotate``: identical values (min is
         multiset-invariant, band order preserved), but built from the
         exploded shingle-ROW relations so every hash runs as a CODEGEN
         expression over rows instead of an interpreted per-element HOF
-        lambda.  Only the STREAM side must stay row-local (stateless on
-        a streaming plan); the historical corpus is static and at scale
-        is the big side — the interpreted form measured ~8x slower on
-        the corpus annotation at sf0.1 (and the gap grows with corpus
-        size, it is pure per-element Python-interpreter-free but
+        lambda.  Only a STREAMING side must stay row-local (stateless on
+        a streaming plan); any static side takes this path — the
+        interpreted form measured ~8x slower on the corpus annotation at
+        sf0.1 (and the gap grows with input size; it is per-element
         non-codegen expression evaluation)."""
         if portable:
             rows = _persist(shingle_string_rows(df, text_col, id_col, k))
-            sh = rows.groupBy("doc_id").agg(F.collect_set("sh").alias("old_sh"))
+            sh = rows.groupBy("doc_id").agg(
+                F.collect_set("sh").alias(f"{side}_sh")
+            )
             sigs = minhash_portable(
                 df, text_col, id_col, num_hashes, k, shingle_rows=rows
             )
@@ -613,7 +614,7 @@ def lsh_dedup_stream(
         else:
             rows = _persist(hashed_shingle_rows(df, text_col, id_col, k))
             sh = hashed_shingle_arrays(rows).select(
-                "doc_id", F.col("shingles").alias("old_sh")
+                "doc_id", F.col("shingles").alias(f"{side}_sh")
             )
             sigs = minhash_signatures(
                 df, text_col, id_col, num_hashes, k, shingle_rows=rows
@@ -630,8 +631,9 @@ def lsh_dedup_stream(
 
         bands = F.array(*[bucket(b) for b in range(num_bands)])
         return sigs.select(
-            F.col("doc_id").alias("old_id"), bands.alias("old_bands")
-        ).join(sh.select(F.col("doc_id").alias("old_id"), "old_sh"), "old_id")
+            F.col("doc_id").alias(f"{side}_id"), bands.alias(f"{side}_bands")
+        ).join(sh.select(F.col("doc_id").alias(f"{side}_id"), f"{side}_sh"),
+               f"{side}_id")
 
     if not corpus.isStreaming:
         # computed once (codegen exploded path), reread every micro-batch
@@ -640,14 +642,23 @@ def lsh_dedup_stream(
         # arrays num_bands times (a ~b-fold cache inflation on the
         # historical corpus); the explode itself is a cheap codegen
         # generator re-run per micro-batch.
-        annotated = _persist(annotate_static(corpus))
+        annotated = _persist(annotate_static(corpus, "old"))
     else:
         annotated = annotate(corpus, "old")
     static_side = annotated.select(
         "old_id", "old_sh", "old_bands",
         F.posexplode("old_bands").alias("band", "bucket"),
     )
-    stream_side = annotate(docs_stream, "new").select(
+    # the incoming side only needs the row-local interpreted form on an
+    # actual streaming plan; the batch twin (the catalog/driver run)
+    # takes the same codegen exploded path as the corpus — identical
+    # values by construction, ~8x cheaper per doc
+    incoming = (
+        annotate(docs_stream, "new")
+        if docs_stream.isStreaming
+        else annotate_static(docs_stream, "new")
+    )
+    stream_side = incoming.select(
         "new_id", "new_sh", "new_bands",
         F.posexplode("new_bands").alias("band", "bucket"),
     )
