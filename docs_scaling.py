@@ -288,7 +288,7 @@ def main() -> None:
             "The 100 TB claim for the hottest operators should not rest "
             "on a single 100× extrapolation: `scale_check.py 300` "
             "replicates sf0.1 three-hundred-fold (180M lineitem rows, "
-            "1.5M documents, 15M vectors — half a decade beyond the "
+            "1.5M documents, 600k vectors — half a decade beyond the "
             "100× table) on the default 8 GiB driver.  Jaccard family: "
             "exponents rise mildly against their 100× rows (0.44→0.57, "
             "0.40→0.48, 0.56→0.65) and stay sub-linear — no breaking "
