@@ -1916,3 +1916,180 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "cross_modal_dedup_agreement",
+    sql=rf"""
+    WITH dom AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    txts AS (
+        SELECT doc_id, text FROM dom
+        UNION ALL
+        SELECT doc_id + 1000000000, text FROM dom WHERE doc_id < 5
+        UNION ALL
+        SELECT doc_id + 2000000000, text FROM dom
+        WHERE doc_id >= 5 AND doc_id < 10
+        UNION ALL
+        SELECT doc_id + 3000000000,
+               array_to_string(list_reverse(
+                   regexp_split_to_array(trim(lower(text)), '\s+')), ' ')
+        FROM dom WHERE doc_id >= 10 AND doc_id < 15),
+    embs AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000000, embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id < 5
+        UNION ALL
+        SELECT vec_id + 2000000000, list_reverse(embedding::DOUBLE[])
+        FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+        UNION ALL
+        SELECT vec_id + 3000000000, embedding::DOUBLE[]
+        FROM embeddings WHERE vec_id >= 10 AND vec_id < 15),
+    sh AS (
+        SELECT doc_id, list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM txts)
+        WHERE len(toks) >= 3),
+    tp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles)))
+              >= 0.7),
+    ep AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM embs a JOIN embs b ON a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.95),
+    cls AS (
+        SELECT coalesce(t.doc_a, e2.doc_a) AS doc_a,
+               coalesce(t.doc_b, e2.doc_b) AS doc_b,
+               CASE WHEN t.doc_a IS NOT NULL AND e2.doc_a IS NOT NULL
+                    THEN 'both'
+                    WHEN t.doc_a IS NOT NULL THEN 'text_only'
+                    ELSE 'embedding_only' END AS class
+        FROM tp t FULL OUTER JOIN ep e2
+          ON t.doc_a = e2.doc_a AND t.doc_b = e2.doc_b)
+    SELECT class,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           md5(string_agg(CAST(doc_a AS VARCHAR) || ':' ||
+                          CAST(doc_b AS VARCHAR), '|'
+                          ORDER BY doc_a, doc_b)) AS pairs_fp
+    FROM cls GROUP BY class ORDER BY class
+    """,
+    doc="cross-MODAL dedup agreement audit: the near-dup pair sets of "
+    "the two dedup families — exact-Jaccard text pairs "
+    "(operators/dedup.jaccard_join, >= 0.7) and exact-cosine embedding "
+    "pairs (operators/similarity.cosine_near_dup_pairs, >= 0.95) — "
+    "computed over the SAME id domain (documents restricted to ids "
+    "that carry embeddings) and classified both / text_only / "
+    "embedding_only, the readout a curator runs to decide whether "
+    "semantic dedup can replace (or must complement) lexical dedup.  "
+    "The synthetic corpus has no natural high-cosine pairs, so the "
+    "domain plants deterministic cross-modal clones (the "
+    "embedding_near_dup idiom): ids <5 duplicated in BOTH modalities, "
+    "5-9 text-duplicated with REVERSED vectors (text_only), 10-14 "
+    "vector-duplicated with REVERSED token order (embedding_only); "
+    "offsets sit above the scale-harness replication stride.  Each "
+    "class row carries an ordered md5 fingerprint of its full pair "
+    "list, so the oracle checks the pair SETS, not just counts.  "
+    "Scale: the text side is the prefix-filtered jaccard join; the "
+    "embedding side is the block-grid exact scorer (the LSH path is "
+    "the production substitute); classification is one full outer "
+    "equi-join on pair keys.",
+)
+def cross_modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators import similarity as sim
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    dom = d.select("doc_id", "text").join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    B = 1_000_000_000
+    rev_text = F.array_join(F.reverse(TX.tokens("text")), " ")
+    txts = (
+        dom.unionByName(
+            dom.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + B).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            dom.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+                (F.col("doc_id") + 2 * B).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            dom.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+                (F.col("doc_id") + 3 * B).alias("doc_id"),
+                rev_text.alias("text"),
+            )
+        )
+    )
+    ev = e.select("vec_id", "embedding")
+    embs = (
+        ev.unionByName(
+            ev.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + B).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            ev.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+                (F.col("vec_id") + 2 * B).alias("vec_id"),
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+        .unionByName(
+            ev.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+                (F.col("vec_id") + 3 * B).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    tp = dedup.jaccard_join(txts, "text", "doc_id", threshold=0.7, k=3).select(
+        "doc_a", "doc_b"
+    )
+    ep = sim.cosine_near_dup_pairs(embs, threshold=0.95).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    cls = (
+        tp.withColumn("t", F.lit(1))
+        .join(ep.withColumn("e", F.lit(1)), ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("t").isNotNull() & F.col("e").isNotNull(), "both")
+            .when(F.col("t").isNotNull(), "text_only")
+            .otherwise("embedding_only")
+            .alias("class"),
+        )
+    )
+    return (
+        cls.groupBy("class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("doc_a"), F.col("doc_b"))
+                            )
+                        ),
+                        lambda x: F.concat(
+                            x["doc_a"].cast("string"),
+                            F.lit(":"),
+                            x["doc_b"].cast("string"),
+                        ),
+                    ),
+                    "|",
+                )
+            ).alias("pairs_fp"),
+        )
+        .orderBy("class")
+    )

@@ -292,3 +292,25 @@ def test_dedup_pipeline_roi_monotone_on_corpus(spark):
     assert docs == sorted(docs, reverse=True)
     assert toks == sorted(toks, reverse=True)
     assert rows[1].n_docs == rows[2].n_docs  # span removal rewrites, never drops
+
+
+def test_cross_modal_dedup_agreement_planted_classes(spark):
+    """The planted cross-modal domain is deterministic: ids <5 are
+    cloned in BOTH modalities (exactly 5 'both' pairs), 10-14 are
+    vector-cloned with reversed token order (exactly 5
+    'embedding_only' pairs), and 5-9 text-cloned with reversed vectors
+    land in 'text_only' alongside the corpus's natural text dups."""
+    from data_engineering_individual_assignment_spark.plans.extensions import (
+        cross_modal_dedup_agreement,
+    )
+
+    rows = {
+        r["class"]: r
+        for r in cross_modal_dedup_agreement(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["both"].n_pairs == 5
+    assert rows["embedding_only"].n_pairs == 5
+    assert rows["text_only"].n_pairs >= 5  # 5 planted + natural dups
+    assert all(r.pairs_fp for r in rows.values())
