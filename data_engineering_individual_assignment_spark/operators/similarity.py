@@ -322,9 +322,41 @@ def cosine_near_dup_pairs(
     )
 
 
+def derived_num_planes(n: int) -> int:
+    """Data-adaptive signature width: ``clamp(ceil(log2 n), 12, 32)``.
+
+    The bucket space must track the corpus — at a FIXED width, expected
+    bucket occupancy grows with n and the candidate join re-approaches
+    all-pairs (the intrinsic law SCALING_300X.json's fixed-width stress
+    rows measure: 12 planes at 300x = 268.7 s where 20 planes = 59.3 s).
+    ``2^planes >= n`` keeps expected random collisions per vector O(1),
+    so candidate volume stays O(n + true dups).  Floor 12 preserves the
+    small-corpus recall the catalog pins; cap 32 bounds the per-row
+    signature fold.  Recall at cos 0.95 decays as 0.905^planes per
+    single table — width-critical callers at extreme n trade with
+    multiple salted tables rather than unbounded width."""
+    import math
+
+    return min(32, max(12, math.ceil(math.log2(max(n, 2)))))
+
+
+def derived_num_cells(n: int) -> int:
+    """Data-adaptive SemDeDup cell count: ``clamp(ceil(sqrt n), 8,
+    65536)`` — the Abbas-2023-style k ~ sqrt(n) that balances the two
+    cost legs: centroid assignment is O(n*k) vectorized dots and the
+    within-cell rank-window pass benefits from cell size ~ sqrt(n)
+    (fixed k makes cells grow linearly, the SCALING_300X fixed-cell
+    stress case: 8 cells at 300x = 126 s where 64 cells = 40.8 s).
+    Beyond the 65536 cap, production swaps the flat broadcast argmax
+    for a 2-level (IVF-style coarse-then-fine) assignment."""
+    import math
+
+    return min(65536, max(8, math.ceil(math.sqrt(max(n, 1)))))
+
+
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
-    num_planes: int = 12,
+    num_planes: int | None = None,
     threshold: float = 0.95,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -357,6 +389,12 @@ def hyperplane_lsh_pairs(
     would not.
     """
     import hashlib
+
+    if num_planes is None:
+        # data-adaptive width (one count scan, then the plan is built
+        # with the derived literal); catalog queries pass num_planes
+        # explicitly so their oracle hashes never depend on this
+        num_planes = derived_num_planes(corpus.count())
 
     def sign(j: int, i: int) -> float:
         h = int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:15], 16)
@@ -448,7 +486,7 @@ def assign_cells(
 
 def semdedup_pairs(
     corpus: DataFrame,
-    num_cells: int = 8,
+    num_cells: int | None = None,
     threshold: float = 0.95,
     window: int = 4,
     id_col: str = "vec_id",
@@ -482,6 +520,10 @@ def semdedup_pairs(
     Returns (cell_id, kept_id, dropped_id, cos_sim): one row per dropped
     vector; survivors = corpus ids absent from dropped_id.
     """
+    if num_cells is None:
+        # k ~ sqrt(n) derived default (one count scan); catalog queries
+        # pin num_cells explicitly, keeping their oracle hashes stable
+        num_cells = derived_num_cells(corpus.count())
     cents = corpus.select(id_col, vec_col).orderBy(id_col).limit(num_cells)
     scored = corpus.select(id_col, vec_col).join(
         F.broadcast(
@@ -934,4 +976,205 @@ def pq_topk_rerank(
         .select(
             "query_id", "neighbor_id", "rnk", F.round("cos_sim", 6).alias("cos_sim")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-codebook PQ: the differential-testable twin of the trained path
+# ---------------------------------------------------------------------------
+
+PQ_MICRO = 1_000_000  # micro-unit quantization scale (the rrf_micro idiom)
+
+
+def pq_frozen_codebooks(
+    m: int = 8, ncodes: int = 4, sub: int = 8
+) -> list[list[list[int]]]:
+    """md5-derived frozen PQ codebooks in INTEGER micro-units: entry
+    [j][c][d] is ±125000 (±0.125 scaled by PQ_MICRO) with sign from the
+    parity of md5("pqcb|j|c|d") — the pca_projection_check trick applied
+    to PQ.  Any engine with md5 rebuilds the identical constants, and
+    because they are integers the entire encode/ADC/rerank pipeline
+    below is EXACT integer arithmetic: no float drift can flip an
+    argmin, so the full path is replayable in DuckDB CTEs and
+    oracle-checked instead of rows-only.  ``pq_train`` remains the
+    production trainer (sample-trained, recall-tested); these books
+    pin the MECHANISM, not the clustering quality."""
+    import hashlib
+
+    def par(j: int, c: int, d: int) -> int:
+        h = int(hashlib.md5(f"pqcb|{j}|{c}|{d}".encode()).hexdigest()[:15], 16)
+        return 125_000 if h & 1 else -125_000
+
+    return [
+        [[par(j, c, d) for d in range(sub)] for c in range(ncodes)]
+        for j in range(m)
+    ]
+
+
+def _vec_micro(vec_col):
+    """Quantize a float/double vector to int64 micro-units — identical
+    in DuckDB as list_transform(v::DOUBLE[], x -> CAST(round(x*1000000)
+    AS BIGINT)) (float->double widening is exact in both engines)."""
+    return F.transform(
+        vec_col, lambda x: F.round(x * F.lit(float(PQ_MICRO))).cast("long")
+    )
+
+
+def _sqdist_fold(a, b):
+    """sum((a-b)^2) over two int64 arrays — a sequential fold, but
+    integer addition is associative so ANY engine's sum matches."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode_frozen(
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector against frozen integer codebooks: per
+    subspace j, code = argmin_c sum((vq_sub - C[j][c])^2) with ties to
+    the lowest c (struct-min).  Entirely JVM-side codegen — the micro
+    vector is a multiply-referenced non-cheap alias, so Catalyst keeps
+    the two projection levels (the text_stats CSE discipline) and the
+    quantization runs once, not once per distance."""
+    m = len(books)
+    ncodes = len(books[0])
+    sub = len(books[0][0])
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"), _vec_micro(F.col(vec_col)).alias("vq")
+    )
+    code_cols = []
+    for j in range(m):
+        sv = F.slice(F.col("vq"), j * sub + 1, sub)
+        opts = [
+            F.struct(
+                _sqdist_fold(
+                    sv, F.array(*[F.lit(v) for v in books[j][c]])
+                ).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(ncodes)
+        ]
+        code_cols.append(F.array_min(F.array(*opts))["c"])
+    return base.select(
+        "vec_id", F.array(*code_cols).cast("array<int>").alias("codes")
+    )
+
+
+def pq_adc_topk_frozen(
+    codes_df: DataFrame,
+    queries_vq: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    shards: int = 64,
+) -> DataFrame:
+    """ADC top-k over frozen-codebook byte codes, exact int64 math.
+
+    ``codes_df`` is (vec_id, codes); ``queries_vq`` is (query_id, qvq)
+    with qvq already micro-quantized.  A candidate's approximate
+    distance is m codebook lookups against the query's subvectors —
+    the scan reads CODES only, never float vectors (the PQ memory
+    trick).  Top-k is TWO-LEVEL (the scale-safe shape): rank within
+    (query_id, neighbor_id % shards) first — each level-1 partition
+    holds n/shards candidates — then rank the <= shards*k survivors
+    per query.  A single global per-query window would funnel every
+    candidate row of a query through one task at 1e9 corpus size.
+    Deterministic: integer distances, ties broken on neighbor_id."""
+    m = len(books)
+    sub = len(books[0][0])
+    joined = codes_df.crossJoin(F.broadcast(queries_vq)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = None
+    for j in range(m):
+        qs = F.slice(F.col("qvq"), j * sub + 1, sub)
+        cb_j = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in books[j]]
+        )
+        d_j = _sqdist_fold(
+            qs, F.element_at(cb_j, F.element_at("codes", j + 1) + F.lit(1))
+        )
+        adc = d_j if adc is None else adc + d_j
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.alias("adc_dist_sq_micro"),
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(shards))
+    ).orderBy(F.col("adc_dist_sq_micro").asc(), F.col("neighbor_id").asc())
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_sq_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("rnk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "adc_dist_sq_micro")
+    )
+
+
+def pq_rerank_frozen(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage frozen-PQ search: ADC shortlists ``shortlist``
+    candidates per query from codes alone, then ONLY those rows are
+    re-scored with exact cosine over the micro-quantized vectors
+    (int64 dot products — bit-exact cross-engine; the final ratio and
+    6-dp round are computed from identical integers, so they round
+    identically).  The candidate list broadcasts into the corpus scan:
+    float-width payloads never shuffle."""
+    qvq = queries.select(
+        F.col(id_col).alias("query_id"),
+        _vec_micro(F.col(vec_col)).alias("qvq"),
+    )
+    cand = pq_adc_topk_frozen(codes_df, qvq, books, k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _vec_micro(F.col(vec_col)).alias("cvq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qvq"), F.col("cvq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("qvq"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("cvq"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.sqrt(nq.cast("double")) * F.sqrt(nc.cast("double"))
+    cos = F.when(den > 0, dot.cast("double") / den).otherwise(F.lit(0.0))
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvq), "query_id")
+        .withColumn("cos_sim", F.round(cos, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cos_sim")
     )

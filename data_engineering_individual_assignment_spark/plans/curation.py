@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import fingerprint as FP
 from ..functions import text as TX
 from ..sources.readers import load_table
 from .catalog import register
@@ -246,15 +247,21 @@ _PII_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _PII_PLANTS)
                        '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
                      '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
                      '<IP>', 'g')) AS scrub_md5
-        FROM corpus)
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_email) AS BIGINT) AS total_emails,
-           CAST(sum(n_phone) AS BIGINT) AS total_phones,
-           CAST(sum(n_ip)    AS BIGINT) AS total_ips,
-           CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_docs_with_pii,
-           md5(string_agg(scrub_md5, '' ORDER BY doc_id)) AS corpus_scrub_md5
-    FROM scrubbed
+        FROM corpus),
+    sfp AS (
+        SELECT doc_id % 64 AS shard, count(*) AS n,
+               sum(n_email) AS e, sum(n_phone) AS p, sum(n_ip) AS i,
+               sum(CASE WHEN n_email + n_phone + n_ip > 0
+                        THEN 1 ELSE 0 END) AS w,
+               md5(string_agg(scrub_md5, '|' ORDER BY doc_id)) AS fp
+        FROM scrubbed GROUP BY 1)
+    SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
+           CAST(sum(e) AS BIGINT) AS total_emails,
+           CAST(sum(p) AS BIGINT) AS total_phones,
+           CAST(sum(i) AS BIGINT) AS total_ips,
+           CAST(sum(w) AS BIGINT) AS n_docs_with_pii,
+           md5(string_agg(fp, '|' ORDER BY shard)) AS corpus_scrub_md5
+    FROM sfp
     """,
     doc="PII scrub audit: email/phone/IPv4 detection + typed-placeholder "
     "redaction over the corpus plus planted fixture rows (the synthetic "
@@ -275,20 +282,33 @@ def pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.pii_count(TX.scrub_email_phone("text"), TX.IPV4_RE).alias("n_ip"),
         F.md5(TX.scrub_pii("text")).alias("scrub_md5"),
     )
-    return scrubbed.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_email").cast("bigint").alias("total_emails"),
-        F.sum("n_phone").cast("bigint").alias("total_phones"),
-        F.sum("n_ip").cast("bigint").alias("total_ips"),
-        F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0).cast("int"))
-        .cast("bigint")
-        .alias("n_docs_with_pii"),
-        F.md5(
-            F.concat_ws(
-                "", F.array_sort(F.collect_list(F.struct("doc_id", "scrub_md5")))
-                .getField("scrub_md5")
-            )
-        ).alias("corpus_scrub_md5"),
+    # two-level sharded corpus hash (functions/fingerprint.py): the
+    # counting legs keep map-side partials, and the per-doc digests
+    # reduce per shard instead of through one global collect_list
+    return FP.corpus_fp_agg(
+        scrubbed,
+        order="doc_id",
+        digest="scrub_md5",
+        shard_key="doc_id",
+        sums=(
+            (F.col("n_email"), "total_emails"),
+            (F.col("n_phone"), "total_phones"),
+            (F.col("n_ip"), "total_ips"),
+            (
+                ((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0)
+                .cast("int"),
+                "n_docs_with_pii",
+            ),
+        ),
+        count_alias="n_docs",
+        fp_alias="corpus_scrub_md5",
+    ).select(
+        "n_docs",
+        "total_emails",
+        "total_phones",
+        "total_ips",
+        "n_docs_with_pii",
+        "corpus_scrub_md5",
     )
 
 
@@ -1384,31 +1404,51 @@ def _span_surviving(toks, dp):
         WHERE c.doc_id != b.survivor_doc_id),
     fin AS (
         SELECT r.* FROM rtext r LEFT JOIN dropped dr USING (doc_id)
-        WHERE dr.doc_id IS NULL)
+        WHERE dr.doc_id IS NULL),
+    fp0 AS (
+        SELECT doc_id % 64 AS shard, count(*) AS n,
+               sum(len(toks)) AS t,
+               md5(string_agg(nfp, '|' ORDER BY doc_id)) AS fp
+        FROM raw0 GROUP BY 1),
+    fp1 AS (
+        SELECT doc_id % 64 AS shard, count(*) AS n,
+               sum(len(toks)) AS t,
+               md5(string_agg(nfp, '|' ORDER BY doc_id)) AS fp
+        FROM e GROUP BY 1),
+    fp2 AS (
+        SELECT doc_id % 64 AS shard, count(*) AS n,
+               sum(n_toks) AS t,
+               md5(string_agg(md5(rew_text), '|' ORDER BY doc_id)) AS fp
+        FROM rtext GROUP BY 1),
+    fp3 AS (
+        SELECT doc_id % 64 AS shard, count(*) AS n,
+               sum(n_toks) AS t,
+               md5(string_agg(md5(rew_text), '|' ORDER BY doc_id)) AS fp
+        FROM fin GROUP BY 1)
     SELECT * FROM (
         SELECT 0 AS stage_ord, 'raw' AS stage,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
-               md5(string_agg(nfp, '|' ORDER BY doc_id)) AS corpus_fp
-        FROM raw0
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tokens,
+               md5(string_agg(fp, '|' ORDER BY shard)) AS corpus_fp
+        FROM fp0
         UNION ALL
         SELECT 1, 'exact_dedup',
-               CAST(count(*) AS BIGINT),
-               CAST(sum(len(toks)) AS BIGINT),
-               md5(string_agg(nfp, '|' ORDER BY doc_id))
-        FROM e
+               CAST(coalesce(sum(n), 0) AS BIGINT),
+               CAST(sum(t) AS BIGINT),
+               md5(string_agg(fp, '|' ORDER BY shard))
+        FROM fp1
         UNION ALL
         SELECT 2, 'span_removal',
-               CAST(count(*) AS BIGINT),
-               CAST(sum(n_toks) AS BIGINT),
-               md5(string_agg(md5(rew_text), '|' ORDER BY doc_id))
-        FROM rtext
+               CAST(coalesce(sum(n), 0) AS BIGINT),
+               CAST(sum(t) AS BIGINT),
+               md5(string_agg(fp, '|' ORDER BY shard))
+        FROM fp2
         UNION ALL
         SELECT 3, 'near_dup_survivors',
-               CAST(count(*) AS BIGINT),
-               CAST(sum(n_toks) AS BIGINT),
-               md5(string_agg(md5(rew_text), '|' ORDER BY doc_id))
-        FROM fin)
+               CAST(coalesce(sum(n), 0) AS BIGINT),
+               CAST(sum(t) AS BIGINT),
+               md5(string_agg(fp, '|' ORDER BY shard))
+        FROM fp3)
     ORDER BY stage_ord
     """,
     doc="the dedup-ROI readout a real curator runs before a training "
@@ -1416,9 +1456,11 @@ def _span_surviving(toks, dp):
     "clustering on the REWRITTEN text (Jaccard >= 0.7, keep the "
     "longest member) -> per-stage corpus accounting.  One row per "
     "stage with surviving doc count, surviving token count, and an "
-    "ordered whole-corpus content fingerprint (md5 of each stage's "
-    "per-doc digests, doc order), so the oracle checks every stage's "
-    "full CONTENT, not just counts.  Composes the existing operators "
+    "ordered whole-corpus content fingerprint — the TWO-LEVEL sharded "
+    "md5 of functions/fingerprint.py (per-shard ordered digest md5, "
+    "then md5 over the <=64 shard fps; no per-doc digest ever funnels "
+    "through one task), so the oracle checks every stage's full "
+    "CONTENT, not just counts.  Composes the existing operators "
     "only: operators/dedup.drop_exact_dups (normalized-md5 key), the "
     "shared _span_positions/_span_surviving core of dup_span_removal, "
     "operators/dedup.jaccard_join (prefix+positional filter, no "
@@ -1485,25 +1527,16 @@ def dedup_pipeline_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = rew.join(dropped, "doc_id", "left_anti")
 
     def _stage(df, ord_, name, tok_expr, fp_inner):
-        return df.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum(tok_expr).cast("bigint").alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("doc_id").alias("i"),
-                                    fp_inner.alias("h"),
-                                )
-                            )
-                        ),
-                        lambda x: x["h"],
-                    ),
-                    "|",
-                )
-            ).alias("corpus_fp"),
+        # two-level sharded fingerprint: no per-doc digest ever reaches
+        # a single task (the r10-verdict 100x hazard); NULL fp on an
+        # empty stage matches DuckDB (the r10 ADVICE divergence)
+        return FP.corpus_fp_agg(
+            df,
+            order="doc_id",
+            digest=fp_inner,
+            shard_key="doc_id",
+            sums=((tok_expr, "n_tokens"),),
+            count_alias="n_docs",
         ).select(
             F.lit(ord_).cast("int").alias("stage_ord"),
             F.lit(name).alias("stage"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import fingerprint as FP
 from ..functions import text as TX
 from ..functions.vectors import cosine
 from ..operators import dedup, joins, similarity
@@ -1741,46 +1742,150 @@ def recursive_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# frozen PQ codebooks (8 subspaces x 4 codes x 8 dims, integer micro
+# units): the pca_projection_check trick applied to PQ — md5-derived
+# constants both engines rebuild, so encode/ADC/rerank replay in DuckDB
+_PQ_BOOKS = similarity.pq_frozen_codebooks(m=8, ncodes=4, sub=8)
+_PQ_CB_VALUES = ",\n              ".join(
+    f"({j}, {c}, CAST({_PQ_BOOKS[j][c]} AS BIGINT[]))"
+    for j in range(8)
+    for c in range(4)
+)
+# shared CTE chain: micro-quantize -> subspace slices -> per-(vec, j, c)
+# integer sq-distances -> argmin codes -> ADC distances (query subvector
+# vs the candidate's chosen centroid) -> level-1 sharded top-N
+_PQ_SQL_COMMON = f"""
+    WITH cb AS (
+        SELECT * FROM (VALUES
+              {_PQ_CB_VALUES}) t(j, c, cv)),
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000000) AS BIGINT)) AS vq
+        FROM embeddings),
+    sub AS (
+        SELECT vec_id, j, vq[j*8+1 : j*8+8] AS sv
+        FROM v, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS u(j)),
+    dist AS (
+        SELECT s.vec_id, s.j, cb.c,
+               list_reduce(list_transform(range(1, 9),
+                   i -> (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])),
+                   (a, b) -> a + b) AS d
+        FROM sub s JOIN cb ON cb.j = s.j),
+    code AS (
+        SELECT vec_id, j, c AS cd FROM dist
+        QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                                   ORDER BY d, c) = 1),
+    adc AS (
+        SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id,
+               sum(list_reduce(list_transform(range(1, 9),
+                   i -> (q.sv[i] - cb.cv[i]) * (q.sv[i] - cb.cv[i])),
+                   (a, b) -> a + b)) AS adc_d
+        FROM code cd
+        JOIN cb ON cb.j = cd.j AND cb.c = cd.cd
+        JOIN sub q ON q.j = cd.j AND q.vec_id < 10
+                  AND q.vec_id != cd.vec_id
+        GROUP BY 1, 2)"""
+
+
 @register(
     "ann_pq_adc",
-    sql=None,  # approximate by design (quantization error): rows-only check
+    sql=_PQ_SQL_COMMON
+    + """,
+    l1 AS (
+        SELECT query_id, neighbor_id, adc_d FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id, neighbor_id % 64
+                                   ORDER BY adc_d, neighbor_id) <= 5)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d, neighbor_id) AS INT)
+               AS rnk,
+           adc_d AS adc_dist_sq_micro
+    FROM l1
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """,
     doc="product-quantization ANN (Jégou 2011) with asymmetric distance "
-    "computation: codebooks trained on a bounded sample (32 subspaces x "
-    "16 centroids, seeded Lloyd's), corpus encoded to 32 one-byte codes "
-    "per vector (256-byte float embedding -> 32 bytes, 8x compression — "
-    "the RAM-resident-index trick; coarser configs trade recall for "
-    "bytes), queries score candidates via m table lookups instead "
-    "of float dot products.  Per-partition local top-k + one tiny "
-    "global window, mirroring ann_block_topk's shape; recall vs "
-    "ann_brute_force pinned in tests.",
+    "computation, ORACLE-BACKED end to end: codebooks are md5-derived "
+    "frozen INTEGER micro-unit constants (operators/similarity."
+    "pq_frozen_codebooks — the pca_projection_check trick), vectors "
+    "micro-quantize to int64, and encode/ADC are exact integer "
+    "arithmetic, so DuckDB replays every argmin and every distance "
+    "bit-for-bit (a sample-TRAINED codebook cannot ride in a static "
+    "SQL string; pq_train/pq_encode/pq_topk remain the production "
+    "trainer, recall-tested in tests/test_diagnostics.py).  The scan "
+    "reads 8 one-byte codes per vector, never floats; top-k is the "
+    "TWO-LEVEL sharded rank (per (query, id%64) first, then the <=64*k "
+    "survivors) so no single task ever sees a query's full candidate "
+    "stream at 1e9 corpus size.",
 )
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    books = similarity.pq_train(emb, m=32, ncodes=16)
-    codes = similarity.pq_encode(emb, books)
-    return similarity.pq_topk(codes, queries, books, k=5).orderBy(
+    codes = similarity.pq_encode_frozen(emb, _PQ_BOOKS)
+    qvq = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        similarity._vec_micro(F.col("embedding")).alias("qvq"),
+    )
+    return similarity.pq_adc_topk_frozen(codes, qvq, _PQ_BOOKS, k=5).orderBy(
         "query_id", "rnk"
     )
 
 
 @register(
     "ann_pq_rerank",
-    sql=None,  # approximate shortlist; near-exact after refine — rows-only
-    doc="two-stage PQ search (IndexIVFPQ+refine pattern): the ADC byte-"
-    "code pass shortlists 50 candidates per query, then exact cosine "
-    "re-scores ONLY the shortlist against the float vectors — the "
-    "exact pass is |queries| x shortlist regardless of corpus size, "
-    "and recall recovers to ~exact (pinned >= 0.9 in tests) while the "
-    "corpus-wide scan still reads nothing but 32-byte codes.",
+    sql=_PQ_SQL_COMMON
+    + """,
+    l1 AS (
+        SELECT query_id, neighbor_id, adc_d FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id, neighbor_id % 64
+                                   ORDER BY adc_d, neighbor_id) <= 50),
+    short AS (
+        SELECT query_id, neighbor_id FROM l1
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d, neighbor_id) <= 50),
+    resc AS (
+        SELECT s.query_id, s.neighbor_id,
+               round(CASE WHEN den > 0 THEN dt / den ELSE 0.0 END, 6)
+                   AS cos_sim
+        FROM (SELECT s.query_id, s.neighbor_id,
+                     CAST(list_reduce(list_transform(range(1, 65),
+                          i -> a.vq[i] * b.vq[i]), (x, y) -> x + y)
+                          AS DOUBLE) AS dt,
+                     sqrt(CAST(list_reduce(list_transform(range(1, 65),
+                          i -> a.vq[i] * a.vq[i]), (x, y) -> x + y)
+                          AS DOUBLE))
+                   * sqrt(CAST(list_reduce(list_transform(range(1, 65),
+                          i -> b.vq[i] * b.vq[i]), (x, y) -> x + y)
+                          AS DOUBLE)) AS den
+              FROM short s
+              JOIN v a ON a.vec_id = s.query_id
+              JOIN v b ON b.vec_id = s.neighbor_id) s)
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                AS INT) AS rnk,
+           cos_sim
+    FROM resc
+    QUALIFY rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="two-stage PQ search (IndexIVFPQ+refine pattern), ORACLE-BACKED: "
+    "the frozen-codebook ADC pass shortlists 50 candidates per query "
+    "from the byte codes alone, then ONLY those rows re-score with "
+    "exact cosine over the micro-quantized int64 vectors (integer dot "
+    "products — bit-exact cross-engine; the ratio and 6-dp round start "
+    "from identical integers).  The exact pass is |queries| x "
+    "shortlist regardless of corpus size and the candidate list "
+    "broadcasts into the corpus scan, so float-width payloads never "
+    "shuffle.  pq_topk_rerank (sample-trained books) remains the "
+    "production twin with its >= 0.9 recall pin.",
 )
 def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    books = similarity.pq_train(emb, m=32, ncodes=16)
-    codes = similarity.pq_encode(emb, books)
-    return similarity.pq_topk_rerank(
-        emb, codes, queries, books, k=5, shortlist=50
+    codes = similarity.pq_encode_frozen(emb, _PQ_BOOKS)
+    return similarity.pq_rerank_frozen(
+        emb, codes, queries, _PQ_BOOKS, k=5, shortlist=50
     ).orderBy("query_id", "rnk")
 
 
@@ -1974,13 +2079,17 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN t.doc_a IS NOT NULL THEN 'text_only'
                     ELSE 'embedding_only' END AS class
         FROM tp t FULL OUTER JOIN ep e2
-          ON t.doc_a = e2.doc_a AND t.doc_b = e2.doc_b)
+          ON t.doc_a = e2.doc_a AND t.doc_b = e2.doc_b),
+    sfp AS (
+        SELECT class, doc_a % 64 AS shard, count(*) AS n,
+               md5(string_agg(CAST(doc_a AS VARCHAR) || ':' ||
+                              CAST(doc_b AS VARCHAR), '|'
+                              ORDER BY doc_a, doc_b)) AS fp
+        FROM cls GROUP BY 1, 2)
     SELECT class,
-           CAST(count(*) AS BIGINT) AS n_pairs,
-           md5(string_agg(CAST(doc_a AS VARCHAR) || ':' ||
-                          CAST(doc_b AS VARCHAR), '|'
-                          ORDER BY doc_a, doc_b)) AS pairs_fp
-    FROM cls GROUP BY class ORDER BY class
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+           md5(string_agg(fp, '|' ORDER BY shard)) AS pairs_fp
+    FROM sfp GROUP BY class ORDER BY class
     """,
     doc="cross-MODAL dedup agreement audit: the near-dup pair sets of "
     "the two dedup families — exact-Jaccard text pairs "
@@ -1997,7 +2106,9 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector-duplicated with REVERSED token order (embedding_only); "
     "offsets sit above the scale-harness replication stride.  Each "
     "class row carries an ordered md5 fingerprint of its full pair "
-    "list, so the oracle checks the pair SETS, not just counts.  "
+    "list (the two-level sharded scheme of functions/fingerprint.py — "
+    "pairs shard on doc_a, so no class funnels its pair list through "
+    "one task), so the oracle checks the pair SETS, not just counts.  "
     "Scale: the text side is the prefix-filtered jaccard join; the "
     "embedding side is the block-grid exact scorer (the LSH path is "
     "the production substitute); classification is one full outer "
@@ -2069,27 +2180,19 @@ def cross_modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("class"),
         )
     )
-    return (
-        cls.groupBy("class")
-        .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(F.col("doc_a"), F.col("doc_b"))
-                            )
-                        ),
-                        lambda x: F.concat(
-                            x["doc_a"].cast("string"),
-                            F.lit(":"),
-                            x["doc_b"].cast("string"),
-                        ),
-                    ),
-                    "|",
-                )
-            ).alias("pairs_fp"),
-        )
-        .orderBy("class")
-    )
+    # two-level sharded pair fingerprint (functions/fingerprint.py):
+    # a class's pairs shard on doc_a instead of funneling through one
+    # collect_list task per class
+    return FP.corpus_fp_agg(
+        cls,
+        order=F.struct("doc_a", "doc_b"),
+        digest=F.concat(
+            F.col("doc_a").cast("string"),
+            F.lit(":"),
+            F.col("doc_b").cast("string"),
+        ),
+        shard_key="doc_a",
+        count_alias="n_pairs",
+        group=("class",),
+        fp_alias="pairs_fp",
+    ).orderBy("class")

@@ -1257,10 +1257,13 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pcproj_consts() -> tuple[list[float], list[float], list[float]]:
     """md5-derived frozen unit vectors (+ a pseudo-mean) for the
-    projection differential: entries are exactly-representable decimals
-    (±0.125, ±0.05), parity of md5("pcproj|<c>|<d>"), so ANY engine
-    with md5 rebuilds the identical constants and the literals embed
-    losslessly in both the Spark plan and the SQL string."""
+    projection differential: entries are ±0.125 / ±0.05 with sign from
+    the parity of md5("pcproj|<c>|<d>"), so ANY engine with md5
+    rebuilds the identical constants.  Cross-engine equality holds
+    because both engines parse the same decimal literals to the same
+    nearest IEEE double (0.125 is exact; 0.05 relies on identical
+    round-to-nearest parsing, which IEEE 754 guarantees), and outputs
+    are rounded to 6 places besides."""
     import hashlib
 
     def par(salt: str, i: int) -> float:

@@ -297,42 +297,57 @@ def test_banded_interval_join_plans_as_equi_join(spark):
 
 
 def test_pq_adc_recall_against_exact_topk(spark):
-    """PQ+ADC must reconstruct a usable neighbor list: recall@5 vs the
-    exact brute-force top-5 pinned >= 0.4 (32x16 codebooks on 64 dims),
-    and the 32-byte codes must decode to the full corpus."""
+    """The TRAINED PQ production path (pq_train/pq_encode/pq_topk) must
+    reconstruct a usable neighbor list: recall@5 vs the exact
+    brute-force top-5 pinned >= 0.4 (32x16 codebooks on 64 dims), and
+    the 32-byte codes must decode to the full corpus.  (The catalog's
+    ann_pq_adc entry now runs the FROZEN-codebook oracle twin — this
+    test is what keeps the sample-trained variant recall-graded.)"""
     from data_engineering_individual_assignment_spark import plans
     from data_engineering_individual_assignment_spark.operators import similarity
+    from pyspark.sql import functions as F
 
     exact = {
         (r.query_id, r.neighbor_id)
         for r in plans.CATALOG["ann_brute_force"].fn(spark, SF_SMALL).collect()
     }
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = similarity.pq_train(emb, m=32, ncodes=16)
+    codes = similarity.pq_encode(emb, books)
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in plans.CATALOG["ann_pq_adc"].fn(spark, SF_SMALL).collect()
+        for r in similarity.pq_topk(codes, queries, books, k=5).collect()
     }
     assert len(approx) == len(exact)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"PQ recall {recall:.2f} below floor"
 
-    emb = load_table(spark, SF_SMALL, "embeddings")
-    books = similarity.pq_train(emb, m=32, ncodes=16)
-    codes = similarity.pq_encode(emb, books)
     assert codes.count() == emb.count()
     r = codes.first()
     assert len(r.codes) == 32 and all(0 <= c < 16 for c in r.codes)
 
 
 def test_pq_rerank_recovers_near_exact_recall(spark):
+    """Trained-path rerank twin: exact-cosine refine over the trained
+    ADC shortlist recovers >= 0.9 recall vs brute force."""
     from data_engineering_individual_assignment_spark import plans
+    from data_engineering_individual_assignment_spark.operators import similarity
+    from pyspark.sql import functions as F
 
     exact = {
         (r.query_id, r.neighbor_id)
         for r in plans.CATALOG["ann_brute_force"].fn(spark, SF_SMALL).collect()
     }
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = similarity.pq_train(emb, m=32, ncodes=16)
+    codes = similarity.pq_encode(emb, books)
     rer = {
         (r.query_id, r.neighbor_id)
-        for r in plans.CATALOG["ann_pq_rerank"].fn(spark, SF_SMALL).collect()
+        for r in similarity.pq_topk_rerank(
+            emb, codes, queries, books, k=5, shortlist=50
+        ).collect()
     }
     assert len(rer) == len(exact)
     recall = len(exact & rer) / len(exact)

@@ -582,3 +582,56 @@ def test_contamination_set_semantics_counts_repeats_once(spark):
     # shared DISTINCT 3-grams are {"p q r", "q r s"}: "p q r" occurs 4x
     # in the corpus doc but counts once
     assert out[0]["n_shared"] == 2
+
+
+def test_derived_lsh_knob_formulas():
+    """The data-adaptive defaults are pinned: planes = clamp(ceil(log2
+    n), 12, 32) and cells = clamp(ceil(sqrt n), 8, 65536) — monotone,
+    clamped, and matching the SCALING_300X knob evidence (600k vectors
+    -> 20 planes, the width the knob row measured at 59.3 s)."""
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        derived_num_cells,
+        derived_num_planes,
+    )
+
+    assert derived_num_planes(1) == 12
+    assert derived_num_planes(2_000) == 12  # sf0.1 embeddings
+    assert derived_num_planes(600_000) == 20  # 300x corpus
+    assert derived_num_planes(10**9) == 30
+    assert derived_num_planes(10**12) == 32  # cap
+    assert derived_num_cells(1) == 8
+    assert derived_num_cells(2_000) == 45
+    assert derived_num_cells(600_000) == 775
+    assert derived_num_cells(10**12) == 65536  # cap
+    ns = [10, 10**3, 10**6, 10**9, 10**12]
+    for f in (derived_num_planes, derived_num_cells):
+        vals = [f(n) for n in ns]
+        assert vals == sorted(vals)
+
+
+def test_lsh_operators_default_knobs_derive_from_corpus(spark):
+    """Calling either operator without the knob derives it from the
+    corpus count and still returns the planted near-dup pair."""
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        semdedup_pairs,
+    )
+
+    import math
+
+    dim = 8
+    base = [math.sin(i + 1) for i in range(dim)]
+    rows = [(0, base), (1, base), (2, [-x for x in base])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in hyperplane_lsh_pairs(emb, threshold=0.99, dim=dim).collect()
+    }
+    assert (0, 1) in lsh and not any(2 in p for p in lsh)
+    sd = {
+        (r.kept_id, r.dropped_id)
+        for r in semdedup_pairs(emb, threshold=0.99, window=3).collect()
+    }
+    assert (0, 1) in sd
