@@ -1703,3 +1703,136 @@ def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_compression_curve as _curve
 
     return _curve(load_table(spark, sf_dir, "documents"), "text", _BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018) — the SentencePiece
+# complement to bpe_train_merges
+# ---------------------------------------------------------------------------
+
+_UNI_W = 10  # max word length admitted to training
+_UNI_L = 4  # max piece length
+_UNI_S = 48  # seed multi-char budget
+_UNI_R = 2  # EM rounds
+_UNI_K = 24  # kept multi-char budget after pruning
+
+
+def _unigram_oracle_sql() -> str:
+    """Unrolled DuckDB twin of operators/unigram.unigram_train: the
+    word histogram, the substring seed, and per EM round an EXHAUSTIVE
+    segmentation enumeration (a recursive CTE — sound because training
+    words are capped at 10 chars, so <= 2^9 compositions each) whose
+    (score DESC, path ASC) argmax equals the Spark side's lexmin-path
+    Viterbi DP.  Micro log-probs re-derived from the identical integer
+    counts each round."""
+    W, L, S, R, K = _UNI_W, _UNI_L, _UNI_S, _UNI_R, _UNI_K
+    parts = [
+        f"""
+    WITH RECURSIVE hist AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        WHERE len(word) BETWEEN 1 AND {W}
+        GROUP BY word),
+    lens AS (SELECT unnest(range(1, {L + 1})) AS l),
+    subs AS (
+        SELECT substr(h.word, u.st, l.l) AS piece,
+               CAST(sum(h.cnt) AS BIGINT) AS u
+        FROM hist h, lens l,
+             unnest([{{'st': st}}
+                     for st in range(1, len(h.word) - l.l + 2)]) AS t(u)
+        GROUP BY 1),
+    v0 AS MATERIALIZED (
+        SELECT piece, u FROM subs WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, u FROM (
+            SELECT piece, u FROM subs WHERE len(piece) > 1
+            ORDER BY u DESC, piece LIMIT {S})),
+    p0 AS MATERIALIZED (
+        SELECT piece,
+               CAST(round(ln((u + 1.0) / t.tot) * 1000000) AS BIGINT) AS lp
+        FROM v0, (SELECT CAST(sum(u) + count(*) AS DOUBLE) AS tot
+                  FROM v0) t)"""
+    ]
+    for r in range(1, R + 1):
+        parts.append(
+            f""",
+    seg{r} AS (
+        SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS path
+        FROM hist
+        UNION ALL
+        SELECT s.word, s.cnt, s.pos + len(p.piece), s.score + p.lp,
+               s.path || chr(1) || p.piece
+        FROM seg{r} s JOIN p{r - 1} p
+          ON p.piece = substr(s.word, s.pos + 1, len(p.piece))
+        WHERE s.pos < len(s.word)),
+    best{r} AS MATERIALIZED (
+        SELECT word, cnt, substr(path, 2) AS path FROM seg{r}
+        WHERE pos = len(word)
+        QUALIFY row_number() OVER (PARTITION BY word
+                                   ORDER BY score DESC, path) = 1),
+    u{r} AS (
+        SELECT t.piece, CAST(sum(b.cnt) AS BIGINT) AS u
+        FROM best{r} b, unnest(string_split(b.path, chr(1))) AS t(piece)
+        GROUP BY 1),
+    v{r} AS MATERIALIZED (
+        SELECT p.piece, coalesce(u{r}.u, 0) AS u
+        FROM p{r - 1} p LEFT JOIN u{r} USING (piece)
+        WHERE len(p.piece) = 1 OR coalesce(u{r}.u, 0) > 0),
+    p{r} AS MATERIALIZED (
+        SELECT piece,
+               CAST(round(ln((u + 1.0) / t.tot) * 1000000) AS BIGINT) AS lp
+        FROM v{r}, (SELECT CAST(sum(u) + count(*) AS DOUBLE) AS tot
+                    FROM v{r}) t)"""
+        )
+    parts.append(
+        f""",
+    kept AS (
+        SELECT piece, u FROM v{R} WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, u FROM (
+            SELECT piece, u FROM v{R} WHERE len(piece) > 1
+            ORDER BY u DESC, piece LIMIT {K}))
+    SELECT piece, u AS usage,
+           CAST(round(ln((u + 1.0) / t.tot) * 1000000) AS BIGINT)
+               AS logp_micro
+    FROM kept, (SELECT CAST(sum(u) + count(*) AS DOUBLE) AS tot FROM kept) t
+    ORDER BY piece"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "unigram_lm_train",
+    sql=_unigram_oracle_sql(),
+    doc="unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece "
+    "unigram algorithm) as hard (Viterbi) EM — the other dominant "
+    "tokenizer-training family next to bpe_train_merges: substring "
+    "seed vocabulary (top-48 multi-char by corpus occurrence + ALL "
+    "single chars for coverage), two EM rounds (E = per-word Viterbi "
+    "segmentation as a row-local integer fold, M = usage-weighted "
+    "renormalization with add-1 smoothing; zero-usage multi-char "
+    "pieces drop), prune to the top-24 multi-char pieces.  "
+    "Differentially replayable because log-probs are int64 micro-units "
+    "derived from exact integer counts each round, Viterbi compares "
+    "exact integer score sums with a lexmin-path tie-break, and the "
+    "oracle replays each E-step by EXHAUSTIVE recursive-CTE "
+    "enumeration (sound under the 10-char training-word cap) with the "
+    "identical (score DESC, path ASC) argmax.  Scale: the word "
+    "histogram is the only corpus-sized step (map-side combine); "
+    "Viterbi runs over DISTINCT words (operators/unigram.viterbi_path "
+    "— the merge_pair_greedy interpreted-HOF cost profile); the only "
+    "driver-visible objects are budget-bounded piece tables (the "
+    "k-means-centroid / BPE-best-pair precedent).",
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_train
+
+    return unigram_train(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        max_word_len=_UNI_W,
+        max_piece_len=_UNI_L,
+        n_seed_multi=_UNI_S,
+        em_rounds=_UNI_R,
+        keep_multi=_UNI_K,
+    )

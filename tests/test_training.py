@@ -766,3 +766,136 @@ def test_bpe_pair_exhaustion_stops_cleanly(spark):
     ]
     curve = bpe_compression_curve(docs, "text", 6).collect()
     assert [(c.merge_round, c.total_symbols) for c in curve] == [(0, 4), (1, 2)]
+
+
+def test_unigram_lm_train_agrees_with_pure_python_reference(spark):
+    """The distributed unigram-LM trainer (hard-EM Viterbi, int64 micro
+    log-probs, lexmin-path ties) must reproduce a plain-Python
+    reference trainer's full trajectory output on a crafted corpus
+    with real segmentation competition (pieces 'ab', 'aab', 'b' vs
+    char-by-char paths)."""
+    import math
+
+    from data_engineering_individual_assignment_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    W, L, S, R, K = 10, 4, 8, 2, 4
+
+    def py_train(word_counts):
+        hist = {w: c for w, c in word_counts.items() if 1 <= len(w) <= W}
+        subs = {}
+        for w, c in hist.items():
+            for ln in range(1, L + 1):
+                for st in range(len(w) - ln + 1):
+                    p = w[st : st + ln]
+                    subs[p] = subs.get(p, 0) + c
+        chars = {p: u for p, u in subs.items() if len(p) == 1}
+        multi = sorted(
+            ((p, u) for p, u in subs.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:S]
+        v = {**chars, **dict(multi)}
+
+        def logp(vv):
+            tot = float(sum(vv.values()) + len(vv))
+            out = {}
+            for p, u in vv.items():
+                x = math.log((u + 1.0) / tot) * 1e6
+                out[p] = int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+            return out
+
+        def viterbi(w, lp):
+            best = [(0, "")]
+            for i in range(1, len(w) + 1):
+                cands = []
+                for st in range(max(1, i - L + 1), i + 1):
+                    piece = w[st - 1 : i]
+                    if piece in lp:
+                        ns, pth = best[st - 1]
+                        cands.append((ns - lp[piece], pth + "\x01" + piece))
+                best.append(min(cands))
+            return best[len(w)][1][1:]
+
+        for _ in range(R):
+            lp = logp(v)
+            u = {}
+            for w, c in hist.items():
+                for piece in viterbi(w, lp).split("\x01"):
+                    u[piece] = u.get(piece, 0) + c
+            v = {
+                p: u.get(p, 0)
+                for p in v
+                if len(p) == 1 or u.get(p, 0) > 0
+            }
+        kc = {p: uu for p, uu in v.items() if len(p) == 1}
+        km = dict(
+            sorted(
+                ((p, uu) for p, uu in v.items() if len(p) > 1),
+                key=lambda t: (-t[1], t[0]),
+            )[:K]
+        )
+        kept = {**kc, **km}
+        lp = logp(kept)
+        return sorted((p, kept[p], lp[p]) for p in kept)
+
+    corpus = {
+        "aabab": 7,
+        "abab": 5,
+        "aab": 9,
+        "bba": 3,
+        "cab": 4,
+        "abc": 2,
+        "ccc": 1,
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(corpus.items())],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.piece, r.usage, r.logp_micro)
+        for r in unigram_train(
+            docs,
+            "text",
+            max_word_len=W,
+            max_piece_len=L,
+            n_seed_multi=S,
+            em_rounds=R,
+            keep_multi=K,
+        ).collect()
+    ]
+    expect = py_train(corpus)
+    assert [(p, u) for p, u, _ in got] == [(p, u) for p, u, _ in expect]
+    for (_, _, a), (_, _, b) in zip(got, expect):
+        assert abs(a - b) <= 1  # JVM vs libm ln can differ by one micro
+
+
+def test_unigram_lm_train_coverage_and_determinism(spark):
+    """Invariants on the real corpus: every single char of every
+    training word is in the final vocab (coverage); multi-char pieces
+    all have positive usage; log-probs are negative and consistent
+    with the add-1 normalization; rerun is identical (determinism)."""
+    from data_engineering_individual_assignment_spark import plans
+
+    rows = plans.CATALOG["unigram_lm_train"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    pieces = {r.piece for r in rows}
+    chars = {p for p in pieces if len(p) == 1}
+    from data_engineering_individual_assignment_spark.operators.unigram import (
+        word_histogram,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        load_table,
+    )
+
+    words = word_histogram(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).collect()
+    assert {c for r in words for c in r.word} <= chars
+    assert all(r.usage > 0 for r in rows if len(r.piece) > 1)
+    assert all(r.logp_micro < 0 for r in rows)
+    again = plans.CATALOG["unigram_lm_train"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
