@@ -289,11 +289,22 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
             "doc_b",
         )
     )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (sets are distinct by construction):
+    # one array_intersect instead of intersect + union — array_union
+    # builds a whole merged array per pair just to take its size, and
+    # was ~half the verify leg's per-pair cost at sf0.1.  Two-level
+    # projection so the intersect runs ONCE (codegen CSE does not
+    # dedupe it across the filter and the jaccard expression — the
+    # text_stats lesson).
+    sized = packed.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+        (F.size("sh_a") + F.size("sh_b")).alias("nab"),
+    )
     return (
-        packed.withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        sized.withColumn(
+            "jaccard", F.col("ni") / (F.col("nab") - F.col("ni"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))

@@ -520,32 +520,54 @@ def semdedup_pairs(
     Returns (cell_id, kept_id, dropped_id, cos_sim): one row per dropped
     vector; survivors = corpus ids absent from dropped_id.
     """
+    import numpy as np
+    import pandas as pd
+
     if num_cells is None:
         # k ~ sqrt(n) derived default (one count scan); catalog queries
         # pin num_cells explicitly, keeping their oracle hashes stable
         num_cells = derived_num_cells(corpus.count())
-    cents = corpus.select(id_col, vec_col).orderBy(id_col).limit(num_cells)
-    scored = corpus.select(id_col, vec_col).join(
-        F.broadcast(
-            cents.select(
-                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
-            )
-        )
-    ).withColumn("cent_sim", cosine_pandas(vec_col, "cent_vec"))
-    # argmax carries the winning similarity out so the rank pass below
-    # doesn't need to re-score (same max_by shape as assign_cells)
-    best = F.max_by(
-        F.struct(F.col("cell_id"), F.col("cent_sim")),
-        F.struct(F.col("cent_sim"), (-F.col("cell_id")).alias("nc")),
+    spark = corpus.sparkSession
+    # centroid matrix collected once (bounded: num_cells rows by
+    # construction) and broadcast — assignment is then ONE gemm per
+    # Arrow batch in a mapInPandas scan, O(n*k) flops but never
+    # O(n*k) ROWS: the previous broadcast-join + max_by fanned every
+    # vector to num_cells joined rows through a per-row pandas UDF,
+    # which at the derived k ~ sqrt(n) would have made assignment the
+    # dominant O(n^1.5)-row stage (the block_topk lesson applied to
+    # clustering).  Cosine = dot / (|a||b|) computed dot-first, the
+    # oracle's formula; argmax on the UNROUNDED sims with first-max =
+    # lowest cell_id (columns are cell_id-ascending), matching the
+    # oracle's (cs DESC, cell_id ASC) rank exactly.
+    cent_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(num_cells).collect()
     )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(best.alias("b"))
-        .select(
-            F.col(id_col).alias("vid"),
-            F.col("b.cell_id").alias("cell_id"),
-            F.round(F.col("b.cent_sim"), 6).alias("r_sim"),
-        )
+    c_ids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    Cm = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    c_norm = np.linalg.norm(Cm, axis=1)
+    bc = spark.sparkContext.broadcast((c_ids, Cm, c_norm))
+
+    def assign(batches):
+        ids, C, cn = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(X, axis=1)
+            den = xn[:, None] * cn[None, :]
+            S = np.divide(X @ C.T, den, out=np.zeros((len(X), len(ids))),
+                          where=den > 0)
+            best = S.argmax(axis=1)  # first max = lowest cell_id
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(),
+                    "cell_id": ids[best],
+                    "r_sim": np.round(S[np.arange(len(X)), best], 6),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, "vid long, cell_id long, r_sim double"
     )
     rn = F.row_number().over(
         Window.partitionBy("cell_id").orderBy(F.col("r_sim").desc(), F.col("vid"))
