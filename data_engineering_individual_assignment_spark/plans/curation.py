@@ -1551,6 +1551,11 @@ def dedup_pipeline_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = _stage(
         fin, 3, "near_dup_survivors", F.col("n_toks"), F.md5("rew_text")
     )
-    return (
-        s0.unionByName(s1).unionByName(s2).unionByName(s3).orderBy("stage_ord")
-    )
+    # persist the 4-row stage table before the presentation sort: the
+    # range partitioner's sampling job would otherwise re-execute the
+    # four stage aggregations (the near_dup_pairs orderBy lesson)
+    from ..operators.dedup import _persist as _p
+
+    return _p(
+        s0.unionByName(s1).unionByName(s2).unionByName(s3)
+    ).orderBy("stage_ord")

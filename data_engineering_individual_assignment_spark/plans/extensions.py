@@ -2123,8 +2123,9 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="cross-MODAL dedup agreement audit: the near-dup pair sets of "
     "the two dedup families — exact-Jaccard text pairs "
-    "(operators/dedup.jaccard_join, >= 0.7) and exact-cosine embedding "
-    "pairs (operators/similarity.cosine_near_dup_pairs, >= 0.95) — "
+    "(operators/dedup.jaccard_join, >= 0.7) and LSH-candidate "
+    "exact-cosine-verified embedding pairs (operators/similarity."
+    "hyperplane_lsh_pairs, 12 planes, >= 0.95) — "
     "computed over the SAME id domain (documents restricted to ids "
     "that carry embeddings) and classified both / text_only / "
     "embedding_only, the readout a curator runs to decide whether "
