@@ -230,3 +230,90 @@ def bpe_apply(
             "syms", merge_pair_greedy(F.col("syms"), lhs, rhs)
         ).localCheckpoint()
     return out
+
+
+def best_pair_wordpiece(vocab: DataFrame) -> DataFrame:
+    """One WordPiece round's winner: same adjacent-pair relation as
+    ``best_pair``, but scored by the WordPiece likelihood criterion
+    score = pair_count / (count(lhs) * count(rhs)) (Schuster & Nakajima
+    2012; the HF WordPiece trainer's ranking) — merge the pair whose
+    co-occurrence is most surprising given its parts, not the most
+    frequent pair.  Symbol counts are a corpus-weighted aggregate over
+    the SAME vocabulary relation (one extra vocabulary-sized explode
+    per round, never corpus-sized).
+
+    Cross-engine determinism: pair and symbol counts are exact
+    integers; both engines convert them to double (exact below 2^53)
+    and perform ONE division — identical doubles, so the (score DESC,
+    lhs, rhs) argmax replays bit-for-bit in DuckDB."""
+    nsym = F.size("syms")
+    prs = vocab.select(
+        "cnt",
+        F.explode(
+            F.arrays_zip(
+                F.slice("syms", 1, nsym - 1).alias("l"),
+                F.slice("syms", 2, nsym - 1).alias("r"),
+            )
+        ).alias("pr"),
+    )
+    pairs = prs.groupBy(
+        F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs")
+    ).agg(F.sum("cnt").alias("pair_count"))
+    syms = (
+        vocab.select("cnt", F.explode("syms").alias("s"))
+        .groupBy("s")
+        .agg(F.sum("cnt").alias("scnt"))
+    )
+    return (
+        pairs.join(
+            syms.select(F.col("s").alias("lhs"), F.col("scnt").alias("lc")),
+            "lhs",
+        )
+        .join(
+            syms.select(F.col("s").alias("rhs"), F.col("scnt").alias("rc")),
+            "rhs",
+        )
+        .select(
+            "lhs",
+            "rhs",
+            "pair_count",
+            (
+                F.col("pair_count").cast("double")
+                / (F.col("lc").cast("double") * F.col("rc").cast("double"))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "lhs", "rhs")
+        .limit(1)
+    )
+
+
+def wordpiece_train_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """Learn the first ``n_merges`` WordPiece merges — the third
+    dominant tokenizer-training family next to bpe_train_merges and
+    unigram (operators/unigram.py).  Identical harness to the BPE
+    trainer (corpus histogram once, per-round vocabulary aggregates,
+    1-row argmax collect, exact-greedy row-local merge rewrite,
+    localCheckpointed rounds); only the ranking differs.
+
+    Returns (merge_round, lhs, rhs, pair_count, score)."""
+    spark = docs.sparkSession
+    vocab = char_vocab(docs, text_col).select("cnt", "syms").localCheckpoint()
+    merges = []
+    for r in range(1, n_merges + 1):
+        rows = best_pair_wordpiece(vocab).collect()  # bounded: 1 row
+        if not rows:
+            break
+        lhs, rhs = rows[0]["lhs"], rows[0]["rhs"]
+        merges.append(
+            (r, lhs, rhs, int(rows[0]["pair_count"]), float(rows[0]["score"]))
+        )
+        vocab = vocab.select(
+            "cnt", merge_pair_greedy(F.col("syms"), lhs, rhs).alias("syms")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_round long, lhs string, rhs string, "
+        "pair_count long, score double",
+    )

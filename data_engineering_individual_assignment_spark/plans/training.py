@@ -1573,6 +1573,20 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
+# the exact-greedy non-overlapping merge fold, shared by the BPE and
+# WordPiece oracle chains (identical rewrite semantics, different
+# round-winner ranking)
+_GREEDY_KEPT_SQL = (
+    "list_filter(list_transform(list_filter(string_split(split_part("
+    "list_reduce(list_prepend('-99;', list_transform("
+    "[j for j in range(1, len(syms)) if syms[j] = L AND syms[j+1] = R],"
+    " x -> CAST(x AS VARCHAR))),"
+    " (acc, x) -> CASE WHEN CAST(x AS INT) = CAST(split_part(acc, ';', 1) AS INT) + 1"
+    " THEN acc ELSE x || ';' || split_part(acc, ';', 2) || ',' || x END"
+    "), ';', 2), ','), s -> s <> ''), s -> CAST(s AS INT)), x -> x IS NOT NULL)"
+)
+
+
 def _bpe_cte_chain(n_rounds: int, last_vocab: bool) -> str:
     """The shared WITH-chain of the BPE oracles: one MATERIALIZED
     (best, vocab) CTE pair per merge round (plain CTEs would re-expand
@@ -1836,3 +1850,88 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         em_rounds=_UNI_R,
         keep_multi=_UNI_K,
     )
+
+
+def _wordpiece_oracle_sql(n_rounds: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.wordpiece_train_merges:
+    the BPE chain's MATERIALIZED (best, vocab) round pairs with the
+    WordPiece likelihood ranking — score = pair_count / (count(lhs) *
+    count(rhs)) over per-round corpus-weighted symbol counts.  Exact
+    integer counts -> identical doubles in both engines, so the
+    (score DESC, lhs, rhs) argmax replays bit-for-bit."""
+    parts = [
+        f"""
+    WITH words AS (
+        SELECT unnest({_TOKS}) AS word FROM documents),
+    wvocab0 AS MATERIALIZED (
+        SELECT cnt, [word[j] for j in range(1, len(word)+1)] AS syms
+        FROM (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+              FROM words WHERE len(word) >= 1 GROUP BY word))"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+    wsc{r} AS MATERIALIZED (
+        SELECT s, CAST(sum(cnt) AS BIGINT) AS sc
+        FROM (SELECT cnt, unnest(syms) AS s FROM wvocab{r - 1})
+        GROUP BY s),
+    wbest{r} AS MATERIALIZED (
+        SELECT p.L, p.R, p.pc,
+               CAST(p.pc AS DOUBLE) /
+                   (CAST(sl.sc AS DOUBLE) * CAST(sr.sc AS DOUBLE)) AS score
+        FROM (SELECT p[1] AS L, p[2] AS R, CAST(sum(cnt) AS BIGINT) AS pc
+              FROM wvocab{r - 1}, unnest(list_zip(syms, syms[2:])) AS u(p)
+              WHERE p[2] IS NOT NULL
+              GROUP BY 1, 2) p
+        JOIN wsc{r} sl ON sl.s = p.L
+        JOIN wsc{r} sr ON sr.s = p.R
+        ORDER BY score DESC, L, R LIMIT 1)"""
+        )
+        if r < n_rounds:
+            parts.append(
+                f""",
+    wvocab{r} AS MATERIALIZED (
+        SELECT cnt,
+               [CASE WHEN list_contains(kept, j) THEN L || R ELSE syms[j] END
+                for j in range(1, len(syms)+1)
+                if NOT list_contains(kept, j - 1)] AS syms
+        FROM (SELECT cnt, syms, L, R, {_GREEDY_KEPT_SQL} AS kept
+              FROM wvocab{r - 1} CROSS JOIN wbest{r}))"""
+            )
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, L AS lhs, R AS rhs, "
+        f"pc AS pair_count, score FROM wbest{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    parts.append(
+        f"""
+    SELECT merge_round, lhs, rhs, pair_count, score FROM (
+        {union})
+    ORDER BY merge_round"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "wordpiece_train_merges",
+    sql=_wordpiece_oracle_sql(_BPE_ROUNDS),
+    doc="WordPiece merge TRAINING (Schuster & Nakajima 2012; the HF "
+    "WordPiece trainer's ranking) — completing the tokenizer-training "
+    "triad next to bpe_train_merges and unigram_lm_train: the merge "
+    "harness is IDENTICAL to BPE (corpus word histogram once with "
+    "map-side combine, per-round vocabulary-relation aggregates, 1-row "
+    "argmax, exact greedy non-overlapping row-local rewrite, "
+    "localCheckpointed rounds), but each round merges the pair with "
+    "the highest likelihood score pair_count/(count(lhs)*count(rhs)) — "
+    "the most SURPRISING adjacency given its parts — computed from one "
+    "extra vocabulary-sized symbol-count aggregate per round.  "
+    "Cross-engine exact: all counts are integers, both engines "
+    "convert to double (exact below 2^53) and divide once, so the "
+    "(score DESC, pair lexicographic) argmax and therefore the whole "
+    "learned merge TABLE replays bit-for-bit in the unrolled "
+    "MATERIALIZED-CTE oracle.",
+)
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import wordpiece_train_merges as _train
+
+    return _train(load_table(spark, sf_dir, "documents"), "text", _BPE_ROUNDS)

@@ -899,3 +899,177 @@ def test_unigram_lm_train_coverage_and_determinism(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_wordpiece_train_agrees_with_pure_python_reference(spark):
+    """The WordPiece trainer must reproduce a plain-Python reference
+    (likelihood ranking + exact greedy merges) on a crafted corpus
+    where the WordPiece winner DIFFERS from the BPE winner: 'th' is
+    the most frequent pair (count 80) but rare always-adjacent pairs
+    score higher — round 1 merges ('a','d') (count 2, score
+    2/(2*2)=0.5), never the frequent ('t','h')."""
+    from data_engineering_individual_assignment_spark.operators.bpe import (
+        wordpiece_train_merges,
+    )
+
+    corpus = {"the": 50, "then": 30, "quit": 3, "quad": 2, "net": 10}
+
+    def py_train(word_counts, n_merges):
+        vocab = [(c, list(w)) for w, c in word_counts.items()]
+        out = []
+        for r in range(1, n_merges + 1):
+            pairs, syms = {}, {}
+            for c, s in vocab:
+                for a in s:
+                    syms[a] = syms.get(a, 0) + c
+                for a, b in zip(s, s[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            if not pairs:
+                break
+            best = max(
+                pairs.items(),
+                key=lambda kv: (
+                    kv[1] / (syms[kv[0][0]] * syms[kv[0][1]]),
+                    # score DESC, then lhs/rhs ASC -> invert for max()
+                    tuple(-ord(ch) for ch in kv[0][0] + "\x00" + kv[0][1]),
+                ),
+            )
+            (L, R), pc = best
+            out.append((r, L, R, pc, pc / (syms[L] * syms[R])))
+            nv = []
+            for c, s in vocab:
+                t, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == L and s[i + 1] == R:
+                        t.append(L + R)
+                        i += 2
+                    else:
+                        t.append(s[i])
+                        i += 1
+                nv.append((c, t))
+            vocab = nv
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(corpus.items())],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_round, r.lhs, r.rhs, r.pair_count, r.score)
+        for r in wordpiece_train_merges(docs, "text", n_merges=4).collect()
+    ]
+    expect = py_train(corpus, 4)
+    assert [(g[0], g[1], g[2], g[3]) for g in got] == [
+        (e[0], e[1], e[2], e[3]) for e in expect
+    ]
+    for g, e in zip(got, expect):
+        assert abs(g[4] - e[4]) < 1e-15
+    # the crafted property: round 1 merges the rare always-adjacent
+    # (a, d), never the 80-count (t, h) a BPE ranking would pick
+    assert (got[0][1], got[0][2]) == ("a", "d")
+    assert ("t", "h") not in {(g[1], g[2]) for g in got[:1]}
+
+
+def test_pq_frozen_agrees_with_pure_python_reference(spark):
+    """The frozen-codebook PQ path (encode argmin, ADC distances,
+    two-level top-k, int-cosine rerank) must reproduce a plain-Python
+    integer replay on a small corpus — every number is exact int64
+    micro arithmetic, so agreement is EXACT."""
+    import hashlib
+
+    from data_engineering_individual_assignment_spark.operators.similarity import (
+        PQ_MICRO,
+        pq_adc_topk_frozen,
+        pq_encode_frozen,
+        pq_frozen_codebooks,
+        pq_rerank_frozen,
+        _vec_micro,
+    )
+    from pyspark.sql import functions as F
+
+    m, ncodes, sub = 4, 3, 2  # dim 8
+    books = pq_frozen_codebooks(m=m, ncodes=ncodes, sub=sub)
+    # deterministic synthetic vectors
+    def vec(i):
+        return [
+            round(((int(hashlib.md5(f"v|{i}|{d}".encode()).hexdigest()[:6], 16)
+                    % 2001) - 1000) / 1000.0, 6)
+            for d in range(m * sub)
+        ]
+
+    rows = [(i, vec(i)) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def q(x):
+        # python round() is banker's; replicate HALF_UP like F.round
+        import math
+
+        y = x * PQ_MICRO
+        return int(math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5))
+
+    vq = {i: [q(x) for x in v] for i, v in rows}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def codes(i):
+        out = []
+        for j in range(m):
+            sv = vq[i][j * sub : (j + 1) * sub]
+            ds = [(d2(sv, books[j][c]), c) for c in range(ncodes)]
+            out.append(min(ds)[1])
+        return out
+
+    got_codes = {
+        r.vec_id: list(r.codes) for r in pq_encode_frozen(emb, books).collect()
+    }
+    assert got_codes == {i: codes(i) for i, _ in rows}
+
+    qids = [0, 1]
+    def adc(qi, ci):
+        cc = codes(ci)
+        return sum(
+            d2(vq[qi][j * sub : (j + 1) * sub], books[j][cc[j]])
+            for j in range(m)
+        )
+
+    expect_topk = {}
+    for qi in qids:
+        scored = sorted(
+            (adc(qi, ci), ci) for ci, _ in rows if ci != qi
+        )[:3]
+        expect_topk[qi] = [(ci, rk + 1, d) for rk, (d, ci) in enumerate(scored)]
+    qvq = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        _vec_micro(F.col("embedding")).alias("qvq"),
+    )
+    got_topk = {}
+    for r in pq_adc_topk_frozen(
+        pq_encode_frozen(emb, books), qvq, books, k=3
+    ).collect():
+        got_topk.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.rnk, r.adc_dist_sq_micro)
+        )
+    assert {k: sorted(v, key=lambda t: t[1]) for k, v in got_topk.items()} == expect_topk
+
+    # rerank: exact int-cosine over the shortlist
+    import math as _math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(vq[a], vq[b]))
+        na = _math.sqrt(float(sum(x * x for x in vq[a])))
+        nb = _math.sqrt(float(sum(x * x for x in vq[b])))
+        return round(dot / (na * nb), 6) if na * nb > 0 else 0.0
+
+    expect_rr = {}
+    for qi in qids:
+        short = [ci for _, ci in sorted((adc(qi, ci), ci) for ci, _ in rows if ci != qi)[:5]]
+        ranked = sorted(short, key=lambda ci: (-cos(qi, ci), ci))[:3]
+        expect_rr[qi] = [(ci, rk + 1, cos(qi, ci)) for rk, ci in enumerate(ranked)]
+    got_rr = {}
+    for r in pq_rerank_frozen(
+        emb, pq_encode_frozen(emb, books),
+        emb.filter(F.col("vec_id") < 2), books, k=3, shortlist=5,
+    ).collect():
+        got_rr.setdefault(r.query_id, []).append((r.neighbor_id, r.rnk, r.cos_sim))
+    assert {k: sorted(v, key=lambda t: t[1]) for k, v in got_rr.items()} == expect_rr
