@@ -177,6 +177,34 @@ def unigram_train(
     usage = the piece's corpus-weighted Viterbi count from the LAST
     EM round; logp_micro = round(ln((usage+1)/(sum+|vocab|)) * 1e6)
     renormalized over the pruned vocabulary."""
+    final = unigram_train_table(
+        docs,
+        text_col,
+        max_word_len=max_word_len,
+        max_piece_len=max_piece_len,
+        n_seed_multi=n_seed_multi,
+        em_rounds=em_rounds,
+        keep_multi=keep_multi,
+    )
+    return docs.sparkSession.createDataFrame(
+        sorted(final), "piece string, usage long, logp_micro long"
+    )
+
+
+def unigram_train_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 10,
+    max_piece_len: int = 4,
+    n_seed_multi: int = 48,
+    em_rounds: int = 2,
+    keep_multi: int = 24,
+) -> list[tuple[str, int, int]]:
+    """The training loop itself: returns the pruned piece table as a
+    bounded Python list [(piece, usage, logp_micro)] — the trained
+    TOKENIZER, consumable by ``viterbi_path`` for inference (the
+    unigram_fertility query) as well as by ``unigram_train``'s
+    DataFrame wrapper."""
     spark = docs.sparkSession
     from .dedup import _persist
 
@@ -216,7 +244,70 @@ def unigram_train(
         ((p, u) for p, u in usage.items() if len(p) > 1),
         key=lambda t: (-t[1], t[0]),
     )[:keep_multi]
-    final = _logp_micro_rows(spark, sorted(kept_chars + kept_multi))
-    return spark.createDataFrame(
-        sorted(final), "piece string, usage long, logp_micro long"
+    return _logp_micro_rows(spark, sorted(kept_chars + kept_multi))
+
+
+def unigram_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_word_len: int = 10,
+    max_piece_len: int = 4,
+    n_seed_multi: int = 48,
+    em_rounds: int = 2,
+    keep_multi: int = 24,
+) -> DataFrame:
+    """Tokenizer-economics readout under the TRAINED unigram tokenizer
+    (the inference side of unigram_train): per language, word
+    occurrences, total Viterbi pieces, fertility (pieces per word) and
+    chars per piece — the context-window cost table a trained
+    tokenizer actually yields, complementing tokenizer_fertility's
+    BPE-ish ESTIMATE.
+
+    Plan shape: train (same budget-bounded loop), then ONE
+    vocabulary-relation pass — Viterbi over the distinct (lang, word)
+    histogram, never over documents — and a per-language aggregate.
+    The word-length cap bounds inference to the same domain training
+    saw (this corpus's words all fit; a production tokenizer byte-falls
+    back outside it)."""
+    table = unigram_train_table(
+        docs,
+        text_col,
+        max_word_len=max_word_len,
+        max_piece_len=max_piece_len,
+        n_seed_multi=n_seed_multi,
+        em_rounds=em_rounds,
+        keep_multi=keep_multi,
+    )
+    lp = {p: m for p, _, m in table}
+    lwords = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(TX.tokens(text_col)).alias("word"))
+        .filter((F.length("word") >= 1) & (F.length("word") <= max_word_len))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    path = viterbi_path(F.col("word"), lp, max_piece_len)
+    per_word = lwords.select(
+        "lang",
+        "cnt",
+        F.size(F.split(path, "\x01")).alias("np"),
+        F.length("word").alias("nc"),
+    )
+    return (
+        per_word.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np")).cast("bigint").alias("total_pieces"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("np")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("nc")).cast("double")
+                / F.sum(F.col("cnt") * F.col("np")),
+                6,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
     )

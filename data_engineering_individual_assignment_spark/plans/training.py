@@ -1800,24 +1800,28 @@ def _unigram_oracle_sql() -> str:
         )
     parts.append(
         f""",
-    kept AS (
+    kept AS MATERIALIZED (
         SELECT piece, u FROM v{R} WHERE len(piece) = 1
         UNION ALL
         SELECT piece, u FROM (
             SELECT piece, u FROM v{R} WHERE len(piece) > 1
-            ORDER BY u DESC, piece LIMIT {K}))
+            ORDER BY u DESC, piece LIMIT {K}))"""
+    )
+    return "".join(parts)
+
+
+def _unigram_oracle_tail() -> str:
+    return """
     SELECT piece, u AS usage,
            CAST(round(ln((u + 1.0) / t.tot) * 1000000) AS BIGINT)
                AS logp_micro
     FROM kept, (SELECT CAST(sum(u) + count(*) AS DOUBLE) AS tot FROM kept) t
     ORDER BY piece"""
-    )
-    return "".join(parts)
 
 
 @register(
     "unigram_lm_train",
-    sql=_unigram_oracle_sql(),
+    sql=_unigram_oracle_sql() + _unigram_oracle_tail(),
     doc="unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece "
     "unigram algorithm) as hard (Viterbi) EM — the other dominant "
     "tokenizer-training family next to bpe_train_merges: substring "
@@ -1935,3 +1939,79 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import wordpiece_train_merges as _train
 
     return _train(load_table(spark, sf_dir, "documents"), "text", _BPE_ROUNDS)
+
+
+def _unigram_fertility_tail() -> str:
+    """Inference tail over the trained vocabulary: renormalized micro
+    log-probs from `kept`, then an exhaustive Viterbi replay over the
+    DISTINCT (cap-domain) words of the corpus and a per-language
+    fertility aggregate."""
+    return f""",
+    lpfin AS MATERIALIZED (
+        SELECT piece,
+               CAST(round(ln((u + 1.0) / t.tot) * 1000000) AS BIGINT) AS lp
+        FROM kept, (SELECT CAST(sum(u) + count(*) AS DOUBLE) AS tot
+                    FROM kept) t),
+    lwords AS MATERIALIZED (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, unnest({_TOKS}) AS word FROM documents)
+        WHERE len(word) BETWEEN 1 AND {_UNI_W}
+        GROUP BY 1, 2),
+    dwords AS (SELECT DISTINCT word FROM lwords),
+    segf AS (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, '' AS path
+        FROM dwords
+        UNION ALL
+        SELECT s.word, s.pos + len(p.piece), s.score + p.lp,
+               s.path || chr(1) || p.piece
+        FROM segf s JOIN lpfin p
+          ON p.piece = substr(s.word, s.pos + 1, len(p.piece))
+        WHERE s.pos < len(s.word)),
+    bestf AS MATERIALIZED (
+        SELECT word,
+               len(string_split(substr(path, 2), chr(1))) AS np
+        FROM segf
+        WHERE pos = len(word)
+        QUALIFY row_number() OVER (PARTITION BY word
+                                   ORDER BY score DESC, path) = 1)
+    SELECT l.lang,
+           CAST(sum(l.cnt) AS BIGINT) AS n_words,
+           CAST(sum(l.cnt * b.np) AS BIGINT) AS total_pieces,
+           round(CAST(sum(l.cnt * b.np) AS DOUBLE) / sum(l.cnt), 6)
+               AS fertility,
+           round(CAST(sum(l.cnt * len(l.word)) AS DOUBLE)
+                 / sum(l.cnt * b.np), 6) AS chars_per_piece
+    FROM lwords l JOIN bestf b USING (word)
+    GROUP BY l.lang ORDER BY l.lang"""
+
+
+@register(
+    "unigram_fertility",
+    sql=_unigram_oracle_sql() + _unigram_fertility_tail(),
+    doc="tokenizer economics under the TRAINED unigram-LM tokenizer — "
+    "the inference side of unigram_lm_train, complementing "
+    "tokenizer_fertility's BPE-ish ESTIMATE with the real thing: the "
+    "trained piece table segments every distinct (cap-domain) word via "
+    "the same integer-micro Viterbi, and the per-language aggregate "
+    "reports fertility (pieces per word) and chars per piece — the "
+    "context-window cost table a tokenizer choice actually implies.  "
+    "Scale: training as unigram_lm_train; inference is ONE "
+    "vocabulary-relation Viterbi pass over distinct (lang, word) "
+    "histograms — documents are never re-scanned after the two word "
+    "histograms.  Oracle: the full training CTE chain plus an "
+    "exhaustive-enumeration inference replay and the identical "
+    "per-language aggregate (exact integer counts; one double "
+    "division per ratio, rounded to 6 places).",
+)
+def unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_fertility as _uf
+
+    return _uf(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        max_word_len=_UNI_W,
+        max_piece_len=_UNI_L,
+        n_seed_multi=_UNI_S,
+        em_rounds=_UNI_R,
+        keep_multi=_UNI_K,
+    )

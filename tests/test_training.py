@@ -1073,3 +1073,34 @@ def test_pq_frozen_agrees_with_pure_python_reference(spark):
     ).collect():
         got_rr.setdefault(r.query_id, []).append((r.neighbor_id, r.rnk, r.cos_sim))
     assert {k: sorted(v, key=lambda t: t[1]) for k, v in got_rr.items()} == expect_rr
+
+
+def test_unigram_fertility_invariants_and_training_effect(spark):
+    """Per-language fertility under the trained unigram tokenizer: at
+    least 1 piece per word, no more pieces than chars, ratios
+    consistent with the integer totals — and on a corpus dominated by
+    one repeated word, training drives fertility to ~1 (the whole word
+    becomes a piece), demonstrating the tokenizer actually learned."""
+    from data_engineering_individual_assignment_spark.operators.unigram import (
+        unigram_fertility,
+    )
+    from data_engineering_individual_assignment_spark import plans
+
+    rows = plans.CATALOG["unigram_fertility"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert r.chars_per_piece >= 1.0
+        assert r.total_pieces >= r.n_words
+        assert abs(r.fertility - r.total_pieces / r.n_words) < 1e-6
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(["abcd"] * 50)), (1, "abcd abcd xz")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    out = {r.lang: r for r in unigram_fertility(docs, "text").collect()}
+    # 'abcd' dominates -> becomes a piece (len <= 4): 52 words at 1
+    # piece + 'xz' at worst 2 pieces
+    assert out["en"].fertility < 1.1
