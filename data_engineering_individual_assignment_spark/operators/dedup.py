@@ -718,17 +718,26 @@ def near_dup_minhash_portable(
         .distinct()
     )
     # exact verification on STRING shingles (the same sets the oracle
-    # intersects), not the hashed arrays — candidates only
-    return (
+    # intersects), not the hashed arrays — candidates only.
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (shingle sets are distinct by
+    # construction): one array_intersect, no merged array materialized
+    # per pair just for its size.  Two-level projection so the intersect
+    # runs ONCE (codegen CSE does not dedupe non-cheap aliases across
+    # the filter and the jaccard expression).
+    sized = (
         cand.join(
             sh.withColumnsRenamed({"doc_id": "doc_a", "shingles": "sh_a"}), "doc_a"
         )
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "shingles": "sh_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
+            (F.size("sh_a") + F.size("sh_b")).alias("nab"),
         )
+    )
+    return (
+        sized.withColumn("jaccard", F.col("ni") / (F.col("nab") - F.col("ni")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )

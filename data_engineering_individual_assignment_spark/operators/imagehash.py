@@ -1,0 +1,284 @@
+"""Perceptual image hashing + hamming near-dup pairs: the pixel-content
+image modality of the dedup lattice (text exact/near/sub-document and
+embedding cosine/SemDeDup/LSH are in ``operators/dedup.py`` /
+``operators/similarity.py``; this module closes the LAION-style
+image-dedup gap).
+
+Two classic 64-bit perceptual hashes over the REAL pure-stdlib codecs
+(``operators/multimodal.decode_png`` / ``decode_jpeg``):
+
+- **dHash** (difference hash): decode -> Rec.601 luma -> exact
+  area-average resize to 8x9 -> bit j = (right neighbor brighter).
+  Invariant to brightness/contrast shifts (monotone per-pixel maps
+  preserve neighbor orderings) and robust to re-encoding and small
+  crops — the variants a crawl corpus actually contains.
+- **aHash** (average hash): 8x8 resize, bit = (cell > global mean).
+
+Candidate generation is **Multi-Index Hashing** (Norouzi, Punjani &
+Fleet, CVPR 2012, "Fast Search in Hamming Space with Multi-Index
+Hashing"): split the 64-bit hash into B substrings; by pigeonhole, a
+pair within hamming H agrees within hamming floor(H/B) on at least one
+substring.  With B=4 16-bit bands and probe radius r=1 (each doc also
+emits every 1-bit perturbation of each band key), any pair with
+hamming <= 2B-1 = 7 is GUARANTEED to collide on an exact
+(band, key) — while keys stay 16-bit (65k buckets), so expected
+candidate volume is ~17*n^2/65536 instead of the ~n^2/32 a naive
+8x8-bit banding (the ham<=7 pigeonhole with exact-match-only bands)
+would produce.  That 120x candidate reduction is what keeps the
+self-join sub-quadratic at corpus scale.
+
+At 100 TB: decode+hash is a per-asset Arrow-batched mapInPandas — no
+shuffle, payload bytes never leave their executor, and only the
+(id, int64 hash) relation (16 bytes/asset) enters the join, which is a
+plain equi-join on (band, key) — AQE-planned, skew-safe (keys are
+near-uniform for non-degenerate corpora), verification restricted to
+candidates via bit_count(xor).  Raising the threshold past 2B-1 needs
+probe radius 2 (C(16,2)=120 probes/band) — asserted against rather
+than silently degrading; production pipelines wanting looser matches
+use a wider hash (256-bit pHash -> 16 bands) instead.
+
+The reference has no image operators (its only media handling is
+YouTube *metadata* rows, e.g. Video_Data extraction at
+``02_YouTube_API_Data_Extraction[F].py:43``); this family is part of
+the beyond-reference LLM-pipeline surface the build contract names.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# numpy-side primitives (importable + unit-testable without Spark)
+# ---------------------------------------------------------------------------
+def area_resize(gray, out_h: int, out_w: int):
+    """Exact area-average resize of a (h, w) float array to
+    (out_h, out_w): each output cell is the mean of its (fractional)
+    source box, computed from the integral image with linear
+    interpolation at fractional box edges.  Deterministic (pure
+    float64 numpy), handles any size ratio — the general form of the
+    divisible-only box average in ``multimodal.resize_png_stats``."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    h, w = g.shape
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = g.cumsum(0).cumsum(1)
+
+    def sample_rows(mat, coords):
+        idx = np.floor(coords).astype(np.int64)
+        frac = coords - idx
+        idx = np.clip(idx, 0, mat.shape[0] - 1)
+        nxt = np.clip(idx + 1, 0, mat.shape[0] - 1)
+        return mat[idx] * (1.0 - frac)[:, None] + mat[nxt] * frac[:, None]
+
+    ys = np.arange(out_h + 1) * (h / out_h)
+    xs = np.arange(out_w + 1) * (w / out_w)
+    by_y = sample_rows(integral, ys)
+    by_xy = sample_rows(by_y.T, xs).T
+    boxes = (
+        by_xy[1:, 1:] - by_xy[:-1, 1:] - by_xy[1:, :-1] + by_xy[:-1, :-1]
+    )
+    return boxes / ((h / out_h) * (w / out_w))
+
+
+def _to_signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def dhash64_gray(gray) -> int:
+    """64-bit difference hash of a (h, w) grayscale array: resize to
+    8x9, bit (row*8 + col) = 1 iff cell[row, col+1] > cell[row, col].
+    Returned as SIGNED int64 (Spark bigint domain)."""
+    small = area_resize(gray, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return _to_signed64(sum(int(b) << i for i, b in enumerate(bits)))
+
+
+def ahash64_gray(gray) -> int:
+    """64-bit average hash: resize to 8x8, bit = cell > global mean.
+    Returned as SIGNED int64."""
+    small = area_resize(gray, 8, 8)
+    bits = (small > small.mean()).flatten()
+    return _to_signed64(sum(int(b) << i for i, b in enumerate(bits)))
+
+
+def luma_plane(img: dict):
+    """Rec.601 luma (h, w) float64 plane from a ``decode_png`` /
+    ``decode_jpeg`` result dict."""
+    import numpy as np
+
+    px = np.asarray(img["pixels"], dtype=np.float64)
+    h, w, c = img["height"], img["width"], img["channels"]
+    px = px.reshape(h, w, c)
+    if c == 1:
+        return px[:, :, 0]
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+def synth_texture_gray(seed: int, size: int = 64):
+    """Deterministic SMOOTH grayscale test texture: an 8x8 grid of
+    md5-derived levels in [40, 215] (so a +-12 brightness shift never
+    clips), block-upsampled to size x size and 3x3 box-blurred with
+    edge replication.  Smoothness matters: perceptual hashes assume
+    natural-image spatial coherence — white-noise fixtures would make
+    the 1-px-crop variant flip arbitrary bits and test nothing."""
+    import numpy as np
+
+    g = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            d = hashlib.md5(f"img-{seed}-{y}-{x}".encode()).digest()
+            g[y, x] = 40 + (d[0] % 176)
+    up = np.kron(g, np.ones((size // 8, size // 8)))
+    p = np.pad(up, 1, mode="edge")
+    return (
+        sum(p[dy : dy + size, dx : dx + size] for dy in range(3) for dx in range(3))
+        / 9.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+def image_phash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    algo: str = "dhash",
+) -> DataFrame:
+    """Perceptual hash over a binary image column (PNG or baseline JPEG,
+    dispatched on container signature by ``multimodal.decode_image``):
+    Arrow-batched mapInPandas, one (doc_id, phash bigint, decode_ok)
+    row per asset.  Corrupt payloads degrade to decode_ok=false /
+    phash NULL — one bad asset must not kill a 100 TB scan.  No
+    shuffle; payload bytes never leave their executor."""
+    import pandas as pd
+
+    from .multimodal import decode_image
+
+    hash_fn = {"dhash": dhash64_gray, "ahash": ahash64_gray}[algo]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(doc_id))
+                try:
+                    img = decode_image(bytes(payload))
+                    hashes.append(hash_fn(luma_plane(img)))
+                    oks.append(True)
+                except Exception:
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="Int64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema="doc_id bigint, phash bigint, decode_ok boolean"
+    )
+
+
+def phash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    num_bands: int = 4,
+    hash_col: str = "phash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs within ``max_hamming`` of each other by Multi-Index
+    Hashing over a 64-bit hash column, entirely JVM-side.
+
+    The hash splits into ``num_bands`` equal substrings; probe radius
+    r = floor(max_hamming / num_bands).  Pigeonhole: a pair with
+    hamming <= max_hamming agrees within r bits on >= 1 band, so
+    emitting each doc's exact band keys PLUS every <=r-bit perturbation
+    and equi-joining probes against exact keys finds every qualifying
+    pair — candidates verified by bit_count(xor).  r <= 1 is enforced
+    (r=2 means C(band_bits, 2) probes per band; widen the hash or add
+    bands instead).  With the 4x16-bit default, guarantee holds to
+    hamming 7 at 65k buckets/band — the naive exact-band pigeonhole
+    would need 8 bands of 8 bits (256 buckets, ~120x the candidate
+    volume on uniform keys).
+
+    Returns (doc_a, doc_b, hamming:int), doc_a < doc_b, exact + total.
+    """
+    assert 64 % num_bands == 0, "num_bands must divide 64"
+    band_bits = 64 // num_bands
+    radius = max_hamming // num_bands
+    assert radius <= 1, (
+        f"max_hamming={max_hamming} with {num_bands} bands needs probe "
+        f"radius {radius}; use more bands or a wider hash"
+    )
+    mask = (1 << band_bits) - 1
+    base = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h")
+    )
+
+    def band_key(i: int):
+        return F.shiftright("h", i * band_bits).bitwiseAND(F.lit(mask))
+
+    exacts = base.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), band_key(i).alias("key"))
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "h", "bk.band", "bk.key")
+    if radius == 0:
+        probes = exacts
+    else:
+        probes = base.select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            (
+                                band_key(i)
+                                if j < 0
+                                else band_key(i).bitwiseXOR(F.lit(1 << j))
+                            ).alias("key"),
+                        )
+                        for i in range(num_bands)
+                        for j in range(-1, band_bits)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "h", "bk.band", "bk.key")
+    # the flip relation is symmetric, so requiring probe-side id <
+    # exact-side id still sees every qualifying pair exactly once per
+    # colliding (band, key)
+    return (
+        probes.alias("a")
+        .join(
+            exacts.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

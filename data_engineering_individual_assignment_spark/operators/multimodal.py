@@ -304,6 +304,43 @@ def synth_png_bytes(width: int, height: int, rgb=(128, 64, 32),
     )
 
 
+def encode_png_gray(gray) -> bytes:
+    """8-bit GRAYSCALE PNG (color type 0, filter-0 scanlines) from any
+    (h, w) array (values rounded then clipped to [0, 255]) — the
+    general-content encoder twin of ``synth_png_bytes`` (which emits
+    solid/gradient RGB only).  Real container: signature, CRC'd
+    IHDR/IDAT/IEND, zlib stream; byte-identical for identical input."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.clip(np.rint(np.asarray(gray, dtype=np.float64)), 0, 255).astype(
+        np.uint8
+    )
+    height, width = px.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rows = bytearray()
+    for y in range(height):
+        rows.append(0)  # filter type 0 (None)
+        rows += px[y].tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
     """Undo PNG scanline filters (types 0-4) -> (height, width*bpp)
     uint8 array.  Sequential per the spec: Sub/Average/Paeth reference

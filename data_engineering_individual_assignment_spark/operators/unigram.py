@@ -123,7 +123,19 @@ def viterbi_path(
     position are never prefixes of one another, so lexicographically-
     smallest has optimal substructure and the DP result equals an
     exhaustive (score DESC, path ASC) argmax — which is exactly how the
-    DuckDB oracle replays it."""
+    DuckDB oracle replays it.
+
+    SCALE SEAM (same discipline as ``bpe.bpe_apply``'s documented
+    non-viability note): the piece table is baked in as a
+    ``create_map`` LITERAL — 2·|vocab| expression children — which is
+    what makes the plan oracle-replayable at the catalog's
+    budget-bounded vocabulary (<= ~76 pieces), but blows plan size /
+    codegen at a production 32k-256k-piece vocabulary.  The
+    production-scale twin is ``viterbi_segment_pandas`` (broadcast
+    piece dict scored in Arrow-batched mapInPandas, the
+    ``asof_join_pandas`` pattern), agreement-tested against this
+    expression path on identical inputs and exercised at a widened
+    vocabulary where this path is not viable."""
     args: list[Column] = []
     for p in sorted(piece_logp):
         args += [F.lit(p), F.lit(int(piece_logp[p]))]
@@ -140,7 +152,12 @@ def viterbi_path(
             ),
             lambda c: c.isNotNull(),
         )
-        return F.concat(acc, F.array(F.array_min(cands)))
+        # unreachable prefixes are a SENTINEL struct with null fields,
+        # never a null struct: accessing a field of a null struct NPEs
+        # inside the generated UnsafeProjection (hit by any word the
+        # piece table cannot segment — training guarantees coverage of
+        # its own histogram, but inference input is not so bounded)
+        return F.concat(acc, F.array(F.coalesce(F.array_min(cands), _dead())))
 
     init = F.array(
         F.struct(F.lit(0).cast("long").alias("ns"), F.lit("").alias("p"))
@@ -149,12 +166,21 @@ def viterbi_path(
     return F.substr(F.element_at(final, n + 1)["p"], F.lit(2), F.lit(1 << 30))
 
 
+def _dead():
+    """The unreachable-prefix sentinel state (built lazily — a
+    module-level Column would need an active SparkContext at import)."""
+    return F.struct(
+        F.lit(None).cast("long").alias("ns"),
+        F.lit(None).cast("string").alias("p"),
+    )
+
+
 def _cand(acc, word, lpmap, st, i):
     piece = F.substr(word, st, i - st + 1)
     lp = F.element_at(lpmap, piece)
     prev = F.element_at(acc, st)  # acc[st] = state at prefix length st-1
     return F.when(
-        lp.isNotNull() & prev.isNotNull(),
+        lp.isNotNull() & prev["ns"].isNotNull(),
         F.struct(
             (prev["ns"] - lp).alias("ns"),
             F.concat(prev["p"], F.lit("\x01"), piece).alias("p"),
@@ -245,6 +271,65 @@ def unigram_train_table(
         key=lambda t: (-t[1], t[0]),
     )[:keep_multi]
     return _logp_micro_rows(spark, sorted(kept_chars + kept_multi))
+
+
+def _viterbi_py(word: str, lp: dict[str, int], max_piece_len: int):
+    """Plain-Python mirror of the ``viterbi_path`` fold: state per
+    prefix = (negated micro score, chr(1)-prefixed path), min = tuple
+    order — Python's (int, str) tuple min IS Spark's struct array_min
+    here (UTF-8 byte order and code-point order coincide).  Returns the
+    chr(1)-joined segmentation, or None if no segmentation exists."""
+    n = len(word)
+    best: list[tuple[int, str] | None] = [None] * (n + 1)
+    best[0] = (0, "")
+    for i in range(1, n + 1):
+        cands = []
+        for st in range(max(0, i - max_piece_len), i):
+            prev = best[st]
+            m = lp.get(word[st:i])
+            if m is None or prev is None:
+                continue
+            cands.append((prev[0] - m, prev[1] + "\x01" + word[st:i]))
+        best[i] = min(cands) if cands else None
+    return best[n][1][1:] if best[n] is not None else None
+
+
+def viterbi_segment_pandas(
+    df: DataFrame,
+    piece_logp: dict[str, int],
+    word_col: str = "word",
+    max_piece_len: int = 4,
+    out_col: str = "path",
+) -> DataFrame:
+    """PRODUCTION-scale Viterbi inference twin of ``viterbi_path``: the
+    piece table ships ONCE per executor as a Spark broadcast dict and
+    words are scored in Arrow-batched mapInPandas — O(1) plan size at
+    any vocabulary, where the expression path's ``create_map`` literal
+    (2·|vocab| expression children) stops being viable past a few
+    hundred pieces.  Same contract: ``out_col`` = chr(1)-joined
+    segmentation (NULL when no segmentation exists), identical scores
+    AND identical lexmin tie-breaks (agreement-tested on shared
+    inputs).  Still one vocabulary-relation pass, no shuffle — apply it
+    to the distinct word histogram, never to documents."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(dict(piece_logp))
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{fields}, {out_col} string"
+
+    def gen(batches):
+        lp = bc.value
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = pd.Series(
+                [_viterbi_py(w, lp, max_piece_len) for w in pdf[word_col]],
+                index=pdf.index,
+                dtype="object",
+            )
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def unigram_fertility(

@@ -1559,3 +1559,241 @@ def dedup_pipeline_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _p(
         s0.unionByName(s1).unionByName(s2).unionByName(s3)
     ).orderBy("stage_ord")
+
+
+# --------------------------------------------------------------------------
+# The full curator path: quality -> PII -> dedup -> decontam -> mix -> pack
+# --------------------------------------------------------------------------
+_TCR_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_TCR_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_TCR_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_TCR_SCRUB = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{_TCR_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{_TCR_PHONE}', '<PHONE>', 'g'), "
+    f"'{_TCR_IP}', '<IP>', 'g')"
+)
+_TCR_SEQ_LEN = 128
+_TCR_FP = (
+    "SELECT doc_id % 64 AS shard, count(*) AS n, sum({tok}) AS t, "
+    "md5(string_agg({dig}, '|' ORDER BY doc_id)) AS fp FROM {rel} GROUP BY 1"
+)
+_TCR_STAGE = (
+    "SELECT {ord} AS stage_ord, '{name}' AS stage, "
+    "CAST(coalesce(sum(n), 0) AS BIGINT) AS n_docs, "
+    "CAST(sum(t) AS BIGINT) AS n_tokens, "
+    "md5(string_agg(fp, '|' ORDER BY shard)) AS corpus_fp FROM fp{ord}"
+)
+
+
+@register(
+    "training_corpus_roi",
+    sql=rf"""
+    WITH raw0 AS (
+        SELECT doc_id, source, text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+               md5(text) AS h0
+        FROM documents WHERE doc_id >= 20),
+    bench AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS btoks
+        FROM documents WHERE doc_id < 20),
+    q AS (
+        SELECT * FROM raw0
+        WHERE len(toks) BETWEEN 20 AND 100000
+          AND length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) * 1.0
+              / greatest(len(toks), 1) BETWEEN 3 AND 10),
+    s2 AS (
+        SELECT doc_id, source, stext,
+               regexp_split_to_array(trim(lower(stext)), '\s+') AS toks2,
+               md5(stext) AS h2,
+               md5(regexp_replace(trim(lower(stext)), '\s+', ' ', 'g')) AS nfp
+        FROM (SELECT doc_id, source, {_TCR_SCRUB} AS stext FROM q)),
+    e AS (
+        SELECT * FROM s2
+        QUALIFY row_number() OVER (PARTITION BY nfp ORDER BY doc_id) = 1),
+    csh AS (
+        SELECT doc_id, list_distinct([
+                   array_to_string(toks2[i:i+2], ' ')
+                   for i in range(1, greatest(len(toks2) - 2, 1) + 1)
+               ]) AS shingles
+        FROM e WHERE len(toks2) >= 3),
+    bsh AS (
+        SELECT doc_id, list_distinct([
+                   array_to_string(btoks[i:i+2], ' ')
+                   for i in range(1, greatest(len(btoks) - 2, 1) + 1)
+               ]) AS shingles
+        FROM bench WHERE len(btoks) >= 3),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM csh c JOIN bsh b
+          ON len(list_intersect(c.shingles, b.shingles)) >= 3),
+    dc AS (
+        SELECT e.* FROM e LEFT JOIN contaminated t USING (doc_id)
+        WHERE t.doc_id IS NULL),
+    mx AS (
+        SELECT * FROM dc
+        WHERE ((doc_id % 1000003) * 2654435761) % 100 <
+              CASE WHEN source IN ('src0', 'src2') THEN 50
+                   WHEN source = 'src1' THEN 25 ELSE 10 END),
+    pk AS (
+        SELECT shard, t, (t + {_TCR_SEQ_LEN - 1}) // {_TCR_SEQ_LEN} AS n_seqs,
+               ((t + {_TCR_SEQ_LEN - 1}) // {_TCR_SEQ_LEN}) * {_TCR_SEQ_LEN}
+                 - t AS pad
+        FROM (SELECT doc_id % 64 AS shard,
+                     CAST(sum(len(toks2)) AS BIGINT) AS t
+              FROM mx GROUP BY 1)),
+    fp0 AS ({_TCR_FP.format(tok="len(toks)", dig="h0", rel="raw0")}),
+    fp1 AS ({_TCR_FP.format(tok="len(toks)", dig="h0", rel="q")}),
+    fp2 AS ({_TCR_FP.format(tok="len(toks2)", dig="h2", rel="s2")}),
+    fp3 AS ({_TCR_FP.format(tok="len(toks2)", dig="h2", rel="e")}),
+    fp4 AS ({_TCR_FP.format(tok="len(toks2)", dig="h2", rel="dc")}),
+    fp5 AS ({_TCR_FP.format(tok="len(toks2)", dig="h2", rel="mx")}),
+    fp6 AS (
+        SELECT shard, n_seqs AS n, t,
+               md5(string_agg(
+                   md5(CAST(shard AS VARCHAR) || ':' ||
+                       CAST(n_seqs AS VARCHAR) || ':' ||
+                       CAST(pad AS VARCHAR)), '|' ORDER BY shard)) AS fp
+        FROM pk GROUP BY shard, n_seqs, t)
+    SELECT * FROM (
+        {_TCR_STAGE.format(ord=0, name="raw")}
+        UNION ALL {_TCR_STAGE.format(ord=1, name="quality_gate")}
+        UNION ALL {_TCR_STAGE.format(ord=2, name="pii_scrub")}
+        UNION ALL {_TCR_STAGE.format(ord=3, name="exact_dedup")}
+        UNION ALL {_TCR_STAGE.format(ord=4, name="decontam")}
+        UNION ALL {_TCR_STAGE.format(ord=5, name="mix_sample")}
+        UNION ALL {_TCR_STAGE.format(ord=6, name="packing")})
+    ORDER BY stage_ord
+    """,
+    doc="the FLAGSHIP 'prepare a training run' readout: the full curator "
+    "path — Gopher quality gate (Rae et al. 2021: token count + mean "
+    "word length) -> PII scrub (typed placeholders) -> exact dedup "
+    "(normalized-md5, keep lowest id) -> benchmark decontamination "
+    "(drop docs sharing >= 3 distinct 3-grams with the eval suite, the "
+    "GPT-3 appendix-C shape; the 20 lowest-id docs stand in) -> "
+    "deterministic per-source mix sampling (the weighted_mix "
+    "multiplicative hash; no rand()) -> concat-and-chop sequence "
+    "packing manifest (64 shards, 128-token sequences).  One row per "
+    "stage: surviving docs (sequences for the packing row), surviving "
+    "tokens (conserved exactly by packing: stage 6 tokens == stage 5 "
+    "tokens, asserted in tests), and the two-level sharded corpus "
+    "fingerprint (functions/fingerprint.py) so the oracle replays "
+    "every stage's full CONTENT.  Composes existing primitives only — "
+    "nothing here is new machinery, which is the point: the engine's "
+    "curation operators chain into the production job.  Scale: every "
+    "stage is a map, a digest-keyed aggregate, or a broadcast "
+    "(benchmark) join; the only corpus exchanges are the dedup "
+    "digest shuffle and the 64-shard packing aggregate; nothing "
+    "quadratic, no corpus-level collect.",
+)
+def training_corpus_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..operators.dedup import _persist
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = _persist(
+        d.filter(F.col("doc_id") >= 20).select(
+            "doc_id",
+            "source",
+            "text",
+            TX.token_count("text").cast("long").alias("n0"),
+            F.md5("text").alias("h0"),
+            TX.mean_word_length("text").alias("mwl"),
+        )
+    )
+    bench = d.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.col("text").alias("stext")
+    )
+    # stage 1: Gopher gates (token count + mean word length)
+    q = raw.filter(
+        F.col("n0").between(20, 100000) & F.col("mwl").between(3, 10)
+    )
+    # stage 2: PII scrub (the pii_scrub_audit regex chain, applied)
+    s = _persist(
+        q.select("doc_id", "source", TX.scrub_pii("text").alias("stext"))
+        .select(
+            "doc_id",
+            "source",
+            "stext",
+            TX.token_count("stext").cast("long").alias("n2"),
+            F.md5("stext").alias("h2"),
+            TX.fingerprint("stext").alias("nfp"),
+        )
+    )
+    # stage 3: exact dedup on the normalized scrubbed text, keep min id
+    rn = F.row_number().over(Window.partitionBy("nfp").orderBy("doc_id"))
+    e = _persist(s.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn"))
+    # stage 4: decontamination — the benchmark's exploded shingles are
+    # broadcast; the corpus side is one streamed map pass
+    cont = (
+        dedup.contamination_pairs(e, bench, "stext", "doc_id", k=3, min_shared=3)
+        .select("doc_id")
+        .distinct()
+    )
+    dc = _persist(e.join(cont, "doc_id", "left_anti"))
+    # stage 5: deterministic per-source mix sampling (weighted_mix hash)
+    rate = (
+        F.when(F.col("source").isin("src0", "src2"), 50)
+        .when(F.col("source") == "src1", 25)
+        .otherwise(10)
+    )
+    bucket = ((F.col("doc_id") % 1000003) * F.lit(2654435761)) % 100
+    mx = _persist(dc.filter(bucket < rate))
+    # stage 6: concat-and-chop packing manifest per 64-way shard —
+    # sequences = ceil(shard tokens / seq_len); tokens are conserved
+    # exactly (padding is the only slack, reported per shard)
+    pk = (
+        mx.groupBy(F.pmod("doc_id", F.lit(64)).alias("shard"))
+        .agg(F.sum("n2").alias("t"))
+        .select(
+            "shard",
+            "t",
+            F.floor((F.col("t") + (_TCR_SEQ_LEN - 1)) / _TCR_SEQ_LEN)
+            .cast("long")
+            .alias("n_seqs"),
+        )
+        .withColumn("pad", F.col("n_seqs") * _TCR_SEQ_LEN - F.col("t"))
+    )
+
+    def _stage(df, ord_, name, tok_col, dig_col):
+        return FP.corpus_fp_agg(
+            df,
+            order="doc_id",
+            digest=dig_col,
+            shard_key="doc_id",
+            sums=((F.col(tok_col), "n_tokens"),),
+            count_alias="n_docs",
+        ).select(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            "corpus_fp",
+        )
+
+    s6 = FP.corpus_fp_agg(
+        pk,
+        order="shard",
+        digest=F.md5(F.concat_ws(":", "shard", "n_seqs", "pad")),
+        shard_key="shard",
+        sums=((F.col("n_seqs"), "n_docs"), (F.col("t"), "n_tokens")),
+    ).select(
+        F.lit(6).cast("int").alias("stage_ord"),
+        F.lit("packing").alias("stage"),
+        "n_docs",
+        "n_tokens",
+        "corpus_fp",
+    )
+    stages = (
+        _stage(raw, 0, "raw", "n0", "h0")
+        .unionByName(_stage(q, 1, "quality_gate", "n0", "h0"))
+        .unionByName(_stage(s, 2, "pii_scrub", "n2", "h2"))
+        .unionByName(_stage(e, 3, "exact_dedup", "n2", "h2"))
+        .unionByName(_stage(dc, 4, "decontam", "n2", "h2"))
+        .unionByName(_stage(mx, 5, "mix_sample", "n2", "h2"))
+        .unionByName(s6)
+    )
+    # persist the 7-row stage table before the presentation sort (the
+    # near_dup_pairs orderBy lesson)
+    return _persist(stages).orderBy("stage_ord")

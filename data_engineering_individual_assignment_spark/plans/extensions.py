@@ -2027,6 +2027,61 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cross_modal_domains(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The planted cross-modal fixture (shared by the catalog query and
+    the LSH==exact pin test): ids <5 cloned in BOTH modalities, 5-9
+    text-cloned with reversed vectors, 10-14 vector-cloned with
+    reversed token order."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    dom = d.select("doc_id", "text").join(
+        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    B = 1_000_000_000
+    rev_text = F.array_join(F.reverse(TX.tokens("text")), " ")
+    txts = (
+        dom.unionByName(
+            dom.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + B).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            dom.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+                (F.col("doc_id") + 2 * B).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            dom.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+                (F.col("doc_id") + 3 * B).alias("doc_id"),
+                rev_text.alias("text"),
+            )
+        )
+    )
+    ev = e.select("vec_id", "embedding")
+    embs = (
+        ev.unionByName(
+            ev.filter(F.col("vec_id") < 5).select(
+                (F.col("vec_id") + B).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            ev.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+                (F.col("vec_id") + 2 * B).alias("vec_id"),
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+        .unionByName(
+            ev.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+                (F.col("vec_id") + 3 * B).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return txts, embs
+
+
+
 @register(
     "cross_modal_dedup_agreement",
     sql=rf"""
@@ -2153,50 +2208,7 @@ def cross_modal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
     from ..operators import similarity as sim
 
-    d = _t(spark, sf_dir, "documents")
-    e = _t(spark, sf_dir, "embeddings")
-    dom = d.select("doc_id", "text").join(
-        e.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
-    )
-    B = 1_000_000_000
-    rev_text = F.array_join(F.reverse(TX.tokens("text")), " ")
-    txts = (
-        dom.unionByName(
-            dom.filter(F.col("doc_id") < 5).select(
-                (F.col("doc_id") + B).alias("doc_id"), "text"
-            )
-        )
-        .unionByName(
-            dom.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
-                (F.col("doc_id") + 2 * B).alias("doc_id"), "text"
-            )
-        )
-        .unionByName(
-            dom.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
-                (F.col("doc_id") + 3 * B).alias("doc_id"),
-                rev_text.alias("text"),
-            )
-        )
-    )
-    ev = e.select("vec_id", "embedding")
-    embs = (
-        ev.unionByName(
-            ev.filter(F.col("vec_id") < 5).select(
-                (F.col("vec_id") + B).alias("vec_id"), "embedding"
-            )
-        )
-        .unionByName(
-            ev.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
-                (F.col("vec_id") + 2 * B).alias("vec_id"),
-                F.reverse("embedding").alias("embedding"),
-            )
-        )
-        .unionByName(
-            ev.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
-                (F.col("vec_id") + 3 * B).alias("vec_id"), "embedding"
-            )
-        )
-    )
+    txts, embs = _cross_modal_domains(spark, sf_dir)
     tp = dedup.jaccard_join(txts, "text", "doc_id", threshold=0.7, k=3).select(
         "doc_a", "doc_b"
     )

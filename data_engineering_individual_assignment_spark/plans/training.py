@@ -1596,15 +1596,6 @@ def _bpe_cte_chain(n_rounds: int, last_vocab: bool) -> str:
     here, F.aggregate on the Spark side).  ``last_vocab`` controls
     whether the final round's vocab CTE is emitted (the merge-table
     oracle doesn't need it; the compression curve does)."""
-    greedy_kept = (
-        "list_filter(list_transform(list_filter(string_split(split_part("
-        "list_reduce(list_prepend('-99;', list_transform("
-        "[j for j in range(1, len(syms)) if syms[j] = L AND syms[j+1] = R],"
-        " x -> CAST(x AS VARCHAR))),"
-        " (acc, x) -> CASE WHEN CAST(x AS INT) = CAST(split_part(acc, ';', 1) AS INT) + 1"
-        " THEN acc ELSE x || ';' || split_part(acc, ';', 2) || ',' || x END"
-        "), ';', 2), ','), s -> s <> ''), s -> CAST(s AS INT)), x -> x IS NOT NULL)"
-    )
     parts = [
         f"""
     WITH words AS (
@@ -1632,7 +1623,7 @@ def _bpe_cte_chain(n_rounds: int, last_vocab: bool) -> str:
                [CASE WHEN list_contains(kept, j) THEN L || R ELSE syms[j] END
                 for j in range(1, len(syms)+1)
                 if NOT list_contains(kept, j - 1)] AS syms
-        FROM (SELECT cnt, syms, L, R, {greedy_kept} AS kept
+        FROM (SELECT cnt, syms, L, R, {_GREEDY_KEPT_SQL} AS kept
               FROM vocab{r - 1} CROSS JOIN best{r}))"""
             )
     return "".join(parts)

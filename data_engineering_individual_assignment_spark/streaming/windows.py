@@ -665,13 +665,21 @@ def lsh_dedup_stream(
     first_common = F.array_position(
         F.zip_with("new_bands", "old_bands", lambda a, b: a == b), True
     )
-    jac = F.size(F.array_intersect("new_sh", "old_sh")) / F.size(
-        F.array_union("new_sh", "old_sh")
-    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (shingle sets are distinct): one
+    # array_intersect per candidate, no merged array materialized just
+    # for its size.  Two-level projection so the intersect runs once
+    # across the filter and the jaccard value (codegen CSE does not
+    # dedupe non-cheap aliases).
     return (
         stream_side.join(static_side, ["band", "bucket"])
         .filter(F.col("band") + 1 == first_common)
-        .withColumn("jaccard", jac)
+        .select(
+            "new_id",
+            "old_id",
+            F.size(F.array_intersect("new_sh", "old_sh")).alias("ni"),
+            (F.size("new_sh") + F.size("old_sh")).alias("nab"),
+        )
+        .withColumn("jaccard", F.col("ni") / (F.col("nab") - F.col("ni")))
         .filter(F.col("jaccard") >= threshold)
         .select(
             "new_id",

@@ -294,6 +294,77 @@ def test_dedup_pipeline_roi_monotone_on_corpus(spark):
     assert rows[1].n_docs == rows[2].n_docs  # span removal rewrites, never drops
 
 
+def test_training_corpus_roi_conservation_and_monotonicity(spark):
+    """The flagship composition's invariants: doc counts never grow
+    through the drop stages, the scrub drops nothing, packing conserves
+    tokens EXACTLY (stage 6 tokens == stage 5 tokens — padding is
+    slack, not loss), the sequence count is the ceil-sum over shards,
+    and every non-empty stage carries a fingerprint."""
+    from data_engineering_individual_assignment_spark.plans.curation import (
+        training_corpus_roi,
+    )
+
+    rows = {
+        r.stage: r
+        for r in training_corpus_roi(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert list(rows) == [
+        "raw", "quality_gate", "pii_scrub", "exact_dedup", "decontam",
+        "mix_sample", "packing",
+    ]
+    # drop stages are monotone non-increasing in docs
+    order = ["raw", "quality_gate", "pii_scrub", "exact_dedup", "decontam",
+             "mix_sample"]
+    docs = [rows[s].n_docs for s in order]
+    assert docs == sorted(docs, reverse=True)
+    assert rows["pii_scrub"].n_docs == rows["quality_gate"].n_docs
+    # the mix gates must actually bite on the 4-source corpus
+    assert rows["mix_sample"].n_docs < rows["decontam"].n_docs
+    # token conservation through packing
+    assert rows["packing"].n_tokens == rows["mix_sample"].n_tokens
+    # sequences cover the tokens at 128/seq with < 64*127 total padding
+    seqs, toks = rows["packing"].n_docs, rows["packing"].n_tokens
+    assert seqs * 128 >= toks > (seqs - 64) * 128
+    assert all(r.corpus_fp for r in rows.values())
+
+
+def test_cross_modal_lsh_equals_exact_on_fixture_domain(spark):
+    """r11 switched cross_modal_dedup_agreement's embedding side from
+    the exact block-grid scorer to 12-plane hyperplane LSH on the claim
+    that the two are IDENTICAL on this domain (every >= 0.95 pair is an
+    exact planted clone, which collides at any signature width).  That
+    claim is data-dependent — pin it, so a fixture change that plants a
+    non-clone near-pair (which LSH can miss, flipping 'both' ->
+    'text_only') surfaces here instead of silently shifting audit
+    semantics."""
+    from data_engineering_individual_assignment_spark.operators import (
+        similarity as sim,
+    )
+    from data_engineering_individual_assignment_spark.plans.extensions import (
+        _cross_modal_domains,
+    )
+
+    _txts, embs = _cross_modal_domains(spark, "/root/testdata/sf0.001")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in sim.hyperplane_lsh_pairs(embs, num_planes=12, threshold=0.95)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(embs, threshold=0.95)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert lsh == exact
+    B = 1_000_000_000
+    # and the exact set is precisely the planted identical clones
+    assert exact == {(i, i + B) for i in range(5)} | {
+        (i, i + 3 * B) for i in range(10, 15)
+    }
+
+
 def test_cross_modal_dedup_agreement_planted_classes(spark):
     """The planted cross-modal domain is deterministic: ids <5 are
     cloned in BOTH modalities (exactly 5 'both' pairs), 10-14 are

@@ -22,3 +22,20 @@ def test_queries_and_oracles_align():
     assert set(oracles).issubset(set(qs))
     # the vast majority must carry an oracle (rows-only is the exception)
     assert len(oracles) >= 0.75 * len(qs)
+
+
+def test_catalog_registers_the_named_function():
+    """Every CATALOG entry's fn must BE the function named after the
+    query — a helper def inserted between @register and the query def
+    silently steals the decorator and registers the helper (the r12
+    cross_modal_dedup_agreement incident: unit tests importing the
+    function directly stayed green while the driver-facing catalog
+    entry returned a tuple)."""
+    from data_engineering_individual_assignment_spark import plans
+
+    mismatched = {
+        name: q.fn.__name__
+        for name, q in plans.CATALOG.items()
+        if q.fn.__name__ != name
+    }
+    assert not mismatched

@@ -901,6 +901,124 @@ def test_unigram_lm_train_coverage_and_determinism(spark):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+def test_viterbi_pandas_twin_agrees_with_expression_path(spark):
+    """The broadcast-dict mapInPandas inference twin must reproduce the
+    create_map-literal expression path EXACTLY — same segmentations,
+    same lexmin tie-breaks, same NULL-on-unsegmentable — on the real
+    sf0.001 trained table over the real word histogram (plus a planted
+    unsegmentable word)."""
+    from data_engineering_individual_assignment_spark.operators import (
+        unigram as U,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    table = U.unigram_train_table(docs)
+    lp = {p: m for p, _, m in table}
+    words = U.word_histogram(docs).select("word").unionAll(
+        spark.createDataFrame([("ßß",)], "word string")  # no piece covers it
+    )
+    expr = words.select(
+        "word", U.viterbi_path(F.col("word"), lp).alias("path")
+    )
+    pandas_twin = U.viterbi_segment_pandas(words, lp)
+    got_e = {r.word: r.path for r in expr.collect()}
+    got_p = {r.word: r.path for r in pandas_twin.collect()}
+    assert got_e == got_p
+    assert got_p["ßß"] is None
+    assert sum(p is not None for p in got_p.values()) == len(got_p) - 1
+
+
+def test_viterbi_pandas_twin_at_production_vocab_width(spark):
+    """The twin's reason to exist: a 32k-piece vocabulary, where the
+    expression path's create_map literal (64k expression children) is
+    not viable.  Verified against an INDEPENDENT exhaustive
+    segmentation argmax (score DESC, path ASC over every binary
+    split pattern) on sample words."""
+    import hashlib
+    import itertools
+
+    from data_engineering_individual_assignment_spark.operators import (
+        unigram as U,
+    )
+
+    alpha = "abcdefghijklmnop"  # 16**2 + 16**3 + 16**4 = 69,888 possible
+    lp = {c: -3_000_000 - 10_000 * i for i, c in enumerate(alpha)}
+    i = 0
+    while len(lp) < 32_768:
+        s = hashlib.md5(f"piece-{i}".encode()).hexdigest()
+        piece = "".join(alpha[int(c, 16)] for c in s[: 2 + i % 3])
+        lp.setdefault(piece, -1_000_000 - int(s[8:14], 16) % 2_000_000)
+        i += 1
+    words = [
+        "".join(
+            alpha[b % 16]
+            for b in hashlib.md5(f"w{k}".encode()).digest()[: 3 + k % 6]
+        )
+        for k in range(200)
+    ]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: r.path
+        for r in U.viterbi_segment_pandas(wdf, lp, max_piece_len=4).collect()
+    }
+
+    def exhaustive(word: str):
+        n = len(word)
+        best = None
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pos = [0] + [j + 1 for j, c in enumerate(cuts) if c] + [n]
+            pieces = [word[a:b] for a, b in zip(pos, pos[1:])]
+            if any(len(p) > 4 or p not in lp for p in pieces):
+                continue
+            score = sum(lp[p] for p in pieces)
+            key = (-score, "\x01".join(pieces))
+            if best is None or key < best:
+                best = key
+        return best[1] if best else None
+
+    for w in words:
+        assert got[w] == exhaustive(w), w
+
+
+def test_unigram_logp_micro_boundary_margin(spark, monkeypatch):
+    """The oracle comparison needs Spark's JVM Math.log and DuckDB's
+    libm ln to round to the SAME micro (they can differ by ~1 ulp).
+    Assert every (u+1)/tot ratio the sf0.001 training run actually
+    feeds through ln lands far (> 1e-4 micro) from a 0.5-micro rounding
+    boundary, so a last-ulp divergence can never flip a rounded value —
+    the latent-differential-flake concern made into a measured fact."""
+    import math
+
+    from data_engineering_individual_assignment_spark.operators import (
+        unigram as U,
+    )
+    from data_engineering_individual_assignment_spark.sources.readers import (
+        load_table,
+    )
+
+    recorded = []
+    orig = U._logp_micro_rows
+
+    def recording(spark_, rows):
+        recorded.append(list(rows))
+        return orig(spark_, rows)
+
+    monkeypatch.setattr(U, "_logp_micro_rows", recording)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    U.unigram_train_table(docs)
+    assert recorded  # seed table + one per EM round
+    worst = 1.0
+    for rows in recorded:
+        tot = float(sum(u for _, u in rows) + len(rows))
+        for _piece, u in rows:
+            y = math.log((u + 1) / tot) * 1e6
+            worst = min(worst, abs((y - math.floor(y)) - 0.5))
+    assert worst > 1e-4, worst
+
+
 def test_wordpiece_train_agrees_with_pure_python_reference(spark):
     """The WordPiece trainer must reproduce a plain-Python reference
     (likelihood ranking + exact greedy merges) on a crafted corpus
