@@ -940,8 +940,17 @@ def image_near_dup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # corpus-scaled (no id cap): one base asset per document plus the
     # planted variant — the whole fixture replicates with the corpus,
-    # so the scale sweep measures the operator, not a literal cap
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # so the scale sweep measures the operator, not a literal cap.
+    # Repartition the NARROW id relation to cores before the
+    # Python-heavy synth/decode stage: a small parquet ships as one
+    # split, which would serialize the per-asset work onto one core
+    # (8 bytes/row shuffled here vs payload bytes, which never move);
+    # production payload scans arrive pre-split across many files.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         for pdf in batches:
