@@ -193,6 +193,7 @@ def phash_near_pairs(
     num_bands: int = 4,
     hash_col: str = "phash",
     id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All pairs within ``max_hamming`` of each other by Multi-Index
     Hashing over a 64-bit hash column, entirely JVM-side.
@@ -210,6 +211,10 @@ def phash_near_pairs(
     volume on uniform keys).
 
     Returns (doc_a, doc_b, hamming:int), doc_a < doc_b, exact + total.
+    ``group_cols`` restricts pairing to rows sharing those columns
+    (e.g. a video signature relation pairs per ``frame_idx``) and
+    prepends them to the output — with the default empty tuple the
+    plan is byte-identical to the ungrouped form.
     """
     assert 64 % num_bands == 0, "num_bands must divide 64"
     band_bits = 64 // num_bands
@@ -219,8 +224,16 @@ def phash_near_pairs(
         f"radius {radius}; use more bands or a wider hash"
     )
     mask = (1 << band_bits) - 1
-    base = hashes.select(
-        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h")
+    gcols = list(group_cols)
+    from .dedup import _persist
+
+    # the slim (id, hash) relation feeds both the probe and the exact
+    # side of the self-join; persist it so the decode+hash scan
+    # upstream runs once (payload bytes are never cached)
+    base = _persist(
+        hashes.select(
+            F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h"), *gcols
+        )
     )
 
     def band_key(i: int):
@@ -229,6 +242,7 @@ def phash_near_pairs(
     exacts = base.select(
         "doc_id",
         "h",
+        *gcols,
         F.explode(
             F.array(
                 *[
@@ -237,13 +251,14 @@ def phash_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "h", "bk.band", "bk.key")
+    ).select("doc_id", "h", *gcols, "bk.band", "bk.key")
     if radius == 0:
         probes = exacts
     else:
         probes = base.select(
             "doc_id",
             "h",
+            *gcols,
             F.explode(
                 F.array(
                     *[
@@ -260,19 +275,22 @@ def phash_near_pairs(
                     ]
                 )
             ).alias("bk"),
-        ).select("doc_id", "h", "bk.band", "bk.key")
+        ).select("doc_id", "h", *gcols, "bk.band", "bk.key")
     # the flip relation is symmetric, so requiring probe-side id <
     # exact-side id still sees every qualifying pair exactly once per
     # colliding (band, key)
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for g in gcols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
     return (
         probes.alias("a")
-        .join(
-            exacts.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        .join(exacts.alias("b"), cond)
         .select(
+            *[F.col(f"a.{g}") for g in gcols],
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
@@ -282,3 +300,158 @@ def phash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: per-sampled-frame dHash signatures + aligned near-dup pairs
+# ---------------------------------------------------------------------------
+def video_dhash_signatures(
+    df: DataFrame,
+    every_k: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    algo: str = "dhash",
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes over a binary video column
+    (the length-prefixed PNGV/MJPG container
+    ``multimodal.sample_video_frames`` walks): parse the container,
+    decode frames 0, k, 2k, ... with the real PNG/JPEG codecs, and
+    emit (doc_id, frame_idx, phash bigint, decode_ok) rows — the video
+    analog of ``image_phash``.  Frames that are NOT sampled are never
+    decoded (the length prefixes let the parser skip their bytes), so
+    decode cost is proportional to sampled frames while I/O stays one
+    container scan — the frame-sampling economics that make video
+    fingerprinting viable at 100 TB.  Corrupt containers degrade to a
+    single flagged row; no shuffle, payload bytes never leave their
+    executor."""
+    import struct
+
+    import pandas as pd
+
+    from .multimodal import _MJPG_MAGIC, _VID_MAGIC, decode_image
+
+    hash_fn = {"dhash": dhash64_gray, "ahash": ahash64_gray}[algo]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, frames, hashes, oks = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                doc_id = int(doc_id)
+                try:
+                    buf = bytes(payload)
+                    if buf[:4] not in (_VID_MAGIC, _MJPG_MAGIC):
+                        raise ValueError("bad container magic")
+                    (n,) = struct.unpack(">I", buf[4:8])
+                    pos = 8
+                    for i in range(n):
+                        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+                        pos += 4
+                        frame = buf[pos : pos + ln]
+                        pos += ln
+                        if i % every_k:
+                            continue  # skipped frames are never decoded
+                        ids.append(doc_id)
+                        frames.append(i)
+                        hashes.append(hash_fn(luma_plane(decode_image(frame))))
+                        oks.append(True)
+                except Exception:
+                    ids.append(doc_id)
+                    frames.append(None)
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(frames, dtype="Int32"),
+                    "phash": pd.Series(hashes, dtype="Int64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema="doc_id bigint, frame_idx int, phash bigint, "
+        "decode_ok boolean",
+    )
+
+
+def video_near_dup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 7,
+    min_frac: float = 0.8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate video pairs from a signature relation
+    (doc_id, frame_idx, phash): per-frame Multi-Index-Hashing pairs
+    (``phash_near_pairs`` grouped by frame_idx — the hamming<=
+    ``max_hamming`` guarantee holds per frame), then a video pair is
+    kept iff the matched-frame count covers >= ``min_frac`` of the
+    LONGER signature (max of the two docs' sampled-frame counts, so a
+    short clip cannot trivially cover a long one).
+
+    Returns (doc_a, doc_b, n_matched int, match_frac, mean_hamming),
+    doc_a < doc_b, fractions rounded to 6/2 dp.  Aligned-position
+    matching (frame i vs frame i) — the time-shifted variant is the
+    same join keyed on (frame_idx - offset) per candidate offset,
+    which production would bound by a coarse container-duration
+    prefilter."""
+    from .dedup import _persist
+
+    # the slim signature relation feeds three plan branches (MIH probe
+    # + exact sides and the per-doc frame counts); persist it so the
+    # frame decode scan upstream runs once (the payload relation is
+    # never cached)
+    base = _persist(
+        sigs.where(F.col("phash").isNotNull()).select(
+            "doc_id", "frame_idx", "phash"
+        )
+    )
+    frame_pairs = phash_near_pairs(
+        base,
+        max_hamming=max_hamming,
+        num_bands=num_bands,
+        group_cols=("frame_idx",),
+    )
+    counts = base.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    agg = frame_pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("int").alias("n_matched"),
+        F.round(F.avg("hamming"), 2).alias("mean_hamming"),
+    )
+    return (
+        agg.join(
+            counts.withColumnsRenamed(
+                {"doc_id": "doc_a", "n_frames": "n_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            counts.withColumnsRenamed(
+                {"doc_id": "doc_b", "n_frames": "n_b"}
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "match_frac",
+            F.round(
+                F.col("n_matched") / F.greatest("n_a", "n_b"), 6
+            ),
+        )
+        .filter(F.col("match_frac") >= min_frac)
+        .select("doc_a", "doc_b", "n_matched", "match_frac", "mean_hamming")
+    )
+
+
+def build_video_container(frames: list[bytes]) -> bytes:
+    """Length-prefixed video container from already-encoded frame
+    payloads (PNG and/or JPEG, mixed freely — decode dispatches per
+    frame): magic | u32 n_frames | (u32 len | frame_bytes)*.  The
+    general-content twin of ``multimodal.synth_png_video_bytes`` /
+    ``synth_mjpeg_video_bytes`` (which emit solid-color frames only)."""
+    import struct
+
+    from .multimodal import _VID_MAGIC
+
+    out = bytearray(_VID_MAGIC + struct.pack(">I", len(frames)))
+    for frame in frames:
+        out += struct.pack(">I", len(frame)) + frame
+    return bytes(out)

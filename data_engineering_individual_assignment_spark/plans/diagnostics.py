@@ -1163,3 +1163,203 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method", "src_w", "src_h")
     )
+
+
+@register(
+    "audio_near_dup_fingerprint",
+    sql=None,  # rFFT band energies are not SQL-expressible; the planted
+    # pair set (gain-scaled / noise-added / gain+noise clones pair,
+    # distinct material does not) and the pure-float gain-invariance
+    # ANALYTIC truth (BER exactly 0) are pinned in
+    # tests/test_audiofp.py, and the probe-join candidate machinery is
+    # differentially tested against a brute-force all-pairs BER scan
+    doc="Perceptual audio near-dup (the audio-content modality of the "
+    "dedup lattice): one 0.5 s broadband md5-keyed clip per document "
+    "(48 amplitude-modulated sinusoids, operators/audiofp.synth_audio) "
+    "encoded as a REAL 16-bit mono PCM WAV, with a planted "
+    "near-duplicate for 3 of every 4 docs — gain 0.8x (band-energy "
+    "difference SIGNS are invariant under gain: BER 0 in pure float, "
+    "<= 0.003 through int16 quantization), additive md5 noise at "
+    "-38 dB (BER <= 0.022, >= 10 of 13 frames within 1 bit), or gain "
+    "1.2x + noise.  Clips are fingerprinted Haitsma-Kalker style "
+    "(ISMIR 2002) in Arrow-batched mapInPandas — Hann-windowed rFFT, "
+    "33 log-spaced bands over 300-2000 Hz, one 32-bit sub-fingerprint "
+    "per frame from time-frequency difference signs — then paired by "
+    "the paper's search step as an equi-join: exact (frame, subfp) "
+    "match with exhaustive 1-bit probe enumeration (33 keys/frame), "
+    "aligned bit-error-rate verification on candidates only.  "
+    "Decode+FFT shuffles nothing; only the (id, frame, int32) "
+    "relation enters the join.  Distinct material sits at BER >= "
+    "0.39 vs the 0.25 threshold.",
+)
+def audio_near_dup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..operators import dedup
+    from ..operators.audiofp import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        encode_wav,
+        synth_audio,
+        synth_noise,
+    )
+
+    # corpus-scaled (no id cap), ids repartitioned to cores before the
+    # Python-heavy synth/FFT stage (see image_near_dup_phash note)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                x = synth_audio(d) * 0.4  # peak <= 0.21 incl. 1.2x gain
+                ids.append(d * 10)
+                payloads.append(encode_wav(x))
+                v = d % 4
+                if v == 1:  # pure gain: difference signs invariant
+                    ids.append(d * 10 + 1)
+                    payloads.append(encode_wav(0.8 * x))
+                elif v == 2:  # additive broadband noise at -38 dB
+                    ids.append(d * 10 + 2)
+                    payloads.append(
+                        encode_wav(x + 0.4 * synth_noise(d, len(x), 0.005))
+                    )
+                elif v == 3:  # gain + gentler noise
+                    ids.append(d * 10 + 3)
+                    payloads.append(
+                        encode_wav(
+                            1.2 * x
+                            + 0.4 * synth_noise(d + 9999, len(x), 0.003)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    clips = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    fps = audio_fingerprints(clips)
+    pairs = audio_near_dup_pairs(fps, max_ber=0.25)
+    # persist the (tiny) pair result before the presentation sort (a
+    # global orderBy samples its child for range partitioning, which
+    # would re-execute the decode+FFT+join tail)
+    return dedup._persist(
+        pairs.select("doc_a", "doc_b", "n_frames", "exact_matches", "ber")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "video_near_dup_signature",
+    sql=None,  # PNG/JPEG frame decode is not SQL-expressible; the
+    # planted pair set (brightness-shifted / per-frame-JPEG-re-encoded /
+    # both clones pair, distinct videos do not) is pinned against local
+    # reference signatures in tests/test_videofp.py, and the grouped
+    # MIH join is differentially tested against brute force there
+    doc="Perceptual video near-dup (the temporal modality of the dedup "
+    "lattice, composing the image family with the frame-sampling "
+    "economics): one 6-frame 32x32 video per document — smooth "
+    "md5-keyed textures per frame in the length-prefixed container "
+    "operators/multimodal.sample_video_frames walks — with a planted "
+    "near-duplicate for 3 of every 4 docs: brightness-shifted (+12, "
+    "dHash-identical frames), per-frame REAL JPEG 4:2:0 re-encode "
+    "(<= 4 bits/frame measured over 300 textures), or both.  Frames "
+    "0/2/4 are sampled (unsampled frames are never decoded — the "
+    "container's length prefixes let the parser skip their bytes, the "
+    "economics that make video fingerprinting viable at 100 TB), "
+    "dHashed per frame, paired per frame by grouped Multi-Index "
+    "Hashing, and a video pair is kept iff matched frames cover >= "
+    "0.8 of the longer signature.  Distinct textures sit >= 20 bits "
+    "apart per frame vs the 7-bit threshold.",
+)
+def video_near_dup_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import dedup
+    from ..operators.imagehash import (
+        build_video_container,
+        synth_texture_gray,
+        video_dhash_signatures,
+        video_near_dup_pairs,
+    )
+    from ..operators.multimodal import encode_jpeg_planes, encode_png_gray
+
+    # corpus-scaled (no id cap), ids repartitioned to cores before the
+    # Python-heavy synth/decode stage (see image_near_dup_phash note)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    N_FRAMES, SIZE = 6, 32
+
+    def synth(batches):
+        def jpeg(g):
+            return encode_jpeg_planes(
+                [g, np.full_like(g, 128.0), np.full_like(g, 128.0)],
+                SIZE,
+                SIZE,
+                subsample=True,
+            )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grays = [
+                    synth_texture_gray(d * 100 + i, SIZE)
+                    for i in range(N_FRAMES)
+                ]
+                ids.append(d * 10)
+                payloads.append(
+                    build_video_container([encode_png_gray(g) for g in grays])
+                )
+                v = d % 4
+                if v == 1:  # brightness shift: dHash-identical frames
+                    ids.append(d * 10 + 1)
+                    payloads.append(
+                        build_video_container(
+                            [encode_png_gray(g + 12.0) for g in grays]
+                        )
+                    )
+                elif v == 2:  # real per-frame JPEG 4:2:0 re-encode
+                    ids.append(d * 10 + 2)
+                    payloads.append(
+                        build_video_container([jpeg(g) for g in grays])
+                    )
+                elif v == 3:  # brightness + JPEG
+                    ids.append(d * 10 + 3)
+                    payloads.append(
+                        build_video_container(
+                            [jpeg(g + 12.0) for g in grays]
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    vids = docs.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    sigs = video_dhash_signatures(vids, every_k=2)
+    pairs = video_near_dup_pairs(sigs, max_hamming=7, min_frac=0.8)
+    # persist the (tiny) pair result before the presentation sort (a
+    # global orderBy samples its child for range partitioning, which
+    # would re-execute the decode+hash+join tail)
+    return dedup._persist(
+        pairs.select(
+            F.col("doc_a").alias("video_a"),
+            F.col("doc_b").alias("video_b"),
+            "n_matched",
+            "match_frac",
+            "mean_hamming",
+        )
+    ).orderBy("video_a", "video_b")
