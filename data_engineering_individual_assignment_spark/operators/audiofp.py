@@ -283,7 +283,10 @@ def audio_near_dup_pairs(
                 )
             ).alias("subfp"),
         )
-    cand = (
+    # the candidate pair set feeds three plan branches (both semi-join
+    # doc filters and the aligned join itself) — persist it too, or
+    # the 33x-explode probe join + distinct re-executes per branch
+    cand = _persist(
         probes.alias("a")
         .join(
             base.alias("b"),

@@ -194,6 +194,7 @@ def phash_near_pairs(
     hash_col: str = "phash",
     id_col: str = "doc_id",
     group_cols: tuple[str, ...] = (),
+    persist: bool = True,
 ) -> DataFrame:
     """All pairs within ``max_hamming`` of each other by Multi-Index
     Hashing over a 64-bit hash column, entirely JVM-side.
@@ -229,12 +230,14 @@ def phash_near_pairs(
 
     # the slim (id, hash) relation feeds both the probe and the exact
     # side of the self-join; persist it so the decode+hash scan
-    # upstream runs once (payload bytes are never cached)
-    base = _persist(
-        hashes.select(
-            F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h"), *gcols
-        )
+    # upstream runs once (payload bytes are never cached).  Callers
+    # that already persisted the input pass persist=False to avoid
+    # double-caching the same rows.
+    base = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("h"), *gcols
     )
+    if persist:
+        base = _persist(base)
 
     def band_key(i: int):
         return F.shiftright("h", i * band_bits).bitwiseAND(F.lit(mask))
@@ -321,9 +324,11 @@ def video_dhash_signatures(
     decoded (the length prefixes let the parser skip their bytes), so
     decode cost is proportional to sampled frames while I/O stays one
     container scan — the frame-sampling economics that make video
-    fingerprinting viable at 100 TB.  Corrupt containers degrade to a
-    single flagged row; no shuffle, payload bytes never leave their
-    executor."""
+    fingerprinting viable at 100 TB.  An unparseable CONTAINER degrades
+    to a single (doc_id, NULL, NULL, false) row; a corrupt individual
+    FRAME degrades to its own flagged row while the remaining frames
+    still decode (a one-frame glitch must not truncate the signature).
+    No shuffle; payload bytes never leave their executor."""
     import struct
 
     import pandas as pd
@@ -337,6 +342,12 @@ def video_dhash_signatures(
             ids, frames, hashes, oks = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 doc_id = int(doc_id)
+                # decode into a local list first, appending to the
+                # output columns only complete rows: a mid-loop
+                # exception between appends would leave the columns
+                # ragged (pandas index-aligns unequal Series into a
+                # phantom NULL-flagged row) and truncate the signature
+                rows: list[tuple] = []
                 try:
                     buf = bytes(payload)
                     if buf[:4] not in (_VID_MAGIC, _MJPG_MAGIC):
@@ -350,15 +361,19 @@ def video_dhash_signatures(
                         pos += ln
                         if i % every_k:
                             continue  # skipped frames are never decoded
-                        ids.append(doc_id)
-                        frames.append(i)
-                        hashes.append(hash_fn(luma_plane(decode_image(frame))))
-                        oks.append(True)
+                        try:
+                            h = hash_fn(luma_plane(decode_image(frame)))
+                            rows.append((i, h, True))
+                        except Exception:
+                            # one bad frame: flag it, keep decoding
+                            rows.append((i, None, False))
                 except Exception:
+                    rows = [(None, None, False)]
+                for frame_idx, h, ok in rows:
                     ids.append(doc_id)
-                    frames.append(None)
-                    hashes.append(None)
-                    oks.append(False)
+                    frames.append(frame_idx)
+                    hashes.append(h)
+                    oks.append(ok)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -411,6 +426,7 @@ def video_near_dup_pairs(
         max_hamming=max_hamming,
         num_bands=num_bands,
         group_cols=("frame_idx",),
+        persist=False,  # base is already cached above
     )
     counts = base.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
     agg = frame_pairs.groupBy("doc_a", "doc_b").agg(

@@ -1781,7 +1781,11 @@ def training_corpus_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit(6).cast("int").alias("stage_ord"),
         F.lit("packing").alias("stage"),
-        "n_docs",
+        # n_docs rides a SUM leg here (sequences, not rows), which is
+        # NULL over zero rows — but the oracle's stage row coalesces
+        # n_docs to 0 (and leaves n_tokens plain sum = NULL), so match
+        # that exactly for the all-docs-dropped corpus
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
         "n_tokens",
         "corpus_fp",
     )

@@ -237,3 +237,33 @@ def test_catalog_query_planted_pairs_exact(spark):
     assert got == expect
     assert len(expect) == planted  # 100% planted recall at these margins
     assert all(a < b for a, b in got)
+
+
+def test_corrupt_frame_flags_but_does_not_truncate(spark):
+    """A corrupt individual frame inside a VALID container flags its own
+    row and the remaining frames still decode (regression: appending
+    columns mid-loop left the output ragged — pandas index-aligned the
+    unequal Series into a phantom decode_ok=NULL row and every frame
+    after the first bad one was silently dropped, truncating the
+    signature that video_near_dup_pairs divides by)."""
+    import pandas as pd
+
+    grays = _grays(3)
+    frames = [encode_png_gray(g) for g in grays]
+    frames[2] = b"corrupt frame bytes"  # sampled (0, 2, 4): middle one
+    payload = build_video_container(frames)
+    pdf = pd.DataFrame([(7, payload)], columns=["doc_id", "payload"])
+    rows = sorted(
+        video_dhash_signatures(
+            spark.createDataFrame(pdf), every_k=EVERY_K
+        ).collect(),
+        key=lambda r: (r.frame_idx is None, r.frame_idx),
+    )
+    assert [(r.frame_idx, r.decode_ok) for r in rows] == [
+        (0, True),
+        (2, False),
+        (4, True),
+    ]
+    assert rows[1].phash is None
+    good = _local_signature(build_video_container([encode_png_gray(g) for g in grays]))
+    assert rows[0].phash == good[0] and rows[2].phash == good[4]
