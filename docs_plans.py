@@ -97,6 +97,21 @@ SHOW = {
     "corpus side reduced to a DISTINCT digest aggregate, one left_anti "
     "equi-join on the 16-byte digest — no text column survives past "
     "the generator on either side.",
+    "training_corpus_roi": "The full curator composition (quality -> "
+    "PII -> dedup -> decontam -> mix -> pack): every stage is a "
+    "filter/window/equi-join over the one documents scan, the "
+    "benchmark side broadcasts, and the six stage summaries are "
+    "64-shard fingerprint aggregates (partial+final) unioned into a "
+    "7-row result — no corpus-level collect_list, no cross join, "
+    "nothing corpus-sized ever sorts.",
+    "image_near_dup_phash": "Perceptual image dedup — shown: the MIH "
+    "pairing plan over the hash relation (the catalog query's own "
+    "visible plan is just the persisted 374-row pair result behind its "
+    "presentation sort, so the evidence that matters is the join "
+    "below).  The decode+hash mapInPandas emits only (id, int64) — "
+    "payload bytes never enter an exchange; banding is a generator "
+    "explode + equi-join on (band, key) with bit_count verify; no "
+    "BroadcastNestedLoopJoin, no all-pairs operator anywhere.",
 }
 
 
@@ -130,7 +145,31 @@ def main() -> None:
         vocab = char_vocab(load_table(spark, sf_dir, "documents"), "text")
         return best_pair(vocab.select("cnt", "syms"))
 
-    OVERRIDE = {"bpe_train_merges": bpe_round1}
+    def mih_pairs(sf_dir: str):
+        # the catalog query returns the PERSISTED pair result (an
+        # InMemoryTableScan); the plan evidence that matters is the
+        # Multi-Index-Hashing join itself, shown over the hash
+        # relation the decode stage emits
+        from pyspark.sql import functions as F
+
+        from data_engineering_individual_assignment_spark.operators.imagehash import (
+            phash_near_pairs,
+        )
+        from data_engineering_individual_assignment_spark.sources.readers import (
+            load_table,
+        )
+
+        # hash collisions planted (doc_id % 25) so AQE does not
+        # collapse the zero-pair result to an EmptyRelation and the
+        # realistic final join plan survives into the doc
+        hashes = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .withColumn("phash", F.xxhash64(F.col("doc_id") % 25))
+        )
+        return phash_near_pairs(hashes, max_hamming=7, persist=False)
+
+    OVERRIDE = {"bpe_train_merges": bpe_round1, "image_near_dup_phash": mih_pairs}
 
     for name, note in SHOW.items():
         build = OVERRIDE.get(name, plans.CATALOG[name].fn)
