@@ -963,7 +963,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("nt"),
         F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("ns"),
     )
-    return base.select(
+    stats = base.select(
         "doc_id",
         "lang",
         F.col("nt").cast("int").alias("n_tokens"),
@@ -975,7 +975,16 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stop_ratio"),
         "n_chars",
-    ).orderBy("doc_id")
+    )
+    # persist the NARROW stats before the presentation sort: with no
+    # exchange between the scan and the orderBy, the range partitioner's
+    # sampling job re-executes the whole tokenize pass (the same
+    # re-execution class as the r11 near_dup_pairs finding — there it
+    # was the verify tail, here the map stage itself).  Cached, the
+    # sampling pass reads ~40-byte stat rows instead of re-tokenizing
+    # the corpus: one tokenize pass instead of two at ANY scale
+    # (measured 0.65 -> 0.55 s at sf0.1).
+    return dedup._persist(stats).orderBy("doc_id")
 
 
 @register(
@@ -1159,6 +1168,12 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts", right_ts="o_orderdate",
         left_by="user_id", right_by="o_custkey",
         left_id="event_id", tie_break="o_orderkey",
+        # carry only the two consumed columns through the union-merge
+        # window (guide §2.3 "project before the exchange"): without
+        # this the __r struct packs all six orders columns — including
+        # the two STRING columns this query never reads — into the
+        # shuffle and the per-key sort (ReadSchema 6 cols -> 4)
+        right_cols=["o_orderkey", "o_totalprice"],
     )
     return joined.select(
         "event_id",
@@ -1202,6 +1217,9 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_by="user_id", right_by="o_custkey",
         left_id="event_id", tie_break="o_orderkey",
         tolerance="9000 DAYS",
+        # same payload pruning as asof_join_events_orders (r12): only
+        # these two columns are consumed downstream
+        right_cols=["o_orderkey", "o_totalprice"],
     )
     return joined.select(
         "event_id",

@@ -39,3 +39,24 @@ def test_catalog_registers_the_named_function():
         if q.fn.__name__ != name
     }
     assert not mismatched
+
+
+def test_load_table_schema_cache(spark):
+    """The r12 schema cache: the second load of a path must take the
+    explicit-schema fast path and produce an identical schema AND
+    identical rows (covers the events nanos->micros rewrite, whose
+    dtype check must see the same bigint on both paths)."""
+    from data_engineering_individual_assignment_spark.sources import readers
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("events", "nation"):
+        readers._SCHEMA_CACHE.pop(
+            (id(spark), f"{sf}/{name}.parquet"), None
+        )
+        first = readers.load_table(spark, sf, name)
+        assert (id(spark), f"{sf}/{name}.parquet") in readers._SCHEMA_CACHE
+        second = readers.load_table(spark, sf, name)
+        assert first.schema == second.schema
+        a = sorted(map(str, first.limit(50).collect()))
+        b = sorted(map(str, second.limit(50).collect()))
+        assert a == b
