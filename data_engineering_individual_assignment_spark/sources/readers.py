@@ -68,6 +68,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division: `/` would go through double, whose 53-bit
         # mantissa can't hold epoch-nanos and drifts the result ±1µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Python-side tag for operators/dedup._spread: lets the partition-
+    # count probe (df.rdd.getNumPartitions() = a full plan->RDD
+    # conversion, ~120 ms of driver time per call) be memoized per
+    # (session, path).  A perf heuristic key only — never used for
+    # correctness.
+    df._dei_nparts_key = (id(spark), path)
     return df
 
 
