@@ -976,15 +976,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("stop_ratio"),
         "n_chars",
     )
-    # persist the NARROW stats before the presentation sort: with no
-    # exchange between the scan and the orderBy, the range partitioner's
-    # sampling job re-executes the whole tokenize pass (the same
-    # re-execution class as the r11 near_dup_pairs finding — there it
-    # was the verify tail, here the map stage itself).  Cached, the
-    # sampling pass reads ~40-byte stat rows instead of re-tokenizing
-    # the corpus: one tokenize pass instead of two at ANY scale
-    # (measured 0.65 -> 0.55 s at sf0.1).
-    return dedup._persist(stats).orderBy("doc_id")
+    # NOTE (r12): the trailing global orderBy's range sampler executes
+    # the tokenize pass a second time (no exchange bounds it).  A
+    # persist-before-sort variant was A/B-tested repeatedly; on this
+    # corpus the spillable cache build costs as much as the second map
+    # pass (interleaved medians 0.45 persist vs 0.42 plain), so the
+    # plain sort stays.  The pattern only pays when the sort input is
+    # tiny relative to its child's cost (near_dup_pairs' pair table,
+    # dedup_pipeline_roi's 4-row stage table).
+    return stats.orderBy("doc_id")
 
 
 @register(
