@@ -28,11 +28,16 @@ At 100 TB: decode+FFT is a per-asset Arrow-batched mapInPandas (no
 shuffle, payload bytes never leave their executor); only the slim
 (id, frame, int32) relation enters the join; the verify leg is a
 partial-aggregated groupBy over candidate-restricted frames.  Skew
-caveat, documented rather than hidden: degenerate corpora (silence,
-test tones) concentrate a few hub sub-fingerprints; production runs cap
+guard (r13, guide §2.5): degenerate corpora (silence, test tones)
+concentrate a few hub sub-fingerprints whose posting lists explode the
+probe join ~|docs|² × 33; ``audio_near_dup_pairs`` therefore caps
 posting lists the way the Jaccard family's rare-shingle prefix filter
-does (drop subfps whose document frequency exceeds a cap — a filter on
-a count aggregate, not new machinery).
+does — a count aggregate over (frame_idx, subfp) drops keys whose
+document frequency exceeds ``max_dfreq`` from the candidate join's
+build side.  Verification is untouched, so every pair still found
+keeps its exact BER; the default cap is far above any non-degenerate
+corpus's collision rate (random 32-bit sub-fingerprints), so normal
+outputs are bit-identical with or without the guard.
 
 The reference has no audio operators (its media handling is YouTube
 *metadata* rows only, e.g. Video_Data extraction at
@@ -186,7 +191,15 @@ def audio_fingerprints(
     Arrow-batched mapInPandas.  Corrupt payloads degrade to a single
     (doc_id, NULL, NULL) row flagged decode_ok=false — one bad asset
     must not kill a 100 TB scan.  No shuffle; payload bytes never
-    leave their executor."""
+    leave their executor.
+
+    The FFT is batched ACROSS documents (r13, guide §4.2/§4.5): every
+    decoded clip's Hann-windowed frames are stacked into ONE matrix per
+    (batch, sample-rate) group and transformed with a single ``rfft``
+    call, and the per-batch constants (Hann window, band-edge bins per
+    sample rate) are hoisted to once-per-task state.  Each row's
+    transform is independent, so the stacked results are bit-identical
+    to the per-doc ``subfingerprints`` reference the tests pin."""
     import io
     import wave
 
@@ -194,8 +207,13 @@ def audio_fingerprints(
     import pandas as pd
 
     def gen(batches):
+        hann = np.hanning(FRAME)
+        edges_by_sr: dict[int, np.ndarray] = {}
         for pdf in batches:
             ids, frames, fps, oks = [], [], [], []
+            # decode pass: per-doc container parse (unavoidable), clips
+            # grouped by sample rate for the stacked transform
+            by_sr: dict[int, list[tuple[int, np.ndarray]]] = {}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 doc_id = int(doc_id)
                 try:
@@ -206,16 +224,49 @@ def audio_fingerprints(
                         raw = w.readframes(w.getnframes())
                     x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                     x /= 32767.0
-                    for t, sub in enumerate(subfingerprints(x, sr)):
-                        ids.append(doc_id)
-                        frames.append(t)
-                        fps.append(sub)
-                        oks.append(True)
+                    if len(x) >= FRAME + HOP:  # else: zero subfps, no rows
+                        by_sr.setdefault(int(sr), []).append((doc_id, x))
                 except Exception:
                     ids.append(doc_id)
                     frames.append(None)
                     fps.append(None)
                     oks.append(False)
+            # FFT pass: one stacked rfft + band-sum per sample-rate group
+            for sr, clips in by_sr.items():
+                edges = edges_by_sr.get(sr)
+                if edges is None:
+                    edges = edges_by_sr[sr] = _band_edges(FRAME, sr)
+                mats, bounds, off = [], [], 0
+                for _doc_id, x in clips:
+                    n_frames = 1 + (len(x) - FRAME) // HOP
+                    idx = (
+                        np.arange(FRAME)[None, :]
+                        + HOP * np.arange(n_frames)[:, None]
+                    )
+                    mats.append(x[idx])
+                    bounds.append((off, off + n_frames))
+                    off += n_frames
+                stacked = np.concatenate(mats, axis=0) * hann[None, :]
+                power = np.abs(np.fft.rfft(stacked, axis=1)) ** 2
+                energy = np.stack(
+                    [
+                        power[:, edges[m] : max(edges[m + 1], edges[m] + 1)].sum(
+                            axis=1
+                        )
+                        for m in range(N_BANDS)
+                    ],
+                    axis=1,
+                )
+                diff = energy[:, :-1] - energy[:, 1:]  # (total_frames, 32)
+                shifts = np.arange(32, dtype=np.int64)
+                for (doc_id, _x), (s, e) in zip(clips, bounds):
+                    bits = (diff[s + 1 : e] - diff[s : e - 1]) > 0.0
+                    packed = (bits.astype(np.int64) << shifts).sum(axis=1)
+                    for t, v in enumerate(packed):
+                        ids.append(doc_id)
+                        frames.append(t)
+                        fps.append(_to_signed32(int(v)))
+                        oks.append(True)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -231,7 +282,10 @@ def audio_fingerprints(
 
 
 def audio_near_dup_pairs(
-    fps: DataFrame, max_ber: float = 0.25, probe_bits: int = 1
+    fps: DataFrame,
+    max_ber: float = 0.25,
+    probe_bits: int = 1,
+    max_dfreq: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate audio pairs from a sub-fingerprint relation
     (doc_id, frame_idx, subfp): candidates are doc pairs sharing at
@@ -250,7 +304,16 @@ def audio_near_dup_pairs(
     doc_a < doc_b, ber rounded to 6 dp.  Entirely JVM-side after the
     fingerprint scan; the verify join is candidate-restricted (a
     semi-join reduces each side to candidate docs before the aligned
-    frame join)."""
+    frame join).
+
+    ``max_dfreq`` is the hub-key skew guard (module docstring): keys
+    shared by more than that many documents are dropped from the
+    candidate join's BUILD side (an anti-join against a tiny count-
+    aggregate hub list), bounding the join fan-out by max_dfreq per
+    key instead of |corpus|.  A pair discoverable ONLY via hub keys is
+    skipped — the documented trade on degenerate corpora; keys that
+    common carry no discriminative signal (a silence frame matches
+    every silent doc).  ``None`` disables the guard."""
     assert probe_bits in (0, 1), "probe_bits > 1 explodes 529x; use 0 or 1"
     from .dedup import _persist
 
@@ -283,13 +346,31 @@ def audio_near_dup_pairs(
                 )
             ).alias("subfp"),
         )
+    # hub-key posting-list cap (module docstring / guide §2.5): the
+    # candidate join's build side drops (frame_idx, subfp) keys whose
+    # document frequency exceeds max_dfreq.  The hub list is a count
+    # aggregate over the already-persisted base — metadata-sized (keys
+    # above the cap are by construction few) — and broadcast for an
+    # anti hash join that never shuffles base.
+    if max_dfreq is not None:
+        hubs = (
+            base.groupBy("frame_idx", "subfp")
+            .agg(F.count("*").alias("dfreq"))
+            .filter(F.col("dfreq") > max_dfreq)
+            .select("frame_idx", "subfp")
+        )
+        build = base.join(
+            F.broadcast(hubs), ["frame_idx", "subfp"], "left_anti"
+        )
+    else:
+        build = base
     # the candidate pair set feeds three plan branches (both semi-join
     # doc filters and the aligned join itself) — persist it too, or
     # the 33x-explode probe join + distinct re-executes per branch
     cand = _persist(
         probes.alias("a")
         .join(
-            base.alias("b"),
+            build.alias("b"),
             (F.col("a.frame_idx") == F.col("b.frame_idx"))
             & (F.col("a.subfp") == F.col("b.subfp"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

@@ -58,6 +58,11 @@ def compact_parquet(
     n_files = max(1, math.ceil(_dir_bytes(src) / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    # the rewrite changed dst's layout (and possibly schema): drop any
+    # cached metadata a prior load_table of dst left behind
+    from ..sources.readers import invalidate_table
+
+    invalidate_table(spark, dst)
     return n_files
 
 
@@ -152,6 +157,11 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    # the rewrite changed path's layout: drop any cached metadata a
+    # prior load_table of it left behind
+    from ..sources.readers import invalidate_table
+
+    invalidate_table(df.sparkSession, path)
 
 
 def _reject_non_relative(files) -> None:
@@ -284,6 +294,12 @@ def targeted_delete(
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+    if touched:
+        # in-place rewrites changed the table's file layout: drop any
+        # cached metadata a prior load_table of this path left behind
+        from ..sources.readers import invalidate_table
+
+        invalidate_table(spark, path)
     return {
         "files_total": len(manifest),
         "files_rewritten": len(touched),

@@ -15,6 +15,7 @@ pushed filters appear in the scan node (verify with ``.explain("formatted")``).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,18 +35,47 @@ TESTDATA_TABLES = (
 )
 
 
-# Schema cache for load_table, keyed by (session id, path).  The FIRST
-# read of a path infers the schema from the parquet footer (correct for
-# any input); later reads pass that schema explicitly, which skips the
-# footer fetch + schema-merge step of DataSource resolution (measured
-# 100 ms -> 21 ms per read locally; at 100 TB, footer inference touches
-# every file of the table from the single-threaded driver — production
-# tables keep the schema in catalog metadata for exactly this reason).
-# Only the SCHEMA (column names/types) is cached, never file listings,
-# plans or data: every action still lists and scans the parquet input.
-# Keyed per session so a restarted driver or a different SparkSession
-# never sees a stale entry.
-_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+# Schema cache for load_table.  The FIRST read of a path infers the
+# schema from the parquet footer (correct for any input); later reads
+# pass that schema explicitly, which skips the footer fetch +
+# schema-merge step of DataSource resolution (measured 100 ms -> 21 ms
+# per read locally; at 100 TB, footer inference touches every file of
+# the table from the single-threaded driver — production tables keep
+# the schema in catalog metadata for exactly this reason).  Only the
+# SCHEMA (column names/types) is cached, never file listings, plans or
+# data: every action still lists and scans the parquet input.
+#
+# Keying (r13): a WeakKeyDictionary keyed by the SparkSession OBJECT
+# maps each live session to its own {path: schema} dict — entries die
+# with the session, so a new SparkSession can never alias a dead one's
+# cache (the r12 id(spark) key could: CPython reuses addresses after
+# GC).  Per-session dicts are bounded (_MAX_CACHED_SCHEMAS, cleared
+# wholesale when exceeded — re-inference is always correct), and
+# ``invalidate_table`` lets in-place table rewrites (compaction / GDPR
+# deletes) drop the entry for a path they changed.
+_SCHEMA_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, object]]" = (
+    weakref.WeakKeyDictionary()
+)
+_MAX_CACHED_SCHEMAS = 256
+
+
+def _per_session(cache: "weakref.WeakKeyDictionary", spark: SparkSession) -> dict:
+    per = cache.get(spark)
+    if per is None:
+        per = {}
+        cache[spark] = per
+    return per
+
+
+def invalidate_table(spark: SparkSession, path: str) -> None:
+    """Drop cached metadata (schema + partition-count memo) for ``path``
+    — called by any code path that rewrites a table in place, so later
+    ``load_table`` reads re-infer from the new footers instead of
+    trusting stale entries."""
+    _per_session(_SCHEMA_CACHE, spark).pop(path, None)
+    from ..operators.dedup import _invalidate_nparts
+
+    _invalidate_nparts(spark, path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,11 +87,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     both engines see identical values."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark), path)
-    cached = _SCHEMA_CACHE.get(key)
+    per = _per_session(_SCHEMA_CACHE, spark)
+    cached = per.get(path)
     if cached is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        if len(per) >= _MAX_CACHED_SCHEMAS:
+            per.clear()
+        per[path] = df.schema
     else:
         df = spark.read.schema(cached).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -72,8 +104,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # count probe (df.rdd.getNumPartitions() = a full plan->RDD
     # conversion, ~120 ms of driver time per call) be memoized per
     # (session, path).  A perf heuristic key only — never used for
-    # correctness.
-    df._dei_nparts_key = (id(spark), path)
+    # correctness.  Written into __dict__ (instance attrs) so the
+    # reader side can use __dict__.get, which can never fall through to
+    # DataFrame.__getattr__'s column resolution.
+    df.__dict__["_dei_nparts_path"] = path
     return df
 
 

@@ -219,3 +219,45 @@ def test_catalog_query_planted_pairs_exact(spark):
     assert got == expect
     assert len(expect) == planted  # 100% planted recall at these margins
     assert all(a < b for a, b in got)
+
+
+def test_hub_key_cap_guards_degenerate_corpus(spark, fp_df):
+    """The max_dfreq posting-list cap (the skew guard the module
+    docstring promises): a degenerate corpus of N identical-fingerprint
+    clips (silence) pairs quadratically without the guard; with the cap
+    the hub (frame_idx, subfp) keys are dropped from the candidate
+    join's build side, so the probe join never explodes.  On the
+    normal fixture corpus the default cap changes nothing — output is
+    bit-identical with the guard on, off, and at max_dfreq=None."""
+    import pandas as pd
+
+    from data_engineering_individual_assignment_spark.operators.dedup import (
+        release_intermediates,
+    )
+
+    n = 12
+    silence = encode_wav(np.zeros(FRAME + HOP * 14))
+    pdf = pd.DataFrame(
+        {"doc_id": pd.Series(range(n), dtype="int64"), "payload": [silence] * n}
+    )
+    fps = audio_fingerprints(spark.createDataFrame(pdf))
+    # without the guard: every pair is BER 0 -> quadratic output
+    uncapped = audio_near_dup_pairs(fps, max_dfreq=None).count()
+    release_intermediates()
+    assert uncapped == n * (n - 1) // 2
+    # with the cap below the corpus size: every key is a hub -> zero
+    # candidates, the 33x probe join has an empty build side
+    capped = audio_near_dup_pairs(fps, max_dfreq=n - 1).count()
+    release_intermediates()
+    assert capped == 0
+    # non-degenerate corpus: the default cap is far above any real
+    # document frequency, so results are identical to the uncapped run
+    with_guard = sorted(
+        map(tuple, audio_near_dup_pairs(fp_df).collect())
+    )
+    release_intermediates()
+    without_guard = sorted(
+        map(tuple, audio_near_dup_pairs(fp_df, max_dfreq=None).collect())
+    )
+    release_intermediates()
+    assert with_guard == without_guard and with_guard
