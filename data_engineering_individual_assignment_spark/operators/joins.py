@@ -88,13 +88,25 @@ def asof_join(
     )
     out_right_cols = right_cols or right.columns
     # carry the pruned right row as one struct so last(ignoreNulls) moves
-    # all payload columns together; the struct must include tie_break even
-    # when the caller's right_cols excludes it (the window orders by it)
+    # all payload columns together.  The struct packs ONLY what is read
+    # back out of it (guide §2.3 — it rides the union through the
+    # exchange and the per-key window sort, so every field is shuffle +
+    # sort payload): the output columns, tie_break even when right_cols
+    # excludes it (the window orders by it), and right_ts only under
+    # tolerance (the staleness check reads the CARRIED row's ts).
+    # right_by is never packed — it always equals the __by column that
+    # already travels beside the struct.
+    struct_needed = set(out_right_cols)
+    if tie_break:
+        struct_needed.add(tie_break)
+    if tolerance is not None:
+        struct_needed.add(right_ts)
+    struct_cols = [c for c in right.columns if c in struct_needed]
     r_tagged = right.select(
         F.col(right_by).alias("__by"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*right.columns).alias("__r"),
+        F.struct(*struct_cols).alias("__r"),
     )
     l_tagged = left.select(
         F.col(left_by).alias("__by"),
