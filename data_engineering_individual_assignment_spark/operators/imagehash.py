@@ -89,6 +89,68 @@ def _to_signed64(h: int) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def _area_resize_batch(stack, out_h: int, out_w: int):
+    """``area_resize`` over an (n, h, w) stack of SAME-SHAPE images in
+    one vectorized pass (r13, guide §4.2): cumsums and interpolation
+    gain a leading batch axis, every per-element FP operation is
+    unchanged, so results are bit-identical to the per-image form
+    (pinned by test_batch_hashes_match_per_image)."""
+    import numpy as np
+
+    g = np.asarray(stack, dtype=np.float64)
+    n, h, w = g.shape
+    integral = np.zeros((n, h + 1, w + 1))
+    integral[:, 1:, 1:] = g.cumsum(1).cumsum(2)
+
+    def sample_rows(mat, coords, axis_len):
+        idx = np.floor(coords).astype(np.int64)
+        frac = coords - idx
+        idx = np.clip(idx, 0, axis_len - 1)
+        nxt = np.clip(idx + 1, 0, axis_len - 1)
+        return (
+            mat[:, idx, :] * (1.0 - frac)[None, :, None]
+            + mat[:, nxt, :] * frac[None, :, None]
+        )
+
+    ys = np.arange(out_h + 1) * (h / out_h)
+    xs = np.arange(out_w + 1) * (w / out_w)
+    by_y = sample_rows(integral, ys, h + 1)
+    by_xy = sample_rows(by_y.transpose(0, 2, 1), xs, w + 1).transpose(0, 2, 1)
+    boxes = (
+        by_xy[:, 1:, 1:]
+        - by_xy[:, :-1, 1:]
+        - by_xy[:, 1:, :-1]
+        + by_xy[:, :-1, :-1]
+    )
+    return boxes / ((h / out_h) * (w / out_w))
+
+
+def _pack_bits64(bits):
+    """(n, 64) bool -> signed int64 hash per row.  int64 shift wraps the
+    top bit to the sign exactly like ``_to_signed64`` reinterprets it,
+    so this IS the signed hash (pinned by the batch-identity test)."""
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.int64)
+    return (bits.astype(np.int64) << shifts).sum(axis=1)
+
+
+def dhash64_batch(stack):
+    """Batched ``dhash64_gray`` over an (n, h, w) same-shape stack;
+    returns an int64 array, bit-identical to the per-image hashes."""
+    small = _area_resize_batch(stack, 8, 9)
+    bits = (small[:, :, 1:] > small[:, :, :-1]).reshape(len(stack), 64)
+    return _pack_bits64(bits)
+
+
+def ahash64_batch(stack):
+    """Batched ``ahash64_gray``; same contract as ``dhash64_batch``."""
+    small = _area_resize_batch(stack, 8, 8)
+    means = small.mean(axis=(1, 2))
+    bits = (small > means[:, None, None]).reshape(len(stack), 64)
+    return _pack_bits64(bits)
+
+
 def dhash64_gray(gray) -> int:
     """64-bit difference hash of a (h, w) grayscale array: resize to
     8x9, bit (row*8 + col) = 1 iff cell[row, col+1] > cell[row, col].
@@ -156,24 +218,47 @@ def image_phash(
     row per asset.  Corrupt payloads degrade to decode_ok=false /
     phash NULL — one bad asset must not kill a 100 TB scan.  No
     shuffle; payload bytes never leave their executor."""
+    import numpy as np
     import pandas as pd
 
     from .multimodal import decode_image
 
     hash_fn = {"dhash": dhash64_gray, "ahash": ahash64_gray}[algo]
+    batch_fn = {"dhash": dhash64_batch, "ahash": ahash64_batch}[algo]
 
     def gen(batches):
         for pdf in batches:
-            ids, hashes, oks = [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                ids.append(int(doc_id))
+            # decode per image (container parse is per-asset by nature),
+            # then hash all same-shape luma planes in ONE batched pass
+            # (r13, guide §4.2) — bit-identical to the per-image hash;
+            # row order and the per-asset degrade contract unchanged
+            ids = [int(d) for d in pdf[id_col]]
+            hashes: list = [None] * len(ids)
+            oks = [False] * len(ids)
+            by_shape: dict = {}
+            for i, payload in enumerate(pdf[payload_col]):
                 try:
-                    img = decode_image(bytes(payload))
-                    hashes.append(hash_fn(luma_plane(img)))
-                    oks.append(True)
+                    lum = luma_plane(decode_image(bytes(payload)))
                 except Exception:
-                    hashes.append(None)
-                    oks.append(False)
+                    continue
+                idxs, lums = by_shape.setdefault(lum.shape, ([], []))
+                idxs.append(i)
+                lums.append(lum)
+            for idxs, lums in by_shape.values():
+                try:
+                    hs = batch_fn(np.stack(lums)).tolist()
+                except Exception:
+                    # degrade to per-image so one pathological plane
+                    # flags only its own row
+                    hs = []
+                    for lum in lums:
+                        try:
+                            hs.append(hash_fn(lum))
+                        except Exception:
+                            hs.append(None)
+                for i, hv in zip(idxs, hs):
+                    hashes[i] = hv
+                    oks[i] = hv is not None
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -331,15 +416,23 @@ def video_dhash_signatures(
     No shuffle; payload bytes never leave their executor."""
     import struct
 
+    import numpy as np
     import pandas as pd
 
     from .multimodal import _MJPG_MAGIC, _VID_MAGIC, decode_image
 
     hash_fn = {"dhash": dhash64_gray, "ahash": ahash64_gray}[algo]
+    batch_fn = {"dhash": dhash64_batch, "ahash": ahash64_batch}[algo]
 
     def gen(batches):
         for pdf in batches:
             ids, frames, hashes, oks = [], [], [], []
+            # decoded luma planes across the WHOLE arrow batch, grouped
+            # by shape, are hashed in one batched pass per shape (r13,
+            # guide §4.2) — bit-identical to the per-frame hash; output
+            # row order and the degrade contract are unchanged (hashes
+            # are back-filled into pre-reserved row slots)
+            by_shape: dict = {}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 doc_id = int(doc_id)
                 # decode into a local list first, appending to the
@@ -348,6 +441,7 @@ def video_dhash_signatures(
                 # ragged (pandas index-aligns unequal Series into a
                 # phantom NULL-flagged row) and truncate the signature
                 rows: list[tuple] = []
+                lumas: list[tuple] = []  # (row offset in rows, luma)
                 try:
                     buf = bytes(payload)
                     if buf[:4] not in (_VID_MAGIC, _MJPG_MAGIC):
@@ -362,18 +456,40 @@ def video_dhash_signatures(
                         if i % every_k:
                             continue  # skipped frames are never decoded
                         try:
-                            h = hash_fn(luma_plane(decode_image(frame)))
-                            rows.append((i, h, True))
+                            lumas.append(
+                                (len(rows), luma_plane(decode_image(frame)))
+                            )
+                            rows.append((i, None, True))
                         except Exception:
                             # one bad frame: flag it, keep decoding
                             rows.append((i, None, False))
                 except Exception:
                     rows = [(None, None, False)]
+                    lumas = []
+                base = len(ids)
                 for frame_idx, h, ok in rows:
                     ids.append(doc_id)
                     frames.append(frame_idx)
                     hashes.append(h)
                     oks.append(ok)
+                for off, lum in lumas:
+                    idxs, lums = by_shape.setdefault(lum.shape, ([], []))
+                    idxs.append(base + off)
+                    lums.append(lum)
+            for idxs, lums in by_shape.values():
+                try:
+                    hs = batch_fn(np.stack(lums)).tolist()
+                except Exception:
+                    hs = []
+                    for lum in lums:
+                        try:
+                            hs.append(hash_fn(lum))
+                        except Exception:
+                            hs.append(None)
+                for row_i, hv in zip(idxs, hs):
+                    hashes[row_i] = hv
+                    if hv is None:
+                        oks[row_i] = False
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

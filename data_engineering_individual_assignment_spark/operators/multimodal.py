@@ -747,38 +747,53 @@ def synth_jpeg_bytes(width: int, height: int, rgb=(128, 64, 32)) -> bytes:
     return encode_jpeg_planes(planes, width, height)
 
 
-def _enc_block(bw, block, q, A, dc_codes, ac_codes, pred, ci) -> None:
-    """Forward-DCT, quantize and entropy-code one 8x8 block."""
+def _plane_zigzag(plane, q, A) -> list:
+    """Forward-DCT + quantize + zigzag EVERY 8x8 block of a padded
+    component plane in one batched pass (r13, guide §4.2): one matmul
+    over the (n_blocks, 8, 8) stack instead of two tiny matmuls per
+    block — verified bit-identical to the per-block form by the codec
+    battery.  Returns nested lists indexed [block_row][block_col] of
+    64 zigzag-ordered int coefficients."""
     import numpy as np
 
-    F8 = A @ (block - 128.0) @ A.T
-    coef = np.round(F8 / q).astype(int)
-    zz = coef.flatten()[_JPEG_ZIGZAG]
-    diff = int(zz[0]) - pred[ci]
-    pred[ci] = int(zz[0])
+    h, w = plane.shape
+    nby, nbx = h // 8, w // 8
+    stk = (plane - 128.0).reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    f8 = np.matmul(np.matmul(A, stk), A.T)
+    coef = np.round(f8 / q).astype(int)
+    return coef.reshape(nby, nbx, 64)[:, :, _JPEG_ZIGZAG].tolist()
+
+
+def _enc_entropy(bw, zz, dc_codes, ac_codes, pred, ci) -> None:
+    """Entropy-code one block's 64 zigzag coefficients (plain ints).
+    The huffman code and its value bits are emitted as ONE write —
+    the bit stream is identical, with half the writer calls."""
+    dc = zz[0]
+    diff = dc - pred[ci]
+    pred[ci] = dc
     cat = _jpeg_category(diff)
     code, ln = dc_codes[cat]
-    bw.write(code, ln)
     if cat:
         v = diff if diff > 0 else diff + (1 << cat) - 1
-        bw.write(v, cat)
-    run = 0
+        bw.write((code << cat) | (v & ((1 << cat) - 1)), ln + cat)
+    else:
+        bw.write(code, ln)
+    prev = 0
     for k in range(1, 64):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
-            run += 1
             continue
+        run = k - prev - 1
         while run > 15:
             code, ln = ac_codes[0xF0]  # ZRL
             bw.write(code, ln)
             run -= 16
         cat = _jpeg_category(v)
         code, ln = ac_codes[(run << 4) | cat]
-        bw.write(code, ln)
         bits = v if v > 0 else v + (1 << cat) - 1
-        bw.write(bits, cat)
-        run = 0
-    if run:
+        bw.write((code << cat) | (bits & ((1 << cat) - 1)), ln + cat)
+        prev = k
+    if prev != 63:
         code, ln = ac_codes[0x00]  # EOB
         bw.write(code, ln)
 
@@ -832,6 +847,12 @@ def encode_jpeg_planes(
         mcuy = (height + 7) // 8
         comp_planes = [pad_to(p, mcuy * 8, mcux * 8) for p in planes]
 
+    # whole-plane DCT/quantize/zigzag per component (batched, see
+    # _plane_zigzag); the sequential MCU walk below is entropy-only
+    comp_zz = [
+        _plane_zigzag(plane, ql if ci == 0 else qc, A)
+        for ci, plane in enumerate(comp_planes)
+    ]
     bw = _BitWriter()
     pred = [0, 0, 0]
     mcu_count = 0
@@ -844,14 +865,12 @@ def encode_jpeg_planes(
                 rst = (rst + 1) % 8
                 pred = [0, 0, 0]
             mcu_count += 1
-            for ci, (plane, (fh, fv)) in enumerate(zip(comp_planes, factors)):
-                q = ql if ci == 0 else qc
+            for ci, (fh, fv) in enumerate(factors):
+                zzp = comp_zz[ci]
                 for byi in range(fv):
                     for bxi in range(fh):
-                        ys = (my * fv + byi) * 8
-                        xs = (mx * fh + bxi) * 8
-                        _enc_block(
-                            bw, plane[ys : ys + 8, xs : xs + 8], q, A,
+                        _enc_entropy(
+                            bw, zzp[my * fv + byi][mx * fh + bxi],
                             dc_codes, ac_codes, pred, ci,
                         )
     bw.flush()
@@ -920,42 +939,105 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        # one shift/mask instead of n read_bit() calls (r13, guide §4.2
+        # — this reader runs inside the per-asset decode of every JPEG
+        # in a scan); _fill buffers >= 25 bits when data remains and
+        # JPEG value fields are <= 16 bits, so one fill always suffices
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+            if self.nbits < n:
+                raise ValueError("JPEG entropy stream exhausted")
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def resync_restart(self) -> None:
-        """Consume an expected RSTn marker and realign to byte boundary."""
+        """Consume an expected RSTn marker and realign to byte boundary.
+
+        The marker may not have been SEEN yet: ``_fill`` only flags a
+        marker when buffering runs into it, and the decoder can reach a
+        restart boundary with the pad bits still buffered and ``pos``
+        sitting exactly on the 0xFF (pre-r13 this raised a spurious
+        'entropy stream exhausted' on any stream whose restart segment
+        ended flush with the read-ahead — caught by the r13 codec
+        battery; all catalog fixtures use restart_interval=0, so no
+        declared query output changes).  So when no marker is flagged,
+        look for it directly at ``pos``."""
         self.acc = 0
         self.nbits = 0
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
-            self.pos += 2
-            self.marker = None
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2
+                self.marker = None
+            return
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # legal fill bytes ahead of the marker (T.81 B.1.1.2)
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
 
 
-def _huff_decode_map(counts: list[int], symbols: list[int]) -> dict:
-    """(length, code) -> symbol map for canonical JPEG huffman."""
-    out = {}
+# Huffman decode LUTs, keyed by the DHT segment content (counts +
+# symbols bytes).  JPEG codes are <= 16 bits, so one 65536-entry table
+# per huffman table decodes any symbol with a single 16-bit peek — the
+# classic table-driven decoder — replacing the per-BIT loop that was
+# ~85% of decode time (r13, guide §4.2).  The cache holds decode
+# TABLES (derived from ~200 bytes of stream metadata), never pixels or
+# results; the fixture encoder emits the standard Annex-K tables, so
+# every image in a scan hits the same four entries.
+_HUFF_LUT_CACHE: dict[tuple[bytes, bytes], list[int]] = {}
+
+
+def _huff_lut(counts: list[int], symbols: list[int]) -> list[int]:
+    """65536-entry decode table for a canonical JPEG huffman table:
+    entry[window16] = (code_length << 8) | symbol for every 16-bit
+    window starting with that code; 0 marks an invalid prefix."""
+    key = (bytes(counts), bytes(symbols))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [0] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            out[(length, code)] = symbols[k]
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[start : start + span] = [(length << 8) | symbols[k]] * span
             code += 1
             k += 1
         code <<= 1
-    return out
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = lut
+    return lut
 
 
-def _huff_read(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG huffman code")
+def _huff_read(br: _BitReader, lut: list[int]) -> int:
+    """Decode one symbol via a 16-bit peek into the table's LUT.  Near
+    the end of the entropy segment fewer than 16 bits may remain: the
+    window is zero-padded, and a decoded length longer than the real
+    remainder means the stream genuinely ran out mid-code (the per-bit
+    reader raised the same error there)."""
+    nb = br.nbits
+    if nb < 16:
+        br._fill()
+        nb = br.nbits
+    if nb >= 16:
+        e = lut[(br.acc >> (nb - 16)) & 0xFFFF]
+    elif nb:
+        e = lut[(br.acc << (16 - nb)) & 0xFFFF]
+    else:
+        raise ValueError("JPEG entropy stream exhausted")
+    length = e >> 8
+    if length == 0:
+        raise ValueError("invalid JPEG huffman code")
+    if length > nb:
+        raise ValueError("JPEG entropy stream exhausted")
+    br.nbits = nb - length
+    return e & 0xFF
 
 
 def _extend(v: int, cat: int) -> int:
@@ -1019,7 +1101,7 @@ def decode_jpeg(payload: bytes) -> dict:
                 counts = list(data[i + 1 : i + 17])
                 n = sum(counts)
                 syms = list(data[i + 17 : i + 17 + n])
-                htables[(tc, th)] = _huff_decode_map(counts, syms)
+                htables[(tc, th)] = _huff_lut(counts, syms)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             precision, height, width, ncomp = struct.unpack(">BHHB", data[:6])
@@ -1060,12 +1142,17 @@ def decode_jpeg(payload: bytes) -> dict:
         by_id[cs]["dc"] = htables[(0, td)]
         by_id[cs]["ac"] = htables[(1, ta)]
     A = _jpeg_dct_matrix()
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
-    ]
     pred = [0] * len(comps)
     br = _BitReader(payload, pos)
     mcu_count = 0
+    # entropy pass first (sequential by construction — each code's start
+    # depends on the previous code's length), collecting one 64-long
+    # zigzag row per block; dequantize + IDCT then run BATCHED over all
+    # of a component's blocks at once (r13, guide §4.2: one matmul over
+    # a (n, 8, 8) stack instead of 2 tiny matmuls per block — verified
+    # bit-identical to the per-block form by the codec battery)
+    rows: list[list[list[float]]] = [[] for _ in comps]
+    rpos: list[list[tuple[int, int]]] = [[] for _ in comps]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -1073,17 +1160,18 @@ def decode_jpeg(payload: bytes) -> dict:
                 pred = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):
-                q = qtables[c["tq"]]
+                dc_lut = c["dc"]
+                ac_lut = c["ac"]
                 for byi in range(c["v"]):
                     for bxi in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        cat = _huff_read(br, c["dc"])
+                        zz = [0.0] * 64
+                        cat = _huff_read(br, dc_lut)
                         diff = _extend(br.read_bits(cat), cat) if cat else 0
                         pred[ci] += diff
-                        zz[0] = pred[ci]
+                        zz[0] = float(pred[ci])
                         k = 1
                         while k < 64:
-                            rs = _huff_read(br, c["ac"])
+                            rs = _huff_read(br, ac_lut)
                             if rs == 0x00:  # EOB
                                 break
                             if rs == 0xF0:  # ZRL
@@ -1093,14 +1181,23 @@ def decode_jpeg(payload: bytes) -> dict:
                             if k > 63:
                                 raise ValueError("AC run overflow")
                             s = rs & 0xF
-                            zz[k] = _extend(br.read_bits(s), s)
+                            zz[k] = float(_extend(br.read_bits(s), s))
                             k += 1
-                        coef = np.zeros(64)
-                        coef[_JPEG_ZIGZAG] = zz
-                        block = A.T @ (coef.reshape(8, 8) * q) @ A + 128.0
-                        ys = (my * c["v"] + byi) * 8
-                        xs = (mx * c["h"] + bxi) * 8
-                        planes[ci][ys : ys + 8, xs : xs + 8] = block
+                        rows[ci].append(zz)
+                        rpos[ci].append((my * c["v"] + byi, mx * c["h"] + bxi))
+    planes = []
+    for ci, c in enumerate(comps):
+        nby, nbx = mcuy * c["v"], mcux * c["h"]
+        coef = np.zeros((nby * nbx, 64))
+        coef[:, _JPEG_ZIGZAG] = np.array(rows[ci], dtype=np.float64)
+        q = qtables[c["tq"]]
+        blocks = np.matmul(np.matmul(A.T, coef.reshape(-1, 8, 8) * q), A) + 128.0
+        grid = np.empty((nby, nbx, 8, 8))
+        grid[
+            np.fromiter((p[0] for p in rpos[ci]), dtype=np.int64),
+            np.fromiter((p[1] for p in rpos[ci]), dtype=np.int64),
+        ] = blocks
+        planes.append(grid.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
     # upsample subsampled components to full resolution (nearest)
     full = []
     for ci, c in enumerate(comps):

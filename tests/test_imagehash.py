@@ -232,3 +232,64 @@ def test_catalog_query_planted_pairs_exact(spark):
     assert got == expect
     assert len(expect) >= 0.95 * planted  # overall planted-pair recall
     assert all(a < b for a, b in got)
+
+
+def test_jpeg_codec_restart_interval_roundtrip():
+    """r13 codec contract: (a) restart-marker streams decode — the
+    pre-r13 reader raised a spurious 'exhausted' whenever a restart
+    segment ended flush with its bit read-ahead (resync_restart only
+    consumed a marker _fill had already flagged); (b) a restart stream
+    decodes to EXACTLY the pixels of the restart-free stream of the
+    same planes (restarts change framing, never coefficients); (c) the
+    r13 LUT huffman + batched DCT/IDCT paths roundtrip content of all
+    shapes (odd sizes exercise edge-MCU padding)."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_planes,
+    )
+
+    for h, w in ((32, 32), (33, 31), (24, 40)):
+        g = np.tile(synth_texture_gray(h * 100 + w, 64), (2, 2))[:h, :w]
+        planes = [g, np.full_like(g, 128.0), np.full_like(g, 100.0)]
+        for sub in (False, True):
+            base = decode_jpeg(encode_jpeg_planes(planes, w, h, subsample=sub))
+            for ri in (1, 2, 5):
+                img = decode_jpeg(
+                    encode_jpeg_planes(
+                        planes, w, h, subsample=sub, restart_interval=ri
+                    )
+                )
+                assert img["pixels"].tobytes() == base["pixels"].tobytes(), (
+                    h, w, sub, ri,
+                )
+
+
+def test_batch_hashes_match_per_image():
+    """r13 batching contract: dhash64_batch / ahash64_batch over an
+    (n, h, w) stack are bit-identical to the per-image hashes for any
+    shape (the batched area_resize adds a leading axis to the same FP
+    operations), including the sign-bit edge (all-ascending row packs
+    bit 63 -> the int64 shift wraps to the signed value exactly like
+    _to_signed64)."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.imagehash import (
+        _area_resize_batch,
+        ahash64_batch,
+        dhash64_batch,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in ((8, 9), (32, 32), (64, 63), (17, 23)):
+        imgs = [rng.uniform(0, 255, (h, w)) for _ in range(9)]
+        if h == w and h % 8 == 0:
+            imgs += [synth_texture_gray(i, h) for i in range(3)]
+        st = np.stack(imgs)
+        ref_r = np.stack([area_resize(g, 8, 9) for g in imgs])
+        assert ref_r.tobytes() == _area_resize_batch(st, 8, 9).tobytes()
+        assert [dhash64_gray(g) for g in imgs] == dhash64_batch(st).tolist()
+        assert [ahash64_gray(g) for g in imgs] == ahash64_batch(st).tolist()
+    asc = np.tile(np.linspace(0, 255, 9), (8, 1))
+    assert dhash64_gray(asc) == -1 == dhash64_batch(np.stack([asc]))[0]
