@@ -56,6 +56,12 @@ SR = 8000
 FRAME = 512
 HOP = 256
 N_BANDS = 33
+# stacked-FFT flush size (clips per rfft call): big enough that the
+# vectorization win is saturated, small enough that the stacked frame
+# matrix (~256 clips x ~13 frames x 512 bins) stays ~14 MB — an
+# UNBOUNDED per-Arrow-batch stack holds every decoded waveform of a
+# 10k-row batch (GBs per worker at scale) for no additional win
+_FFT_CHUNK = 256
 FMIN = 300.0
 FMAX = 2000.0
 
@@ -193,11 +199,15 @@ def audio_fingerprints(
     must not kill a 100 TB scan.  No shuffle; payload bytes never
     leave their executor.
 
-    The FFT is batched ACROSS documents (r13, guide §4.2/§4.5): every
-    decoded clip's Hann-windowed frames are stacked into ONE matrix per
-    (batch, sample-rate) group and transformed with a single ``rfft``
-    call, and the per-batch constants (Hann window, band-edge bins per
-    sample rate) are hoisted to once-per-task state.  Each row's
+    The FFT is batched ACROSS documents (r13, guide §4.2/§4.5): decoded
+    clips' Hann-windowed frames are stacked per sample-rate group and
+    transformed with one ``rfft`` call per stack, and the per-batch
+    constants (Hann window, band-edge bins per sample rate) are hoisted
+    to once-per-task state.  Groups FLUSH at ``_FFT_CHUNK`` clips so at
+    most one cache-sized chunk of decoded waveforms/frame matrices is
+    ever held (an Arrow batch is 10k rows at scale; stacking ALL of it
+    would pin ~GBs of temporaries per worker for zero additional
+    vectorization win — the image-hash chunking lesson).  Each row's
     transform is independent, so the stacked results are bit-identical
     to the per-doc ``subfingerprints`` reference the tests pin."""
     import io
@@ -209,30 +219,12 @@ def audio_fingerprints(
     def gen(batches):
         hann = np.hanning(FRAME)
         edges_by_sr: dict[int, np.ndarray] = {}
+        shifts = np.arange(32, dtype=np.int64)
         for pdf in batches:
             ids, frames, fps, oks = [], [], [], []
-            # decode pass: per-doc container parse (unavoidable), clips
-            # grouped by sample rate for the stacked transform
-            by_sr: dict[int, list[tuple[int, np.ndarray]]] = {}
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                doc_id = int(doc_id)
-                try:
-                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                            raise ValueError("only 16-bit mono supported")
-                        sr = w.getframerate()
-                        raw = w.readframes(w.getnframes())
-                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    x /= 32767.0
-                    if len(x) >= FRAME + HOP:  # else: zero subfps, no rows
-                        by_sr.setdefault(int(sr), []).append((doc_id, x))
-                except Exception:
-                    ids.append(doc_id)
-                    frames.append(None)
-                    fps.append(None)
-                    oks.append(False)
-            # FFT pass: one stacked rfft + band-sum per sample-rate group
-            for sr, clips in by_sr.items():
+
+            # FFT flush: one stacked rfft + band-sum per clip chunk
+            def flush(sr, clips):
                 edges = edges_by_sr.get(sr)
                 if edges is None:
                     edges = edges_by_sr[sr] = _band_edges(FRAME, sr)
@@ -258,7 +250,6 @@ def audio_fingerprints(
                     axis=1,
                 )
                 diff = energy[:, :-1] - energy[:, 1:]  # (total_frames, 32)
-                shifts = np.arange(32, dtype=np.int64)
                 for (doc_id, _x), (s, e) in zip(clips, bounds):
                     bits = (diff[s + 1 : e] - diff[s : e - 1]) > 0.0
                     packed = (bits.astype(np.int64) << shifts).sum(axis=1)
@@ -267,6 +258,34 @@ def audio_fingerprints(
                         frames.append(t)
                         fps.append(_to_signed32(int(v)))
                         oks.append(True)
+
+            # decode pass: per-doc container parse (unavoidable), clips
+            # grouped by sample rate for the stacked transform
+            by_sr: dict[int, list[tuple[int, np.ndarray]]] = {}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                doc_id = int(doc_id)
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                            raise ValueError("only 16-bit mono supported")
+                        sr = w.getframerate()
+                        raw = w.readframes(w.getnframes())
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    x /= 32767.0
+                    if len(x) >= FRAME + HOP:  # else: zero subfps, no rows
+                        clips = by_sr.setdefault(int(sr), [])
+                        clips.append((doc_id, x))
+                        if len(clips) >= _FFT_CHUNK:
+                            flush(int(sr), clips)
+                            clips.clear()
+                except Exception:
+                    ids.append(doc_id)
+                    frames.append(None)
+                    fps.append(None)
+                    oks.append(False)
+            for sr, clips in by_sr.items():
+                if clips:
+                    flush(sr, clips)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

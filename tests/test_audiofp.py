@@ -261,3 +261,42 @@ def test_hub_key_cap_guards_degenerate_corpus(spark, fp_df):
     )
     release_intermediates()
     assert with_guard == without_guard and with_guard
+
+
+def test_fft_chunking_boundary(spark):
+    """The stacked-FFT flush at _FFT_CHUNK clips must not change any
+    sub-fingerprint: a corpus crossing the chunk boundary inside one
+    Arrow batch matches the per-doc subfingerprints reference."""
+    import numpy as np
+    import pandas as pd
+
+    from data_engineering_individual_assignment_spark.operators.audiofp import (
+        _FFT_CHUNK,
+        FRAME,
+        HOP,
+        SR,
+    )
+
+    n = _FFT_CHUNK + 7
+    rng = np.random.RandomState(5)
+    waves = [rng.uniform(-0.5, 0.5, FRAME + 3 * HOP) for _ in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(n), dtype="int64"),
+            "payload": [encode_wav(x) for x in waves],
+        }
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r.subfp
+        for r in audio_fingerprints(
+            spark.createDataFrame(pdf).coalesce(1)
+        ).collect()
+    }
+    expect = {}
+    for i, x in enumerate(waves):
+        # the encoder quantizes to int16; reference must see the same
+        q = np.clip(x, -1.0, 1.0)
+        q = (q * 32767.0).astype("<i2").astype(np.float64) / 32767.0
+        for t, sub in enumerate(subfingerprints(q, SR)):
+            expect[(i, t)] = sub
+    assert got == expect and len(expect) > n

@@ -293,3 +293,21 @@ def test_batch_hashes_match_per_image():
         assert [ahash64_gray(g) for g in imgs] == ahash64_batch(st).tolist()
     asc = np.tile(np.linspace(0, 255, 9), (8, 1))
     assert dhash64_gray(asc) == -1 == dhash64_batch(np.stack([asc]))[0]
+
+
+def test_batch_hash_chunking_boundary():
+    """Hash batching flushes in _HASH_CHUNK chunks (an unbounded stack
+    thrashes cache and would hold a whole Arrow batch's planes at
+    scale); a stack crossing several chunk boundaries must still be
+    bit-identical to the per-image hashes."""
+    import numpy as np
+
+    from data_engineering_individual_assignment_spark.operators.imagehash import (
+        _HASH_CHUNK,
+        dhash64_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 2 * _HASH_CHUNK + 37
+    st = rng.uniform(0, 255, (n, 16, 16))
+    assert dhash64_batch(st).tolist() == [dhash64_gray(g) for g in st]
